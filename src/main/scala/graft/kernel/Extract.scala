@@ -1,0 +1,180 @@
+package graft.kernel
+
+/** Extraction dispatcher: one payload (inline text or media bytes) in, one
+  * extraction result out. Pure function of its inputs — no Spark here.
+  * Mirrors the reference's Parser#parse orchestration
+  * (reference: lib/rika/parser.rb:26-46): detect -> extract -> truncate ->
+  * augment metadata, with the failure taxonomy of
+  * lib/rika/cli/rika_command.rb:106-115 (errors never abort a batch).
+  */
+object Extract {
+
+  /** maxContentLength semantics (reference: lib/rika/parser.rb:28,
+    * lib/rika/cli/rika_command.rb:233-237): -1 unlimited, 0 = metadata-only
+    * (computation pruning), n > 0 = first n chars.
+    */
+  final case class Options(maxContentLength: Int = -1)
+
+  final case class Out(
+      content: String,           // canonical full extracted text (truncated per options)
+      blocks: Vector[String],    // ordered text blocks (the output spans)
+      contentType: String,
+      metadata: Map[String, String],
+      isMedia: Boolean,          // true => emit a media span instead of text spans
+      issue: Option[String])     // failure taxonomy entry
+
+  val IssueEmptyFile    = "empty_file"
+  val IssueIoError      = "io_error"
+  val IssueInvalidInput = "invalid_input"
+  val IssueParseError   = "parse_error"
+
+  /** Extract an inline text payload (kind html|txt as claimed; verified by
+    * content sniffing).
+    */
+  def extractText(claimedKind: String, text: String, opt: Options): Out = {
+    if (text == null) return failure(IssueInvalidInput)
+    if (text.isEmpty) return failure(IssueEmptyFile)
+    try {
+      val kind = Magic.sniffText(text)
+      kind match {
+        case Magic.Kind.Html => html(text, "UTF-8", opt)
+        case _               => plain(text, "UTF-8", opt)
+      }
+    } catch { case scala.util.control.NonFatal(_) => failure(IssueParseError) }
+  }
+
+  /** Extract a binary payload (media side-table bytes). */
+  def extractBytes(claimedKind: String, bytes: Array[Byte], opt: Options): Out = {
+    if (bytes == null) return failure(IssueIoError)
+    if (bytes.isEmpty) return failure(IssueEmptyFile)
+    try {
+      Magic.sniff(bytes) match {
+        case Magic.Kind.Pdf  => pdf(bytes, opt)
+        case Magic.Kind.Docx => docx(bytes, opt)
+        case Magic.Kind.Doc  => doc(bytes, opt)
+        case Magic.Kind.Jpeg => jpeg(bytes)
+        case Magic.Kind.Html =>
+          val cs = Charset.detect(bytes)
+          html(cs.decoded, cs.name, opt)
+        case Magic.Kind.Text =>
+          val cs = Charset.detect(bytes)
+          plain(cs.decoded, cs.name, opt)
+        case Magic.Kind.Zip | Magic.Kind.Unknown =>
+          Out("", Vector.empty, "application/octet-stream", Map.empty,
+            isMedia = false, issue = None)
+      }
+    } catch { case scala.util.control.NonFatal(_) => failure(IssueParseError) }
+  }
+
+  private def failure(issue: String): Out =
+    Out("", Vector.empty, "application/octet-stream", Map.empty,
+      isMedia = false, issue = Some(issue))
+
+  // ------------------------------------------------------------- formats
+
+  private def plain(text: String, charset: String, opt: Options): Out = {
+    val content = truncate(text, opt)
+    Out(content, blocksOf(content),
+      s"text/plain; charset=$charset",
+      Map("Content-Encoding" -> charset),
+      isMedia = false, issue = None)
+  }
+
+  private def html(raw: String, charset: String, opt: Options): Out = {
+    val r = HtmlKernel.extract(raw)
+    val full = r.blocks.mkString("\n\n")
+    val content = truncate(full, opt)
+    Out(content, blocksOf(content),
+      s"text/html; charset=$charset",
+      r.metadata ++ Map("Content-Encoding" -> charset),
+      isMedia = false, issue = None)
+  }
+
+  private def pdf(bytes: Array[Byte], opt: Options): Out = {
+    if (opt.maxContentLength == 0) {
+      // metadata-only mode still parses structure, skips layout text —
+      // mirrors the reference's caveat that per-page char counters are
+      // absent at length 0 (reference: lib/rika.rb:92-95).
+      val r = PdfKernel.extract(bytes)
+      Out("", Vector.empty, "application/pdf",
+        r.metadata - "pdf:charsPerPage", isMedia = false, issue = None)
+    } else {
+      val r = PdfKernel.extract(bytes)
+      val content = truncate(r.text, opt)
+      Out(content, blocksOf(content), "application/pdf", r.metadata,
+        isMedia = false, issue = None)
+    }
+  }
+
+  private def docx(bytes: Array[Byte], opt: Options): Out = {
+    val r = DocxKernel.extract(bytes)
+    val full =
+      if (r.paragraphs.isEmpty) ""
+      else r.paragraphs.mkString("", "\n", "\n")
+    val content = truncate(full, opt)
+    Out(content, blocksOf(content),
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+      r.metadata, isMedia = false, issue = None)
+  }
+
+  private def doc(bytes: Array[Byte], opt: Options): Out = {
+    val r = DocKernel.extract(bytes)
+    val ct = if (r.isWord) "application/msword" else "application/x-tika-msoffice"
+    val content = truncate(r.text, opt)
+    Out(content, blocksOf(content), ct, Map.empty, isMedia = false, issue = None)
+  }
+
+  private def jpeg(bytes: Array[Byte]): Out =
+    Out("", Vector.empty, "image/jpeg", JpegKernel.extract(bytes),
+      isMedia = true, issue = None)
+
+  // ------------------------------------------------------------- helpers
+
+  def truncate(s: String, opt: Options): String =
+    if (opt.maxContentLength < 0) s
+    else if (opt.maxContentLength == 0) ""
+    else if (s.length <= opt.maxContentLength) s
+    else s.substring(0, opt.maxContentLength)
+
+  /** Span decomposition: blocks are blank-line-separated chunks of the
+    * (possibly truncated) content, kept verbatim (trailing spaces and
+    * internal newlines preserved) so that content can be reconstructed and
+    * prefix-truncation invariants hold at the block level too.
+    */
+  def blocksOf(content: String): Vector[String] = {
+    if (content.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[String]
+    var start = 0
+    var i = 0
+    val n = content.length
+    // split on runs of >=2 newlines (allowing spaces/tabs on blank lines)
+    while (i < n) {
+      if (content.charAt(i) == '\n') {
+        var j = i + 1
+        var newlines = 1
+        while (j < n && (content.charAt(j) == '\n' || content.charAt(j) == ' ' ||
+            content.charAt(j) == '\t' || content.charAt(j) == '\r')) {
+          if (content.charAt(j) == '\n') newlines += 1
+          j += 1
+        }
+        if (newlines >= 2) {
+          val chunk = content.substring(start, i)
+          if (chunk.exists(!_.isWhitespace)) out += stripEdges(chunk)
+          start = j
+          i = j
+        } else i += 1
+      } else i += 1
+    }
+    if (start < n) {
+      val chunk = content.substring(start, n)
+      if (chunk.exists(!_.isWhitespace)) out += stripEdges(chunk)
+    }
+    out.result()
+  }
+
+  /** Strip leading/trailing newlines only (keep trailing spaces — they are
+    * part of the pinned PDF golden, spec/rika/parser_spec.rb:157-162).
+    */
+  private def stripEdges(s: String): String =
+    s.dropWhile(_ == '\n').reverse.dropWhile(_ == '\n').reverse
+}

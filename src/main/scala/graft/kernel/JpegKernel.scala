@@ -1,0 +1,104 @@
+package graft.kernel
+
+/** E6 - JPEG marker walk + EXIF (TIFF/IFD) metadata decode, from scratch.
+  *
+  * Observable reference contract: "Image Height"/"Image Width" =
+  * "72 pixels" for the fixture (spec/rika/parser_spec.rb:214-217);
+  * images may have no textual content
+  * (spec/integration/document_processing_spec.rb:51-56).
+  */
+object JpegKernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    var meta = Map.empty[String, String]
+    var i = 2 // past SOI
+    val n = bytes.length
+    while (i + 3 < n) {
+      if ((bytes(i) & 0xff) != 0xff) { i += 1 }
+      else {
+        val marker = bytes(i + 1) & 0xff
+        if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i += 2
+        } else if (marker == 0xda || marker == 0xd9) {
+          i = n // start-of-scan / EOI: header region done
+        } else {
+          val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+          if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
+              marker != 0xc8 && marker != 0xcc && i + 8 < n) {
+            val h = ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff)
+            val w = ((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff)
+            meta += ("Image Height" -> s"$h pixels")
+            meta += ("Image Width" -> s"$w pixels")
+          } else if (marker == 0xe1 && isExifApp1(bytes, i + 4, n)) {
+            meta ++= exif(bytes, i + 10, math.min(n, i + 2 + len))
+          }
+          i += 2 + len
+        }
+      }
+    }
+    meta
+  }
+
+  /** APP1 payload begins "Exif" NUL NUL. */
+  private def isExifApp1(b: Array[Byte], p: Int, n: Int): Boolean =
+    p + 6 <= n && b(p) == 'E'.toByte && b(p + 1) == 'x'.toByte &&
+      b(p + 2) == 'i'.toByte && b(p + 3) == 'f'.toByte &&
+      b(p + 4) == 0 && b(p + 5) == 0
+
+  /** TIFF structure inside APP1: header at `off`, bounded by `end`. */
+  private def exif(b: Array[Byte], off: Int, end: Int): Map[String, String] = {
+    if (off + 8 > end) return Map.empty
+    val little = (b(off) & 0xff) == 0x49 && (b(off + 1) & 0xff) == 0x49
+    val big    = (b(off) & 0xff) == 0x4d && (b(off + 1) & 0xff) == 0x4d
+    if (!little && !big) return Map.empty
+    def u16(p: Int): Int =
+      if (little) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (little) (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+    val tagNames = Map(
+      0x010f -> "Make", 0x0110 -> "Model", 0x0131 -> "Software",
+      0x0132 -> "Date/Time", 0x013b -> "Artist", 0x8298 -> "Copyright",
+      0x9003 -> "Date/Time Original", 0x9004 -> "Date/Time Digitized",
+      0xa002 -> "Exif Image Width", 0xa003 -> "Exif Image Height")
+
+    var meta = Map.empty[String, String]
+    def readIfd(ifdOff: Int): Option[Int] = {
+      val p0 = off + ifdOff
+      if (p0 < off || p0 + 2 > end) return None
+      val count = u16(p0)
+      var e = 0
+      var exifIfd: Option[Int] = None
+      while (e < count) {
+        val p = p0 + 2 + e * 12
+        if (p + 12 <= end) {
+          val tag = u16(p); val typ = u16(p + 2); val cnt = u32(p + 4).toInt
+          if (tag == 0x8769) exifIfd = Some(u32(p + 8).toInt)
+          else tagNames.get(tag).foreach { name =>
+            val value: Option[String] = typ match {
+              case 2 => // ASCII, NUL-terminated
+                val vOff = if (cnt <= 4) p + 8 else off + u32(p + 8).toInt
+                if (vOff >= 0 && vOff + cnt <= end && cnt > 0)
+                  Some(new String(b, vOff, cnt, "ISO-8859-1")
+                    .takeWhile(_.toInt != 0))
+                else None
+              case 3 => Some(u16(p + 8).toString) // SHORT
+              case 4 => Some(u32(p + 8).toString) // LONG
+              case _ => None
+            }
+            value.filter(_.nonEmpty).foreach(v => meta += (name -> v))
+          }
+        }
+        e += 1
+      }
+      exifIfd
+    }
+    val first = u32(off + 4).toInt
+    readIfd(first).foreach(sub => readIfd(sub))
+    meta
+  }
+}

@@ -1,0 +1,122 @@
+package graft.kernel
+
+/** D1 — MIME sniffing by magic bytes, from scratch.
+  *
+  * The reference delegates detection to a DefaultDetector
+  * (reference: lib/rika/parser.rb:21, lib/rika.rb:45); its observable
+  * contract is pinned by specs: an extensionless JPEG is still
+  * `image/jpeg` (spec/rika/parser_spec.rb:143-146) and unknown bytes are
+  * `application/octet-stream` (spec/rika/parser_spec.rb:236-238).
+  *
+  * Detection is CONTENT-FIRST (magic bytes), with the claimed kind used
+  * only as a weak hint for text/plain-vs-html disambiguation. Operates on
+  * a bounded prefix so it is safe on giant payloads.
+  */
+object Magic {
+
+  sealed abstract class Kind(val name: String)
+  object Kind {
+    case object Pdf     extends Kind("pdf")
+    case object Docx    extends Kind("docx")
+    case object Doc     extends Kind("doc")   // OLE2/CFB container
+    case object Jpeg    extends Kind("jpeg")
+    case object Html    extends Kind("html")
+    case object Text    extends Kind("txt")
+    case object Zip     extends Kind("zip")   // PK but not OOXML wordprocessing
+    case object Unknown extends Kind("bin")
+  }
+
+  /** Max bytes inspected when hunting for the OOXML content-types entry. */
+  private val ZipScanWindow = 4096
+
+  def sniff(bytes: Array[Byte]): Kind = {
+    if (bytes == null || bytes.length == 0) return Kind.Unknown
+    if (startsWith(bytes, "%PDF-")) return Kind.Pdf
+    if (bytes.length >= 4 &&
+        (bytes(0) & 0xff) == 0x50 && (bytes(1) & 0xff) == 0x4b &&
+        (bytes(2) & 0xff) == 0x03 && (bytes(3) & 0xff) == 0x04) {
+      return if (zipLooksLikeDocx(bytes)) Kind.Docx else Kind.Zip
+    }
+    if (bytes.length >= 4 &&
+        (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
+        (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0) return Kind.Doc
+    if (bytes.length >= 3 &&
+        (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+        (bytes(2) & 0xff) == 0xff) return Kind.Jpeg
+    if (looksLikeText(bytes)) {
+      return if (looksLikeHtml(bytes)) Kind.Html else Kind.Text
+    }
+    Kind.Unknown
+  }
+
+  /** Text-kind sniff for inline span payloads (String, no bytes). */
+  def sniffText(text: String): Kind =
+    if (text != null && looksLikeHtmlStr(text.take(1024))) Kind.Html else Kind.Text
+
+  def contentTypeOf(kind: Kind, charset: Option[String]): String = kind match {
+    case Kind.Pdf  => "application/pdf"
+    case Kind.Docx =>
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+    case Kind.Doc  => "application/msword"
+    case Kind.Jpeg => "image/jpeg"
+    case Kind.Html => s"text/html; charset=${charset.getOrElse("UTF-8")}"
+    case Kind.Text => s"text/plain; charset=${charset.getOrElse("UTF-8")}"
+    case Kind.Zip  => "application/zip"
+    case Kind.Unknown => "application/octet-stream"
+  }
+
+  private def startsWith(bytes: Array[Byte], ascii: String): Boolean = {
+    if (bytes.length < ascii.length) return false
+    var i = 0
+    while (i < ascii.length) {
+      if (bytes(i) != ascii.charAt(i).toByte) return false
+      i += 1
+    }
+    true
+  }
+
+  /** OOXML docx: a zip whose first entries include [Content_Types].xml and
+    * a word/ part. Bounded scan of local-file-header names in the prefix.
+    */
+  private def zipLooksLikeDocx(bytes: Array[Byte]): Boolean = {
+    val n = math.min(bytes.length, ZipScanWindow)
+    val hay = new String(bytes, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    hay.contains("[Content_Types].xml") && hay.contains("word/")
+  }
+
+  /** A payload is text when its prefix is valid UTF-8 or plausible
+    * ISO-8859-1 (no NULs, mostly printable).
+    */
+  private def looksLikeText(bytes: Array[Byte]): Boolean = {
+    val n = math.min(bytes.length, 8192)
+    // NUL or other C0 control bytes (except \t \n \r \f) = binary, even
+    // though they are technically valid UTF-8.
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      if (b < 0x20 && b != 9 && b != 10 && b != 13 && b != 12) return false
+      i += 1
+    }
+    if (Charset.isValidUtf8(bytes, n)) return true
+    var printable = 0
+    i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      if (b == 9 || b == 10 || b == 13 || (b >= 0x20 && b != 0x7f)) printable += 1
+      i += 1
+    }
+    printable.toDouble / n > 0.95
+  }
+
+  private def looksLikeHtml(bytes: Array[Byte]): Boolean = {
+    val n = math.min(bytes.length, 1024)
+    looksLikeHtmlStr(new String(bytes, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
+  private def looksLikeHtmlStr(prefix: String): Boolean = {
+    val t = prefix.dropWhile(_.isWhitespace).toLowerCase
+    t.startsWith("<!doctype html") || t.startsWith("<html") ||
+    t.startsWith("<head") || t.startsWith("<body") ||
+    (t.startsWith("<") && (t.contains("<html") || t.contains("<body") || t.contains("<div") || t.contains("<p>")))
+  }
+}

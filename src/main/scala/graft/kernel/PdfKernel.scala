@@ -1,0 +1,712 @@
+package graft.kernel
+
+import java.nio.charset.StandardCharsets
+
+/** E3 - PDF layout parser, from scratch (JDK-only).
+  *
+  * Pipeline: object index (brute scan, robust to broken xref) -> object
+  * lexer -> FlateDecode -> page tree -> per-font ToUnicode CMap ->
+  * content-stream interpreter (q/Q/cm, BT/ET, Td, TD, T-star, Tm, TL, Tj, TJ, quote ops)
+  * with full matrix tracking -> reading-order reconstruction (y desc,
+  * x asc, paragraph break on larger-than-usual leading).
+  *
+  * Observable reference contract (all asserted by our specs):
+  * content begins with a newline, then the first text line
+  * (spec/rika/parser_spec.rb:157-162); truncation at 9 chars yields
+  * "\nStopping" (spec/rika/parser_spec.rb:168-170); Info dict surfaces as
+  * dc:title/dc:creator/pdf:docinfo:* string metadata
+  * (spec/rika/parser_spec.rb:85-92,203-205); dc:format carries the header
+  * version ("application/pdf; version=1.3").
+  */
+object PdfKernel {
+
+  final class PdfParseException(msg: String) extends RuntimeException(msg)
+
+  // ---------------------------------------------------------------- model
+  sealed trait PObj
+  case class PNum(v: Double) extends PObj
+  case class PStr(bytes: Array[Byte]) extends PObj
+  case class PName(v: String) extends PObj
+  case class PBool(v: Boolean) extends PObj
+  case object PNull extends PObj
+  case class PArr(items: Vector[PObj]) extends PObj
+  case class PDict(m: Map[String, PObj]) extends PObj
+  case class PRef(num: Int, gen: Int) extends PObj
+  case class PStream(dict: PDict, raw: Array[Byte]) extends PObj
+  case class POp(name: String) extends PObj // content-stream operator token
+
+  final case class Result(
+      text: String,
+      lines: Vector[String],
+      metadata: Map[String, String],
+      pageCount: Int)
+
+  // ------------------------------------------------------------ doc parse
+  def extract(bytes: Array[Byte]): Result = {
+    val doc = new Doc(bytes)
+    val version = {
+      val head = new String(bytes, 0, math.min(16, bytes.length), StandardCharsets.ISO_8859_1)
+      if (head.startsWith("%PDF-")) head.drop(5).takeWhile(c => c.isDigit || c == '.') else "1.4"
+    }
+    if (doc.trailer.m.get("Encrypt").isDefined)
+      throw new PdfParseException("encrypted PDF not supported")
+
+    val pages = doc.pages
+    val pageTexts = pages.map(p => pageText(doc, p))
+    val allLines = pageTexts.flatMap(_._1)
+    val body = pageTexts.map { case (_, t) => t }.mkString("")
+    val meta = infoMetadata(doc, version, pages.length, body)
+    Result(body, allLines, meta, pages.length)
+  }
+
+  /** One page's (lines, text-with-layout). Text = "\n" + lines joined by
+    * "\n" (blank line inserted at paragraph-sized leading gaps) + "\n".
+    */
+  private def pageText(doc: Doc, page: PDict): (Vector[String], String) = {
+    val fonts: Map[String, Font] = (for {
+      res   <- doc.deref(page.m.getOrElse("Resources", PNull)).collect { case d: PDict => d }
+      fdict <- doc.deref(res.m.getOrElse("Font", PNull)).collect { case d: PDict => d }
+    } yield fdict.m.map { case (fname, fref) =>
+      fname -> loadFont(doc, doc.deref(fref).collect { case d: PDict => d }.getOrElse(PDict(Map.empty)))
+    }).getOrElse(Map.empty)
+
+    val content: Array[Byte] = doc.deref(page.m.getOrElse("Contents", PNull)) match {
+      case Some(s: PStream)  => doc.decodeStream(s)
+      case Some(PArr(items)) =>
+        items.flatMap(it => doc.deref(it).collect { case s: PStream => doc.decodeStream(s) })
+          .foldLeft(Array.emptyByteArray)((a, b) => a ++ Array('\n'.toByte) ++ b)
+      case _ => Array.emptyByteArray
+    }
+
+    val items = new ContentInterp(fonts).run(content)
+    assemble(items)
+  }
+
+  /** A positioned text run in device space. */
+  final case class Run(x: Double, y: Double, size: Double, text: String)
+
+  private def assemble(items: Vector[Run]): (Vector[String], String) = {
+    if (items.isEmpty) return (Vector.empty, "")
+    // Group runs into lines by y with tolerance proportional to font size.
+    val sorted = items.sortBy(r => (-r.y, r.x))
+    val lines = Vector.newBuilder[(Double, Vector[Run])]
+    var curY = sorted.head.y
+    var cur = Vector.newBuilder[Run]
+    for (r <- sorted) {
+      val tol = math.max(2.0, r.size * 0.4)
+      if (math.abs(r.y - curY) <= tol) cur += r
+      else {
+        lines += ((curY, cur.result().sortBy(_.x)))
+        curY = r.y
+        cur = Vector.newBuilder[Run]
+        cur += r
+      }
+    }
+    lines += ((curY, cur.result().sortBy(_.x)))
+    val ls = lines.result()
+    val lineTexts = ls.map { case (_, runs) => runs.map(_.text).mkString }
+    // Paragraph breaks: leading gap noticeably larger than the median gap.
+    val gaps = ls.sliding(2).collect { case Vector((y1, _), (y2, _)) => y1 - y2 }.toVector
+    val medGap = if (gaps.nonEmpty) gaps.sorted.apply(gaps.length / 2) else 0.0
+    val sb = new StringBuilder("\n")
+    var i = 0
+    while (i < lineTexts.length) {
+      if (i > 0) {
+        sb.append('\n')
+        if (medGap > 0 && gaps(i - 1) > medGap * 1.5) sb.append('\n')
+      }
+      sb.append(lineTexts(i))
+      i += 1
+    }
+    sb.append('\n')
+    (lineTexts, sb.toString)
+  }
+
+  // ---------------------------------------------------------------- fonts
+  final case class Font(toUnicode: Map[Int, String], twoByte: Boolean)
+
+  private def loadFont(doc: Doc, fd: PDict): Font = {
+    val twoByte = fd.m.get("Subtype").collect { case PName(s) => s }.contains("Type0")
+    val cmap = doc.deref(fd.m.getOrElse("ToUnicode", PNull)) match {
+      case Some(s: PStream) => parseCMap(doc.decodeStream(s))
+      case _                => Map.empty[Int, String]
+    }
+    Font(cmap, twoByte)
+  }
+
+  /** ToUnicode CMap: codespacerange ignored (we key on code ints),
+    * bfchar + bfrange (incremental and array-destination forms).
+    */
+  def parseCMap(data: Array[Byte]): Map[Int, String] = {
+    val toks = new Lexer(data).allTokens()
+    val m = Map.newBuilder[Int, String]
+    var i = 0
+    def hexInt(o: PObj): Option[Int] = o match {
+      case PStr(b) =>
+        Some(b.foldLeft(0)((acc, x) => (acc << 8) | (x & 0xff)))
+      case PNum(v) => Some(v.toInt)
+      case _       => None
+    }
+    def hexStr(o: PObj): Option[String] = o match {
+      case PStr(b) if b.length % 2 == 0 =>
+        val cs = new Array[Char](b.length / 2)
+        var k = 0
+        while (k < cs.length) {
+          cs(k) = (((b(2 * k) & 0xff) << 8) | (b(2 * k + 1) & 0xff)).toChar
+          k += 1
+        }
+        Some(new String(cs))
+      case PStr(b) => Some(new String(b, StandardCharsets.ISO_8859_1))
+      case _       => None
+    }
+    while (i < toks.length) {
+      toks(i) match {
+        case POp("beginbfchar") =>
+          var j = i + 1
+          while (j + 1 < toks.length && toks(j) != POp("endbfchar")) {
+            for (src <- hexInt(toks(j)); dst <- hexStr(toks(j + 1))) m += (src -> dst)
+            j += 2
+          }
+          i = j
+        case POp("beginbfrange") =>
+          var j = i + 1
+          while (j + 2 < toks.length && toks(j) != POp("endbfrange")) {
+            (toks(j), toks(j + 1), toks(j + 2)) match {
+              case (lo, hi, PArr(dsts)) =>
+                for (l <- hexInt(lo); h <- hexInt(hi)) {
+                  var c = l
+                  var k = 0
+                  while (c <= h && k < dsts.length) {
+                    hexStr(dsts(k)).foreach(s => m += (c -> s))
+                    c += 1; k += 1
+                  }
+                }
+              case (lo, hi, dst) =>
+                for (l <- hexInt(lo); h <- hexInt(hi); d0 <- hexStr(dst)) {
+                  var c = l
+                  while (c <= h) {
+                    val add = c - l
+                    val s =
+                      if (d0.isEmpty) ""
+                      else d0.init + (d0.last + add).toChar
+                    m += (c -> s)
+                    c += 1
+                  }
+                }
+            }
+            j += 3
+          }
+          i = j
+        case _ => ()
+      }
+      i += 1
+    }
+    m.result()
+  }
+
+  // ----------------------------------------------------- content interp
+  /** 2D affine matrix [a b c d e f]. */
+  final case class Mat(a: Double, b: Double, c: Double, d: Double, e: Double, f: Double) {
+    def *(o: Mat): Mat = Mat(
+      a * o.a + b * o.c, a * o.b + b * o.d,
+      c * o.a + d * o.c, c * o.b + d * o.d,
+      e * o.a + f * o.c + o.e, e * o.b + f * o.d + o.f)
+    def apply(x: Double, y: Double): (Double, Double) =
+      (a * x + c * y + e, b * x + d * y + f)
+    def scaleY: Double = math.sqrt(b * b + d * d)
+  }
+  object Mat { val I = Mat(1, 0, 0, 1, 0, 0) }
+
+  private final class ContentInterp(fonts: Map[String, Font]) {
+    private var ctm = Mat.I
+    private val ctmStack = scala.collection.mutable.Stack[Mat]()
+    private var tm = Mat.I    // text matrix
+    private var tlm = Mat.I   // text line matrix
+    private var font: Font = Font(Map.empty, twoByte = false)
+    private var fontSize = 12.0
+    private var leading = 0.0
+    private var inText = false
+    private val out = Vector.newBuilder[Run]
+
+    def run(content: Array[Byte]): Vector[Run] = {
+      val toks = new Lexer(content, contentMode = true).allTokens()
+      val stack = scala.collection.mutable.ArrayBuffer[PObj]()
+      var i = 0
+      while (i < toks.length) {
+        toks(i) match {
+          case POp(op) => exec(op, stack); stack.clear()
+          case o       => stack += o
+        }
+        i += 1
+      }
+      out.result()
+    }
+
+    private def num(o: PObj): Double = o match { case PNum(v) => v; case _ => 0.0 }
+
+    private def exec(op: String, st: scala.collection.mutable.ArrayBuffer[PObj]): Unit = op match {
+      case "q" => ctmStack.push(ctm)
+      case "Q" => if (ctmStack.nonEmpty) ctm = ctmStack.pop()
+      case "cm" if st.length >= 6 =>
+        ctm = Mat(num(st(0)), num(st(1)), num(st(2)), num(st(3)), num(st(4)), num(st(5))) * ctm
+      case "BT" => inText = true; tm = Mat.I; tlm = Mat.I
+      case "ET" => inText = false
+      case "Tf" if st.length >= 2 =>
+        st(0) match {
+          case PName(f) => font = fonts.getOrElse(f, Font(Map.empty, twoByte = false))
+          case _        => ()
+        }
+        fontSize = num(st(1))
+      case "Tm" if st.length >= 6 =>
+        tm = Mat(num(st(0)), num(st(1)), num(st(2)), num(st(3)), num(st(4)), num(st(5)))
+        tlm = tm
+      case "Td" if st.length >= 2 =>
+        tlm = Mat(1, 0, 0, 1, num(st(0)), num(st(1))) * tlm; tm = tlm
+      case "TD" if st.length >= 2 =>
+        leading = -num(st(1))
+        tlm = Mat(1, 0, 0, 1, num(st(0)), num(st(1))) * tlm; tm = tlm
+      case "TL" if st.length >= 1 => leading = num(st(0))
+      case "T*" =>
+        tlm = Mat(1, 0, 0, 1, 0, -leading) * tlm; tm = tlm
+      case "Tj" if st.length >= 1 => show(st(0))
+      case "'" if st.length >= 1 =>
+        tlm = Mat(1, 0, 0, 1, 0, -leading) * tlm; tm = tlm; show(st(0))
+      case "\"" if st.length >= 3 =>
+        tlm = Mat(1, 0, 0, 1, 0, -leading) * tlm; tm = tlm; show(st(2))
+      case "TJ" if st.length >= 1 =>
+        st(0) match {
+          case PArr(items) =>
+            val sb = new StringBuilder
+            items.foreach {
+              case s: PStr             => sb.append(decode(s))
+              case PNum(v) if v < -180 => sb.append(' ') // big negative kern = word gap
+              case _                   => ()
+            }
+            emit(sb.toString)
+          case _ => ()
+        }
+      case _ => () // drawing/color/etc: no text effect
+    }
+
+    private def show(o: PObj): Unit = o match {
+      case s: PStr => emit(decode(s))
+      case _       => ()
+    }
+
+    private def decode(s: PStr): String = {
+      val b = s.bytes
+      val sb = new StringBuilder
+      if (font.twoByte) {
+        var i = 0
+        while (i + 1 < b.length) {
+          val code = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+          sb.append(font.toUnicode.getOrElse(code, code.toChar.toString))
+          i += 2
+        }
+      } else {
+        var i = 0
+        while (i < b.length) {
+          val code = b(i) & 0xff
+          sb.append(font.toUnicode.getOrElse(code,
+            new String(Array(b(i)), StandardCharsets.ISO_8859_1)))
+          i += 1
+        }
+      }
+      sb.toString
+    }
+
+    private def emit(text: String): Unit = {
+      if (inText && text.nonEmpty) {
+        val trm = tm * ctm
+        val (x, y) = trm.apply(0, 0)
+        out += Run(x, y, fontSize * trm.scaleY, text)
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- lexer
+  /** PDF object/token lexer over a byte array. In contentMode bare
+    * identifiers become POp tokens (content-stream operators).
+    */
+  final class Lexer(data: Array[Byte], contentMode: Boolean = false) {
+    var pos = 0
+    private val n = data.length
+
+    def allTokens(): Vector[PObj] = {
+      val out = Vector.newBuilder[PObj]
+      var t = next()
+      while (t.isDefined) { out += t.get; t = next() }
+      out.result()
+    }
+
+    @inline private def ws(b: Int): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0
+    @inline private def delim(b: Int): Boolean =
+      b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
+      b == '{' || b == '}' || b == '/' || b == '%'
+
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < n) {
+        val b = data(pos) & 0xff
+        if (ws(b)) pos += 1
+        else if (b == '%') { while (pos < n && data(pos) != '\n'.toByte) pos += 1 }
+        else go = false
+      }
+    }
+
+    def next(): Option[PObj] = {
+      skipWs()
+      if (pos >= n) return None
+      val b = data(pos) & 0xff
+      b match {
+        case '(' => Some(string())
+        case '<' =>
+          if (pos + 1 < n && data(pos + 1) == '<'.toByte) { pos += 2; Some(dict()) }
+          else Some(hexString())
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PObj]
+          skipWs()
+          while (pos < n && data(pos) != ']'.toByte) {
+            next().foreach(items += _)
+            skipWs()
+          }
+          pos += 1
+          Some(PArr(items.result()))
+        case ']' | '>' | '}' | ')' => pos += 1; next()
+        case '/' => Some(name())
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          Some(numberOrRef())
+        case _ => Some(keyword())
+      }
+    }
+
+    private def dict(): PObj = {
+      val m = Map.newBuilder[String, PObj]
+      var go = true
+      while (go) {
+        skipWs()
+        if (pos + 1 < n && data(pos) == '>'.toByte && data(pos + 1) == '>'.toByte) {
+          pos += 2; go = false
+        } else if (pos >= n) go = false
+        else {
+          (next(), { skipWs(); next() }) match {
+            case (Some(PName(k)), Some(v)) => m += (k -> v)
+            case _                         => go = false
+          }
+        }
+      }
+      PDict(m.result())
+    }
+
+    private def string(): PObj = {
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (pos < n && depth > 0) {
+        val c = data(pos) & 0xff
+        if (c == '\\' && pos + 1 < n) {
+          pos += 1
+          val e = data(pos) & 0xff
+          e match {
+            case 'n'  => out.write('\n'); pos += 1
+            case 'r'  => out.write('\r'); pos += 1
+            case 't'  => out.write('\t'); pos += 1
+            case 'b'  => out.write('\b'); pos += 1
+            case 'f'  => out.write('\f'); pos += 1
+            case '('  => out.write('('); pos += 1
+            case ')'  => out.write(')'); pos += 1
+            case '\\' => out.write('\\'); pos += 1
+            case '\r' => pos += 1; if (pos < n && data(pos) == '\n'.toByte) pos += 1
+            case '\n' => pos += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = 0
+              while (k < 3 && pos < n && data(pos) >= '0'.toByte && data(pos) <= '7'.toByte) {
+                v = v * 8 + (data(pos) - '0'.toByte); pos += 1; k += 1
+              }
+              out.write(v & 0xff)
+            case other => out.write(other); pos += 1
+          }
+        } else if (c == '(') { depth += 1; out.write(c); pos += 1 }
+        else if (c == ')') { depth -= 1; if (depth > 0) out.write(c); pos += 1 }
+        else { out.write(c); pos += 1 }
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def hexString(): PObj = {
+      pos += 1
+      val hex = new StringBuilder
+      while (pos < n && data(pos) != '>'.toByte) {
+        val c = (data(pos) & 0xff).toChar
+        if (!ws(c)) hex.append(c)
+        pos += 1
+      }
+      pos += 1
+      if (hex.length % 2 == 1) hex.append('0')
+      val out = new Array[Byte](hex.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte
+        i += 1
+      }
+      PStr(out)
+    }
+
+    private def name(): PObj = {
+      pos += 1
+      val sb = new StringBuilder
+      while (pos < n && !ws(data(pos) & 0xff) && !delim(data(pos) & 0xff)) {
+        val c = data(pos) & 0xff
+        if (c == '#' && pos + 2 < n) {
+          sb.append(Integer.parseInt(
+            new String(data, pos + 1, 2, StandardCharsets.ISO_8859_1), 16).toChar)
+          pos += 3
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def numberOrRef(): PObj = {
+      val start = pos
+      while (pos < n && !ws(data(pos) & 0xff) && !delim(data(pos) & 0xff)) pos += 1
+      val s = new String(data, start, pos - start, StandardCharsets.ISO_8859_1)
+      val v = try s.toDouble catch { case _: NumberFormatException => 0.0 }
+      // object reference lookahead: "<int> <int> R"
+      if (!contentMode && v >= 0 && v == math.floor(v) && !s.contains(".")) {
+        val save = pos
+        skipWs()
+        val s2 = pos
+        while (pos < n && (data(pos) >= '0'.toByte && data(pos) <= '9'.toByte)) pos += 1
+        if (pos > s2) {
+          val gen = new String(data, s2, pos - s2, StandardCharsets.ISO_8859_1).toInt
+          val save2 = pos
+          skipWs()
+          if (pos < n && data(pos) == 'R'.toByte &&
+              (pos + 1 >= n || ws(data(pos + 1) & 0xff) || delim(data(pos + 1) & 0xff))) {
+            pos += 1
+            return PRef(v.toInt, gen)
+          }
+          pos = save2
+          pos = save // not a ref: rewind fully
+        } else pos = save
+      }
+      PNum(v)
+    }
+
+    private def keyword(): PObj = {
+      val start = pos
+      while (pos < n && !ws(data(pos) & 0xff) && !delim(data(pos) & 0xff)) pos += 1
+      val s = new String(data, start, pos - start, StandardCharsets.ISO_8859_1)
+      s match {
+        case "true"  => PBool(true)
+        case "false" => PBool(false)
+        case "null"  => PNull
+        case other   => POp(other)
+      }
+    }
+  }
+
+  // --------------------------------------------------------------- index
+  /** Document object index: brute scan for "N G obj" headers — robust to
+    * damaged/absent xref tables (also covers xref-stream PDFs without
+    * parsing them). Objects parsed lazily and memoized.
+    */
+  private final class Doc(val bytes: Array[Byte]) {
+    private val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+    private val objOffsets: Map[Int, Int] = {
+      val m = Map.newBuilder[Int, Int]
+      val re = java.util.regex.Pattern.compile("""(?m)^\s*(\d+)\s+(\d+)\s+obj\b""")
+      val matcher = re.matcher(raw)
+      while (matcher.find()) m += (matcher.group(1).toInt -> matcher.start())
+      m.result()
+    }
+    private val cache = scala.collection.mutable.HashMap[Int, PObj]()
+
+    val trailer: PDict = {
+      val m = Map.newBuilder[String, PObj]
+      var idx = raw.indexOf("trailer")
+      while (idx >= 0) {
+        val lex = new Lexer(bytes)
+        lex.pos = idx + "trailer".length
+        lex.next() match {
+          case Some(PDict(d)) => m ++= d
+          case _              => ()
+        }
+        idx = raw.indexOf("trailer", idx + 1)
+      }
+      var d = m.result()
+      if (!d.contains("Root")) {
+        // xref-stream PDFs: find the catalog by scanning objects.
+        objOffsets.keys.toSeq.sorted.foreach { num =>
+          if (!d.contains("Root")) obj(num) match {
+            case PDict(dd) if dd.get("Type").contains(PName("Catalog")) =>
+              d += ("Root" -> PRef(num, 0))
+            case PStream(PDict(dd), _) if dd.get("Type").contains(PName("XRef")) =>
+              dd.get("Root").foreach(r => d += ("Root" -> r))
+              dd.get("Info").foreach(r => if (!d.contains("Info")) d += ("Info" -> r))
+            case _ => ()
+          }
+        }
+      }
+      PDict(d)
+    }
+
+    def obj(num: Int): PObj = cache.getOrElseUpdate(num, parseObjAt(num))
+
+    private def parseObjAt(num: Int): PObj = objOffsets.get(num) match {
+      case None => PNull
+      case Some(off) =>
+        val lex = new Lexer(bytes)
+        lex.pos = off
+        lex.next(); lex.next() // obj number, generation
+        lex.next() match {
+          case Some(POp("obj")) => ()
+          case _                => () // lexer may fold differently; tolerate
+        }
+        lex.skipWs()
+        // after "N G obj": the object value
+        val headEnd = raw.indexOf("obj", off) + 3
+        lex.pos = math.max(lex.pos, headEnd)
+        lex.next() match {
+          case Some(d: PDict) =>
+            lex.skipWs()
+            if (raw.startsWith("stream", lex.pos)) {
+              var p = lex.pos + "stream".length
+              if (p < bytes.length && bytes(p) == '\r'.toByte) p += 1
+              if (p < bytes.length && bytes(p) == '\n'.toByte) p += 1
+              val len = deref(d.m.getOrElse("Length", PNull)) match {
+                case Some(PNum(v)) => v.toInt
+                case _ =>
+                  val e = raw.indexOf("endstream", p)
+                  if (e < 0) 0 else e - p
+              }
+              val end = math.min(p + len, bytes.length)
+              PStream(d, java.util.Arrays.copyOfRange(bytes, p, end))
+            } else d
+          case Some(o) => o
+          case None    => PNull
+        }
+    }
+
+    def deref(o: PObj): Option[PObj] = o match {
+      case PRef(num, _) => Some(obj(num)) match {
+        case Some(r: PRef) => deref(r)
+        case other         => other
+      }
+      case PNull => None
+      case other => Some(other)
+    }
+
+    def decodeStream(s: PStream): Array[Byte] = {
+      val filters: Seq[String] = deref(s.dict.m.getOrElse("Filter", PNull)) match {
+        case Some(PName(f))   => Seq(f)
+        case Some(PArr(fs))   => fs.collect { case PName(f) => f }
+        case _                => Seq.empty
+      }
+      filters.foldLeft(s.raw) { (data, f) =>
+        f match {
+          case "FlateDecode" => inflate(data)
+          case "ASCIIHexDecode" =>
+            val hex = new String(data, StandardCharsets.ISO_8859_1)
+              .takeWhile(_ != '>').filterNot(_.isWhitespace)
+            val padded = if (hex.length % 2 == 1) hex + "0" else hex
+            padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+          case _ => data // unsupported filter: pass through (best effort)
+        }
+      }
+    }
+
+    private def inflate(data: Array[Byte]): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](16384)
+      try {
+        while (!inf.finished() && !inf.needsInput()) {
+          val k = inf.inflate(buf)
+          if (k == 0 && !inf.finished()) return out.toByteArray
+          out.write(buf, 0, k)
+        }
+        out.toByteArray
+      } catch {
+        case _: java.util.zip.DataFormatException =>
+          throw new PdfParseException("bad FlateDecode stream")
+      } finally inf.end()
+    }
+
+    def pages: Vector[PDict] = {
+      val rootOpt = deref(trailer.m.getOrElse("Root", PNull)).collect { case d: PDict => d }
+      val pagesRoot = rootOpt.flatMap(r => deref(r.m.getOrElse("Pages", PNull)))
+        .collect { case d: PDict => d }
+      val out = Vector.newBuilder[PDict]
+      def walk(node: PDict, depth: Int): Unit = {
+        if (depth > 64) return
+        node.m.get("Type") match {
+          case Some(PName("Page")) => out += node
+          case _ =>
+            deref(node.m.getOrElse("Kids", PNull)) match {
+              case Some(PArr(kids)) =>
+                kids.foreach(k => deref(k).collect { case d: PDict => walk(d, depth + 1) })
+              case _ => ()
+            }
+        }
+      }
+      pagesRoot.foreach(walk(_, 0))
+      val res = out.result()
+      if (res.isEmpty) {
+        // fallback: any object that looks like a page
+        objOffsets.keys.toSeq.sorted.foreach { num =>
+          obj(num) match {
+            case d: PDict if d.m.get("Type").contains(PName("Page")) => out += d
+            case _ => ()
+          }
+        }
+        out.result()
+      } else res
+    }
+
+    def info: Option[PDict] =
+      deref(trailer.m.getOrElse("Info", PNull)).collect { case d: PDict => d }
+  }
+
+  // ------------------------------------------------------------ metadata
+  private def infoMetadata(doc: Doc, version: String, nPages: Int, body: String): Map[String, String] = {
+    var meta = Map(
+      "dc:format" -> s"application/pdf; version=$version",
+      "pdf:PDFVersion" -> version,
+      "xmpTPg:NPages" -> nPages.toString)
+    if (nPages > 0)
+      meta += ("pdf:charsPerPage" -> (body.length / nPages).toString)
+    doc.info.foreach { d =>
+      def str(k: String): Option[String] = d.m.get(k).flatMap {
+        case PStr(b) => Some(decodePdfString(b))
+        case _       => None
+      }
+      str("Title").foreach { v => meta ++= Map("dc:title" -> v, "pdf:docinfo:title" -> v) }
+      str("Author").foreach { v =>
+        meta ++= Map("dc:creator" -> v, "pdf:docinfo:creator" -> v)
+      }
+      str("Creator").foreach { v =>
+        meta ++= Map("xmp:CreatorTool" -> v, "pdf:docinfo:creator_tool" -> v)
+      }
+      str("Producer").foreach { v =>
+        meta ++= Map("pdf:producer" -> v, "pdf:docinfo:producer" -> v)
+      }
+      str("CreationDate").foreach(v => meta += ("pdf:docinfo:created" -> v))
+      str("ModDate").foreach(v => meta += ("pdf:docinfo:modified" -> v))
+      str("Subject").foreach { v =>
+        meta ++= Map("dc:subject" -> v, "pdf:docinfo:subject" -> v)
+      }
+      str("Keywords").foreach(v => meta += ("pdf:docinfo:keywords" -> v))
+    }
+    meta
+  }
+
+  /** PDF text string: UTF-16BE with BOM, else PDFDocEncoding (~latin-1). */
+  private def decodePdfString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      new String(b, 2, b.length - 2, StandardCharsets.UTF_16BE)
+    else new String(b, StandardCharsets.ISO_8859_1)
+}

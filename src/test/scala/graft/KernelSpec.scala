@@ -1,0 +1,207 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernel._
+
+/** Kernel unit tests pinned to the reference's assertion-goldens
+  * (reference spec/rika/parser_spec.rb and
+  * spec/integration/document_processing_spec.rb) over the vendored fixture
+  * corpus. No Spark involved — pure kernels.
+  */
+class KernelSpec extends AnyFunSuite {
+
+  def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    require(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  val poemTitle = "Stopping by Woods on a Snowy Evening"
+
+  // ------------------------------------------------------------ detection
+  test("D1: magic-byte sniffing across the fixture corpus") {
+    assert(Magic.sniff(fixture("document.pdf")) == Magic.Kind.Pdf)
+    assert(Magic.sniff(fixture("document.docx")) == Magic.Kind.Docx)
+    assert(Magic.sniff(fixture("document.doc")) == Magic.Kind.Doc)
+    assert(Magic.sniff(fixture("image.jpg")) == Magic.Kind.Jpeg)
+    // extensionless jpeg still detected (spec/rika/parser_spec.rb:143-146)
+    assert(Magic.sniff(fixture("image_jpg_without_extension")) == Magic.Kind.Jpeg)
+    assert(Magic.sniff(fixture("document.txt")) == Magic.Kind.Text)
+    // unknown magic -> octet-stream (spec/rika/parser_spec.rb:236-238)
+    assert(Magic.sniff(fixture("unknown.bin")) == Magic.Kind.Unknown)
+  }
+
+  test("D2: charset detection") {
+    assert(Charset.detect(fixture("document.txt")).name == "UTF-8")
+    assert(Charset.detect(fixture("ru.txt")).name == "UTF-8")
+    val latin1 = Array[Byte]('c'.toByte, 'a'.toByte, 'f'.toByte, 0xe9.toByte)
+    assert(Charset.detect(latin1).name == "ISO-8859-1")
+    assert(Charset.detect(latin1).decoded == "café")
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte, 'h'.toByte, 'i'.toByte)
+    assert(Charset.detect(bom).name == "UTF-8")
+    assert(Charset.detect(bom).decoded == "hi")
+  }
+
+  test("D3: language detection exact for the 5 fixture languages (spec/rika/parser_spec.rb:252-259)") {
+    for ((f, code) <- Seq("en.txt" -> "en", "de.txt" -> "de", "fr.txt" -> "fr",
+        "es.txt" -> "es", "ru.txt" -> "ru")) {
+      val text = new String(fixture(f), "UTF-8")
+      assert(Lang.detect(text) == code, s"fixture $f")
+    }
+  }
+
+  test("D3: undeterminable text -> und (lang_cant_be_determined.txt)") {
+    assert(Lang.detect(new String(fixture("lang_cant_be_determined.txt"), "UTF-8")) == "und")
+    assert(Lang.detect("") == "und")
+    assert(Lang.detect("zzz qqq xxx") == "und")
+  }
+
+  // ----------------------------------------------------------------- txt
+  test("E1: plain text first line + content type (spec/rika/parser_spec.rb:149-151,225-227)") {
+    val out = Extract.extractBytes("txt", fixture("document.txt"), Extract.Options())
+    assert(out.contentType == "text/plain; charset=UTF-8")
+    assert(out.content.linesIterator.next() == poemTitle)
+    assert(out.issue.isEmpty)
+  }
+
+  test("E8: truncation semantics on txt (spec/rika/parser_spec.rb:164-166)") {
+    val out = Extract.extractBytes("txt", fixture("document.txt"), Extract.Options(8))
+    assert(out.content == "Stopping")
+  }
+
+  test("E8: prefix invariant (document_processing_spec.rb:88-104)") {
+    for (f <- Seq("document.txt", "document.pdf", "document.docx"); n <- Seq(0, 1, 9, 50, 1000)) {
+      val full = Extract.extractBytes("any", fixture(f), Extract.Options(-1))
+      val cut = Extract.extractBytes("any", fixture(f), Extract.Options(n))
+      assert(full.content.startsWith(cut.content), s"$f at $n")
+      assert(cut.content.length <= n)
+    }
+  }
+
+  // ----------------------------------------------------------------- pdf
+  test("E3: PDF second line is the title, leading newline (spec/rika/parser_spec.rb:157-162)") {
+    val out = Extract.extractBytes("pdf", fixture("document.pdf"), Extract.Options())
+    assert(out.contentType == "application/pdf")
+    val lines = out.content.split("\n", -1)
+    assert(out.content.head == '\n')
+    assert(lines(1).contains(poemTitle), s"got: ${lines.take(3).mkString("|")}")
+    assert(out.issue.isEmpty)
+  }
+
+  test("E3: PDF truncation to 9 = \\nStopping (spec/rika/parser_spec.rb:168-170)") {
+    val out = Extract.extractBytes("pdf", fixture("document.pdf"), Extract.Options(9))
+    assert(out.content == "\nStopping")
+  }
+
+  test("E3: PDF metadata (spec/rika/parser_spec.rb:85-92,203-205)") {
+    val out = Extract.extractBytes("pdf", fixture("document.pdf"), Extract.Options())
+    assert(out.metadata("dc:creator") == "Robert Frost")
+    assert(out.metadata("dc:title") == poemTitle)
+    assert(out.metadata("dc:format") == "application/pdf; version=1.3")
+    assert(out.metadata("pdf:docinfo:creator") == "Robert Frost")
+    assert(out.metadata("pdf:docinfo:created") == "D:20200723174639Z00'00'")
+  }
+
+  test("E3: PDF body contains the full poem in reading order") {
+    val out = Extract.extractBytes("pdf", fixture("document.pdf"), Extract.Options())
+    val t = out.content
+    assert(t.contains("Whose woods these are I think I know."))
+    assert(t.contains("And miles to go before I sleep."))
+    // reading order: title before first stanza, first stanza before last
+    assert(t.indexOf(poemTitle) < t.indexOf("Whose woods"))
+    assert(t.indexOf("Whose woods") < t.indexOf("The woods are lovely"))
+  }
+
+  // ---------------------------------------------------------------- docx
+  test("E4: DOCX first line + content type (spec/rika/parser_spec.rb:153-155,245-249)") {
+    val out = Extract.extractBytes("docx", fixture("document.docx"), Extract.Options())
+    assert(out.contentType ==
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+    assert(out.content.linesIterator.next() == poemTitle)
+  }
+
+  test("E4: DOCX metadata (spec/rika/parser_spec.rb:199-201)") {
+    val out = Extract.extractBytes("docx", fixture("document.docx"), Extract.Options())
+    assert(out.metadata("meta:page-count") == "1")
+    assert(out.metadata("dc:title") == "A simple title")
+    assert(out.metadata("meta:word-count") == "127")
+  }
+
+  // ----------------------------------------------------------------- doc
+  test("E5: legacy DOC detection + best-effort text (spec/rika/parser_spec.rb:240-243)") {
+    val out = Extract.extractBytes("doc", fixture("document.doc"), Extract.Options())
+    assert(out.contentType == "application/msword")
+    assert(out.content.contains(poemTitle))
+    assert(out.content.contains("And miles to go before I sleep."))
+  }
+
+  // ---------------------------------------------------------------- jpeg
+  test("E6: JPEG dimensions + EXIF (spec/rika/parser_spec.rb:214-217)") {
+    for (f <- Seq("image.jpg", "image_jpg_without_extension")) {
+      val out = Extract.extractBytes("jpeg", fixture(f), Extract.Options())
+      assert(out.contentType == "image/jpeg")
+      assert(out.metadata("Image Height") == "72 pixels")
+      assert(out.metadata("Image Width") == "72 pixels")
+      assert(out.metadata("Software") == "Picasa")
+      assert(out.content == "") // media: no textual content
+      assert(out.isMedia)
+    }
+  }
+
+  // ------------------------------------------------------------- unknown
+  test("E7: unknown bytes -> empty content + octet-stream (spec/rika/parser_spec.rb:186-188,236-238)") {
+    val out = Extract.extractBytes("bin", fixture("unknown.bin"), Extract.Options())
+    assert(out.contentType == "application/octet-stream")
+    assert(out.content == "")
+    assert(out.issue.isEmpty)
+  }
+
+  test("failure taxonomy: empty payload flagged, not fatal (rika_command_spec.rb:147-160)") {
+    val out = Extract.extractBytes("txt", Array.emptyByteArray, Extract.Options())
+    assert(out.issue.contains(Extract.IssueEmptyFile))
+    val out2 = Extract.extractBytes("txt", null, Extract.Options())
+    assert(out2.issue.contains(Extract.IssueIoError))
+  }
+
+  // ---------------------------------------------------------------- html
+  test("E2: HTML boilerplate stripped, main content kept") {
+    val html =
+      """<!DOCTYPE html><html><head><title>My Page</title>
+        |<style>p { color: red }</style><script>var x = 1;</script></head>
+        |<body><nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+        |<header><div>Site banner with enough words to look like text here</div></header>
+        |<article><h1>The Article Headline</h1>
+        |<p>This is the first real paragraph of the article body and it clearly
+        |has enough words to be classified as main content by any reasonable rule.</p>
+        |<p>A second substantial paragraph follows with more than ten words of
+        |actual readable prose content for the extractor to keep.</p></article>
+        |<div><a href="/x">link</a> <a href="/y">list</a> <a href="/z">of</a>
+        |<a href="/w">links</a> <a href="/v">only</a> <a href="/u">navigation</a>
+        |<a href="/t">items</a> <a href="/s">here</a> <a href="/r">all</a>
+        |<a href="/q">boilerplate</a> <a href="/p">stuff</a></div>
+        |<footer>Copyright 2026 Example Corp All rights reserved legal text</footer>
+        |</body></html>""".stripMargin
+    val out = Extract.extractText("html", html, Extract.Options())
+    assert(out.contentType.startsWith("text/html"))
+    assert(out.content.contains("first real paragraph"))
+    assert(out.content.contains("The Article Headline"))
+    assert(!out.content.contains("Home"))         // nav dropped
+    assert(!out.content.contains("Copyright"))    // footer dropped
+    assert(!out.content.contains("var x"))        // script dropped
+    assert(!out.content.contains("color: red"))   // style dropped
+    assert(!out.content.contains("Site banner"))  // header dropped
+    assert(!out.content.contains("navigation"))   // link farm dropped
+    assert(out.metadata("dc:title") == "My Page")
+  }
+
+  test("E2: entity decoding") {
+    assert(HtmlKernel.decodeEntities("a &amp; b &lt;c&gt; &#65; &#x42;") == "a & b <c> A B")
+  }
+
+  // ------------------------------------------------------------- blocks
+  test("blocksOf: blank-line split preserves trailing spaces") {
+    val c = "line one   \nline two\n\npara two here"
+    val b = Extract.blocksOf(c)
+    assert(b == Vector("line one   \nline two", "para two here"))
+  }
+}
