@@ -1,0 +1,163 @@
+package graft.corpus
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic JPEG + CFB(.doc) writers for the synthetic corpus —
+  * real enough containers to exercise JpegKernel (markers + EXIF IFD) and
+  * DocKernel (CFB FAT walk + FIB) end to end.
+  */
+object JpegWriter {
+
+  final case class Spec(width: Int, height: Int, software: String, scanBytes: Int)
+
+  def write(spec: Spec): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(bs: Int*): Unit = bs.foreach(b => out.write(b & 0xff))
+    // SOI
+    w(0xff, 0xd8)
+    // APP0 JFIF
+    w(0xff, 0xe0, 0x00, 0x10)
+    out.write("JFIF".getBytes("ISO-8859-1")); w(0x00, 0x01, 0x01, 0x00, 0x00, 0x48, 0x00, 0x48, 0x00, 0x00)
+    // APP1 EXIF: II TIFF, IFD0 with Software (ASCII) tag
+    val sw = spec.software.getBytes("ISO-8859-1") :+ 0.toByte
+    val tiff = new ByteArrayOutputStream()
+    def t(bs: Int*): Unit = bs.foreach(b => tiff.write(b & 0xff))
+    def t16(v: Int): Unit = { t(v & 0xff, (v >> 8) & 0xff) }
+    def t32(v: Int): Unit = { t(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff) }
+    t('I', 'I', 42, 0); t32(8) // header, IFD0 at offset 8
+    t16(1)                     // one entry
+    t16(0x0131); t16(2); t32(sw.length) // Software, ASCII
+    val valOff = 8 + 2 + 12 + 4
+    if (sw.length <= 4) { out.size(); sw.padTo(4, 0.toByte).foreach(b => tiff.write(b.toInt)) }
+    else t32(valOff)
+    t32(0)                     // next IFD
+    if (sw.length > 4) tiff.write(sw)
+    val tiffB = tiff.toByteArray
+    val app1len = 2 + 6 + tiffB.length
+    w(0xff, 0xe1, (app1len >> 8) & 0xff, app1len & 0xff)
+    out.write("Exif".getBytes("ISO-8859-1")); w(0, 0)
+    out.write(tiffB)
+    // SOF0
+    w(0xff, 0xc0, 0x00, 0x11, 0x08,
+      (spec.height >> 8) & 0xff, spec.height & 0xff,
+      (spec.width >> 8) & 0xff, spec.width & 0xff,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    // SOS + deterministic pseudo-scan + EOI
+    w(0xff, 0xda, 0x00, 0x0c, 0x03, 0x01, 0x00, 0x02, 0x11, 0x03, 0x11, 0x00, 0x3f, 0x00)
+    var x = 0x12345
+    var i = 0
+    while (i < spec.scanBytes) {
+      x = x * 1103515245 + 12345
+      val b = (x >>> 16) & 0xff
+      out.write(if (b == 0xff) 0x7f else b) // avoid accidental markers
+      i += 1
+    }
+    w(0xff, 0xd9)
+    out.toByteArray
+  }
+}
+
+/** Minimal-but-valid CFB container holding a WordDocument stream with a
+  * FIB (magic 0xA5EC) and cp1252 text at fcMin..fcMac. Streams are padded
+  * to >= 4096 bytes so they live in the regular FAT (DocKernel does not
+  * walk the mini-FAT, matching real .doc files whose WordDocument stream
+  * always exceeds the mini-stream cutoff).
+  */
+object CfbWriter {
+
+  def write(text: String): Array[Byte] = {
+    val textBytes = text.replace("\n", "\r").getBytes("windows-1252")
+    val fibSize = 2048
+    val fcMin = fibSize
+    val fcMac = fcMin + textBytes.length
+    val wdLen = math.max(4096, fcMac)
+    val wd = new Array[Byte](wdLen)
+    // FIB base
+    wd(0) = 0xec.toByte; wd(1) = 0xa5.toByte           // wIdent (LE a5ec)
+    wd(2) = 0xc1.toByte; wd(3) = 0x00                  // nFib
+    putU32(wd, 24, fcMin); putU32(wd, 28, fcMac)
+    System.arraycopy(textBytes, 0, wd, fcMin, textBytes.length)
+
+    val sectorSize = 512
+    val wdSectors = (wdLen + sectorSize - 1) / sectorSize
+    // sector layout: [0..wdSectors) = WordDocument, then 1 dir sector,
+    // then FAT sectors at the end.
+    val dirSector = wdSectors
+    val totalDataSectors = wdSectors + 1
+    val fatEntries = totalDataSectors + 1 // + the FAT sector itself
+    val fatSectors = (fatEntries * 4 + sectorSize - 1) / sectorSize
+    val fatSector = dirSector + 1
+
+    val nSectors = wdSectors + 1 + fatSectors
+    val body = new Array[Byte](nSectors * sectorSize)
+    java.util.Arrays.fill(body, 0xff.toByte) // free-sector fill in FAT areas
+
+    // WordDocument stream data
+    var s = 0
+    while (s < wdSectors) {
+      val n = math.min(sectorSize, wdLen - s * sectorSize)
+      java.util.Arrays.fill(body, s * sectorSize, s * sectorSize + sectorSize, 0.toByte)
+      System.arraycopy(wd, s * sectorSize, body, s * sectorSize, n)
+      s += 1
+    }
+    // directory sector: Root Entry + WordDocument
+    val dirOff = dirSector * sectorSize
+    java.util.Arrays.fill(body, dirOff, dirOff + sectorSize, 0.toByte)
+    writeDirEntry(body, dirOff, "Root Entry", 5, 0xfffffffeL, 0)
+    writeDirEntry(body, dirOff + 128, "WordDocument", 2, 0, wdLen)
+    // FAT
+    val fatOff = fatSector * sectorSize
+    var i = 0
+    while (i < wdSectors - 1) { putU32(body, fatOff + i * 4, i + 1); i += 1 }
+    putU32Signed(body, fatOff + (wdSectors - 1) * 4, 0xfffffffeL) // end of WD chain
+    putU32Signed(body, fatOff + dirSector * 4, 0xfffffffeL)       // dir chain end
+    putU32Signed(body, fatOff + fatSector * 4, 0xfffffffdL)       // FAT sector marker
+
+    // header
+    val header = new Array[Byte](512)
+    val sig = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+    sig.zipWithIndex.foreach { case (b, k) => header(k) = b.toByte }
+    header(24) = 0x3e; header(26) = 0x03 // minor/major version
+    header(28) = 0xfe.toByte; header(29) = 0xff.toByte // little-endian mark
+    header(30) = 9 // sector shift: 512
+    header(32) = 6 // mini sector shift
+    putU32(header, 44, fatSectors)       // number of FAT sectors
+    putU32(header, 48, dirSector)        // first directory sector
+    putU32(header, 56, 4096)             // mini stream cutoff
+    putU32Signed(header, 60, 0xfffffffeL) // first mini-FAT sector: none
+    putU32Signed(header, 68, 0xfffffffeL) // first DIFAT sector: none
+    // DIFAT in header
+    var k = 0
+    while (k < 109) { putU32Signed(header, 76 + k * 4, 0xffffffffL); k += 1 }
+    putU32(header, 76, fatSector)
+
+    val out = new ByteArrayOutputStream()
+    out.write(header)
+    out.write(body)
+    out.toByteArray
+  }
+
+  private def writeDirEntry(b: Array[Byte], off: Int, name: String,
+      typ: Int, start: Long, size: Int): Unit = {
+    val n16 = name.getBytes("UTF-16LE")
+    System.arraycopy(n16, 0, b, off, math.min(n16.length, 62))
+    putU32(b, off + 64, 0); b(off + 64) = ((n16.length + 2) & 0xff).toByte
+    b(off + 65) = (((n16.length + 2) >> 8) & 0xff).toByte
+    b(off + 66) = typ.toByte
+    b(off + 67) = 1 // black
+    putU32Signed(b, off + 68, 0xffffffffL) // left sibling
+    putU32Signed(b, off + 72, 0xffffffffL) // right sibling
+    putU32Signed(b, off + 76, if (typ == 5) 1L else 0xffffffffL) // child
+    putU32Signed(b, off + 116, start)
+    putU32(b, off + 120, size)
+  }
+
+  private def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def putU32(b: Array[Byte], off: Int, v: Int): Unit = putU32(b, off, v.toLong & 0xffffffffL)
+  private def putU32Signed(b: Array[Byte], off: Int, v: Long): Unit = putU32(b, off, v)
+}

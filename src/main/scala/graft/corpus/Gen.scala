@@ -1,0 +1,223 @@
+package graft.corpus
+
+import java.util.SplittableRandom
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.spark.{DocRow, MediaRow, Span}
+import graft.kernel.Extract
+
+/** Deterministic corpus generator (BASELINE.json input_hint shape).
+  *
+  * Every doc is a pure function of (seed, index) — independent of Spark
+  * partitioning — so tests, verify and bench runs at any parallelism see
+  * byte-identical input (the sandbox stand-in for cluster invariance).
+  *
+  * Each doc also carries an analytically-known golden output span
+  * sequence: the writers know exactly what text they embedded, so the
+  * extraction pipeline is verified against generator truth, not against
+  * itself.
+  */
+object Gen {
+
+  val Seed = 42L
+
+  final case class Built(
+      doc_id: String,
+      spans: Seq[Span],
+      media: Seq[MediaRow],
+      golden: Seq[Span],
+      size_class: Int,
+      kind_major: String)
+
+  // splitmix64 scramble: decorrelates doc indices under any seed.
+  private def mix(seed: Long, i: Long): Long = {
+    var z = seed + i * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def build(seed: Long, i: Long): Built = {
+    val rng = new SplittableRandom(mix(seed, i))
+    val docId = f"doc-$i%09d"
+    val roll = rng.nextInt(100)
+    val lang = pickLang(rng)
+
+    val pieces: Vector[Piece] =
+      if (roll < 25) Vector(txtPiece(rng, lang, giant = rng.nextInt(100) < 2))
+      else if (roll < 45) Vector(htmlPiece(rng, lang))
+      else if (roll < 60) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
+      else if (roll < 72) Vector(docxPiece(rng, lang, docId, 0))
+      else if (roll < 80) Vector(jpegPiece(rng, docId, 0))
+      else if (roll < 85) Vector(docPiece(rng, docId, 0))
+      else if (roll < 88) Vector(binPiece(rng, docId, 0))
+      else if (roll < 90) Vector(emptyPiece(rng, docId, 0))
+      else { // interleaved multi-span doc
+        val n = if (rng.nextInt(100) < 5) 16 + rng.nextInt(17) else 2 + rng.nextInt(7)
+        Vector.tabulate(n) { k =>
+          rng.nextInt(6) match {
+            case 0     => txtPiece(rng, lang, giant = false)
+            case 1     => htmlPiece(rng, lang)
+            case 2     => pdfPiece(rng, lang, docId, k, giant = false)
+            case 3     => docxPiece(rng, lang, docId, k)
+            case 4     => jpegPiece(rng, docId, k)
+            case _     => binPiece(rng, docId, k)
+          }
+        }
+      }
+
+    val spans = pieces.zipWithIndex.map { case (p, k) => p.input.copy(offset = k) }
+    val golden = pieces.flatMap(_.golden).zipWithIndex
+      .map { case (s, k) => s.copy(offset = k) }
+    val media = pieces.flatMap(_.media)
+    val payloadBytes = pieces.map(_.payloadSize).sum.max(1)
+    val sizeClass = (math.log(payloadBytes.toDouble) / math.log(4.0)).toInt
+    Built(docId, spans, media, golden, sizeClass, pieces.head.kind)
+  }
+
+  private def pickLang(rng: SplittableRandom): String = {
+    val r = rng.nextInt(8)
+    if (r < 4) "en" else TextGen.languages(r - 3) // en half, others equal
+  }
+
+  /** One input span + its side-media + its expected output spans. */
+  private final case class Piece(
+      kind: String,
+      input: Span,
+      media: Seq[MediaRow],
+      golden: Seq[Span],
+      payloadSize: Long)
+
+  private def textGolden(content: String): Seq[Span] =
+    Extract.blocksOf(content).map(b => Span("text", b, null, -1))
+
+  private def txtPiece(rng: SplittableRandom, lang: String, giant: Boolean): Piece = {
+    val nParas = if (giant) 100 + rng.nextInt(200) else 1 + rng.nextInt(8)
+    val paras = Vector.tabulate(nParas)(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(4)))
+    val content = paras.mkString("\n\n")
+    Piece("txt", Span("txt", content, null, -1), Nil, textGolden(content), content.length.toLong)
+  }
+
+  private def htmlPiece(rng: SplittableRandom, lang: String): Piece = {
+    val spec = HtmlWriter.Spec(
+      TextGen.titleLine(rng, lang),
+      TextGen.titleLine(rng, lang),
+      Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 2 + rng.nextInt(3))))
+    val html = HtmlWriter.write(spec, rng)
+    val content = HtmlWriter.expectedBlocks(spec).mkString("\n\n")
+    Piece("html", Span("html", html, null, -1), Nil, textGolden(content), html.length.toLong)
+  }
+
+  private def pdfPiece(rng: SplittableRandom, lang: String, docId: String,
+      k: Int, giant: Boolean): Piece = {
+    val nStanzas = if (giant) 40 + rng.nextInt(80) else 2 + rng.nextInt(5)
+    val stanzas = Vector(Vector(TextGen.titleLine(rng, lang))) ++
+      Vector.tabulate(nStanzas)(_ => TextGen.stanza(rng, lang, 3 + rng.nextInt(3)))
+    val spec = PdfWriter.Spec(
+      title = stanzas.head.head,
+      author = TextGen.titleLine(rng, "en"),
+      stanzas = stanzas,
+      useKernSpaces = rng.nextBoolean())
+    val bytes = PdfWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("pdf", Span("pdf", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(PdfWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def docxPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val spec = DocxWriter.Spec(
+      TextGen.titleLine(rng, lang),
+      TextGen.titleLine(rng, "en"),
+      Vector.tabulate(1 + rng.nextInt(6))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))),
+      pages = 1 + rng.nextInt(4))
+    val bytes = DocxWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("docx", Span("docx", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(DocxWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def jpegPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
+    val bytes = JpegWriter.write(JpegWriter.Spec(
+      width = 16 + rng.nextInt(500), height = 16 + rng.nextInt(500),
+      software = s"graft-cam-${rng.nextInt(10)}",
+      scanBytes = 256 + rng.nextInt(4096)))
+    val ref = s"m-$docId-$k"
+    Piece("jpeg", Span("jpeg", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      Seq(Span("media", null, ref, -1)), bytes.length.toLong)
+  }
+
+  /** .doc stays latin (cp1252 round-trip is exact for en/de/fr/es). */
+  private def docPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
+    val lang = Vector("en", "de", "fr", "es")(rng.nextInt(4))
+    val text = (TextGen.titleLine(rng, lang) +
+      "\n\n" + TextGen.paragraph(rng, lang, 2 + rng.nextInt(4)) +
+      "\n\n" + TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))) + "\n"
+    val bytes = CfbWriter.write(text)
+    val ref = s"m-$docId-$k"
+    Piece("doc", Span("doc", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(text), bytes.length.toLong)
+  }
+
+  private def binPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
+    val n = 8 + rng.nextInt(256)
+    val bytes = new Array[Byte](n)
+    var j = 0
+    var x = rng.nextLong()
+    while (j < n) { x = x * 6364136223846793005L + 1442695040888963407L
+      bytes(j) = ((x >>> 33) & 0xff).toByte; j += 1 }
+    bytes(0) = 0x00; bytes(1) = 0x01 // never a known magic
+    val ref = s"m-$docId-$k"
+    Piece("bin", Span("bin", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      Nil, n.toLong)
+  }
+
+  /** Empty payload: exercises the failure taxonomy (empty_file) without
+    * aborting the batch (reference: rika_command_spec.rb:147-160).
+    */
+  private def emptyPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
+    if (rng.nextBoolean())
+      Piece("txt", Span("txt", "", null, -1), Nil, Nil, 0L)
+    else {
+      val ref = s"m-$docId-$k"
+      Piece("bin", Span("bin", null, ref, -1),
+        Seq(MediaRow(ref, "", 0L)), Nil, 0L)
+    }
+
+  private def b64(bytes: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(bytes)
+
+  // ------------------------------------------------------------- writing
+
+  /** Write docs + media + golden parquet under `dir` (idempotent: skips
+    * when a _SUCCESS-complete corpus already exists).
+    */
+  def writeCorpus(spark: SparkSession, dir: String, nDocs: Long,
+      seed: Long = Seed, overwrite: Boolean = false): Unit = {
+    val done = new java.io.File(s"$dir/golden.parquet/_SUCCESS")
+    if (done.exists() && !overwrite) return
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    def ids = spark.range(0, nDocs, 1, par)
+    ids.map { i => val b = build(seed, i)
+        (b.doc_id, b.spans, b.size_class, b.kind_major) }
+      .toDF("doc_id", "spans", "size_class", "kind_major")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs.parquet")
+    ids.flatMap(i => build(seed, i).media)
+      .toDF("media_ref", "bytes_b64", "length")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/media.parquet")
+    ids.map { i => val b = build(seed, i); (b.doc_id, b.golden) }
+      .toDF("doc_id", "spans")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/golden.parquet")
+  }
+
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/docs.parquet")
+  def readMedia(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/media.parquet")
+  def readGolden(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/golden.parquet")
+}

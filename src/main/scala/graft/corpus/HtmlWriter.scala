@@ -1,0 +1,39 @@
+package graft.corpus
+
+import java.util.SplittableRandom
+
+/** Deterministic HTML writer: wraps generated main content in realistic
+  * boilerplate (nav, header banner, link farms, footer) so HtmlKernel's
+  * block classifier is exercised with a known expected kept-set.
+  */
+object HtmlWriter {
+
+  final case class Spec(title: String, heading: String, paragraphs: Vector[String])
+
+  /** Expected kept blocks: heading + paragraphs (whitespace-normalized —
+    * generator text is already single-spaced so this is the identity).
+    */
+  def expectedBlocks(spec: Spec): Vector[String] = spec.heading +: spec.paragraphs
+
+  def write(spec: Spec, rng: SplittableRandom): String = {
+    val navLinks = (0 until 4 + rng.nextInt(5))
+      .map(k => s"""<a href="/p$k">item$k</a>""").mkString(" | ")
+    val farm = (0 until 8 + rng.nextInt(8))
+      .map(k => s"""<a href="/t$k">tag$k</a>""").mkString(" ")
+    val e = DocxWriter.xmlEsc _
+    s"""<!DOCTYPE html>
+<html><head><title>${e(spec.title)}</title>
+<style>body { margin: 0 } .x { color: #333 }</style>
+<script>function t(){ return ${rng.nextInt(1000)}; }</script>
+</head><body>
+<nav>$navLinks</nav>
+<header><div>promo banner ${rng.nextInt(100)}</div></header>
+<article>
+<h1>${e(spec.heading)}</h1>
+${spec.paragraphs.map(p => s"<p>${e(p)}</p>").mkString("\n")}
+</article>
+<div class="farm">$farm</div>
+<footer>site footer legal text ${rng.nextInt(100)}</footer>
+</body></html>"""
+  }
+}

@@ -1,0 +1,182 @@
+package graft.corpus
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.Deflater
+
+/** Deterministic PDF writer for the synthetic corpus: produces real,
+  * spec-conformant PDFs in the same shape as the reference fixture
+  * (subset-font-style private code mapping + ToUnicode CMap + kerned TJ
+  * arrays + Flate-compressed content stream + classic xref + Info dict),
+  * so PdfKernel's full path — including glyph remapping — is exercised at
+  * scale with analytically-known expected text.
+  *
+  * Layout contract (must agree with PdfKernel.assemble): uniform leading
+  * L between lines of a stanza, 2L at stanza gaps => extractor emits a
+  * blank line at each stanza gap; expected content =
+  * "\n" + lines.mkString with "\n"/"\n\n" separators + "\n".
+  */
+object PdfWriter {
+
+  final case class Spec(
+      title: String,
+      author: String,
+      stanzas: Vector[Vector[String]], // title line is stanzas.head.head? no: body only
+      useKernSpaces: Boolean)          // encode spaces as -250 TJ kerns instead of glyphs
+
+  /** The text PdfKernel is expected to extract from write(spec). */
+  def expectedText(spec: Spec): String = {
+    val sb = new StringBuilder("\n")
+    var first = true
+    for (st <- spec.stanzas) {
+      if (!first) sb.append("\n\n") else first = false
+      sb.append(st.mkString("\n"))
+    }
+    sb.append('\n')
+    sb.toString
+  }
+
+  def write(spec: Spec): Array[Byte] = {
+    val allText = spec.stanzas.flatten.mkString
+    // private code mapping: distinct chars -> codes from 0x21 upward,
+    // skipping the string delimiters that would need escaping anyway.
+    val chars = allText.toSet.toVector.sorted
+    require(chars.size <= 200, s"alphabet too large: ${chars.size}")
+    val codeOf: Map[Char, Int] = {
+      var next = 0x21
+      chars.map { c =>
+        val code = next
+        next += 1
+        if (next == '('.toInt || next == ')'.toInt || next == '\\'.toInt) next += 1
+        if (next == '('.toInt || next == ')'.toInt || next == '\\'.toInt) next += 1
+        c -> code
+      }.toMap
+    }
+    val spaceCode = codeOf.get(' ')
+
+    // content stream: one BT/Tm/TJ per line, y descending.
+    val leading = 18
+    val cs = new StringBuilder
+    var y = 760
+    for ((st, si) <- spec.stanzas.zipWithIndex) {
+      if (si > 0) y -= leading // extra gap: stanza separation = 2*leading
+      for (line <- st) {
+        cs.append(s"BT 12 0 0 12 72 $y Tm /F1 1 Tf [ ")
+        var i = 0
+        while (i < line.length) {
+          val c = line.charAt(i)
+          if (c == ' ' && spec.useKernSpaces) {
+            cs.append("-250 ") // big negative kern = word gap for the parser
+          } else {
+            val code = codeOf(c)
+            cs.append("(")
+            code match {
+              case 0x28 => cs.append("\\(")
+              case 0x29 => cs.append("\\)")
+              case 0x5c => cs.append("\\\\")
+              case k    => cs.append(k.toChar)
+            }
+            cs.append(s") ${if (i % 3 == 0) "-4" else "6"} ")
+          }
+          i += 1
+        }
+        cs.append("] TJ ET\n")
+        y -= leading
+      }
+    }
+    val content = deflate(cs.toString.getBytes(StandardCharsets.ISO_8859_1))
+
+    // ToUnicode CMap (bfranges, singleton form like the fixture).
+    val cmap = {
+      val sb = new StringBuilder
+      sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+      sb.append("/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n")
+      sb.append("1 begincodespacerange\n<00><FF>\nendcodespacerange\n")
+      val entries = codeOf.toVector.sortBy(_._2)
+      // bfrange blocks max 100 entries
+      entries.grouped(100).foreach { g =>
+        sb.append(s"${g.size} beginbfrange\n")
+        g.foreach { case (c, code) =>
+          sb.append(f"<$code%02x><$code%02x><${c.toInt}%04x>%n")
+        }
+        sb.append("endbfrange\n")
+      }
+      sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
+      deflate(sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    }
+
+    // objects
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: Array[Byte]): Unit = {
+      offsets += out.size()
+      out.write(body)
+    }
+    def s2b(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+    out.write(s2b("%PDF-1.4\n%Äåòå\n"))
+    obj(s2b(s"1 0 obj\n<< /Title (${esc(spec.title)}) /Author (${esc(spec.author)}) " +
+      s"/Creator (graftgen) /Producer (graft synthetic corpus) >>\nendobj\n"))
+    obj(s2b("2 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n"))
+    obj(s2b("3 0 obj\n<< /Type /Pages /MediaBox [0 0 612 792] /Count 1 /Kids [ 4 0 R ] >>\nendobj\n"))
+    obj(s2b("4 0 obj\n<< /Type /Page /Parent 3 0 R /Resources << /Font << /F1 5 0 R >> >> " +
+      "/Contents 6 0 R /MediaBox [0 0 612 792] >>\nendobj\n"))
+    obj(s2b("5 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /GRAFT+Synth " +
+      "/FirstChar 33 /LastChar 255 /ToUnicode 7 0 R >>\nendobj\n"))
+    obj {
+      val b = new ByteArrayOutputStream()
+      b.write(s2b(s"6 0 obj\n<< /Length ${content.length} /Filter /FlateDecode >>\nstream\n"))
+      b.write(content)
+      b.write(s2b("\nendstream\nendobj\n"))
+      b.toByteArray
+    }
+    obj {
+      val b = new ByteArrayOutputStream()
+      b.write(s2b(s"7 0 obj\n<< /Length ${cmap.length} /Filter /FlateDecode >>\nstream\n"))
+      b.write(cmap)
+      b.write(s2b("\nendstream\nendobj\n"))
+      b.toByteArray
+    }
+    val xrefPos = out.size()
+    val xref = new StringBuilder
+    xref.append(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => xref.append(f"$o%010d 00000 n %n"))
+    xref.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 2 0 R /Info 1 0 R >>\n")
+    xref.append(s"startxref\n$xrefPos\n%%EOF\n")
+    out.write(s2b(xref.toString))
+    out.toByteArray
+  }
+
+  /** PDF text string escape: latin-1 stays literal; anything wider is
+    * emitted as a UTF-16BE string with BOM, octal-escaped (the PDF spec's
+    * portable form; PdfKernel decodes it via the BOM).
+    */
+  private def esc(s: String): String =
+    if (s.forall(_ < 256))
+      s.flatMap {
+        case '('  => "\\("
+        case ')'  => "\\)"
+        case '\\' => "\\\\"
+        case c    => c.toString
+      }
+    else {
+      val bytes = Array[Byte](0xfe.toByte, 0xff.toByte) ++
+        s.getBytes(StandardCharsets.UTF_16BE)
+      bytes.flatMap { b =>
+        val v = b & 0xff
+        if (v == '('.toInt || v == ')'.toInt || v == '\\'.toInt) f"\\$v%03o"
+        else if (v >= 0x20 && v < 0x7f) v.toChar.toString
+        else f"\\$v%03o"
+      }.mkString
+    }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data)
+    d.finish()
+    val out = new ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+}

@@ -29,7 +29,8 @@ case class ExtractedRow(
     language: String,
     metadata: Seq[MetaEntry],
     status: String,    // "ok" | "failed"
-    issue_type: String // "" | empty_file | io_error | invalid_input | parse_error
+    issue_type: String, // "" | empty_file | io_error | invalid_input | parse_error
+    bytes_in: Long      // total payload bytes consumed (throughput metrics)
 )
 
 /** Per-span intermediate (post-extraction, pre-assembly): raw bytes are
@@ -41,7 +42,6 @@ case class SpanExtract(
     out_kind: String, // text | media | none
     blocks: Seq[String],
     media_ref: String,
-    content: String,
     content_type: String,
     metadata: Seq[MetaEntry],
     issue_type: String,

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.util.SplittableRandom
+import graft.corpus._
+import graft.kernel.Extract
+
+/** Writer <-> kernel round-trips: every synthetic payload must extract to
+  * exactly the text the writer claims (generator truth as oracle), across
+  * many seeds and all 5 languages.
+  */
+class WritersSpec extends AnyFunSuite {
+
+  val opts = Extract.Options()
+
+  test("PdfWriter -> PdfKernel round-trip (glyph remap, kerns, stanza gaps)") {
+    for (seed <- 0 until 30) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % 5)
+      val stanzas = Vector(Vector(TextGen.titleLine(rng, lang))) ++
+        Vector.tabulate(2 + rng.nextInt(4))(_ => TextGen.stanza(rng, lang, 3 + rng.nextInt(3)))
+      val spec = PdfWriter.Spec(stanzas.head.head, "Author X", stanzas,
+        useKernSpaces = seed % 2 == 0)
+      val out = Extract.extractBytes("pdf", PdfWriter.write(spec), opts)
+      assert(out.contentType == "application/pdf", s"seed $seed")
+      assert(out.content == PdfWriter.expectedText(spec),
+        s"seed $seed lang $lang kern=${spec.useKernSpaces}\nGOT:\n${out.content}\nWANT:\n${PdfWriter.expectedText(spec)}")
+      assert(out.metadata("dc:title") == spec.title)
+    }
+  }
+
+  test("DocxWriter -> DocxKernel round-trip") {
+    for (seed <- 0 until 20) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % 5)
+      val spec = DocxWriter.Spec(
+        TextGen.titleLine(rng, lang), "Creator Y",
+        Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))),
+        pages = 2)
+      val out = Extract.extractBytes("docx", DocxWriter.write(spec), opts)
+      assert(out.contentType.startsWith("application/vnd.openxmlformats"), s"seed $seed")
+      assert(out.content == DocxWriter.expectedText(spec), s"seed $seed")
+      assert(out.metadata("meta:page-count") == "2")
+      assert(out.metadata("dc:title") == spec.title)
+    }
+  }
+
+  test("CfbWriter -> DocKernel round-trip") {
+    for (seed <- 0 until 20) {
+      val rng = new SplittableRandom(seed)
+      val lang = Vector("en", "de", "fr", "es")(seed % 4)
+      val text = TextGen.titleLine(rng, lang) + "\n\n" +
+        TextGen.paragraph(rng, lang, 2) + "\n"
+      val out = Extract.extractBytes("doc", CfbWriter.write(text), opts)
+      assert(out.contentType == "application/msword", s"seed $seed")
+      assert(out.content == text, s"seed $seed\nGOT:\n${out.content}\nWANT:\n$text")
+    }
+  }
+
+  test("JpegWriter -> JpegKernel round-trip") {
+    for (seed <- 0 until 20) {
+      val rng = new SplittableRandom(seed)
+      val w = 16 + rng.nextInt(500)
+      val h = 16 + rng.nextInt(500)
+      val out = Extract.extractBytes("jpeg",
+        JpegWriter.write(JpegWriter.Spec(w, h, s"cam-$seed", 512)), opts)
+      assert(out.contentType == "image/jpeg")
+      assert(out.metadata("Image Width") == s"$w pixels")
+      assert(out.metadata("Image Height") == s"$h pixels")
+      assert(out.metadata("Software") == s"cam-$seed")
+      assert(out.isMedia)
+    }
+  }
+
+  test("HtmlWriter -> HtmlKernel round-trip (boilerplate dropped exactly)") {
+    for (seed <- 0 until 20) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % 5)
+      val spec = HtmlWriter.Spec(
+        TextGen.titleLine(rng, lang), TextGen.titleLine(rng, lang),
+        Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.paragraph(rng, lang, 2 + rng.nextInt(2))))
+      val out = Extract.extractText("html", HtmlWriter.write(spec, rng), opts)
+      val want = HtmlWriter.expectedBlocks(spec).mkString("\n\n")
+      assert(out.content == want, s"seed $seed\nGOT:\n${out.content}\nWANT:\n$want")
+      assert(out.metadata("dc:title") == spec.title)
+    }
+  }
+
+  test("Gen.build is deterministic and golden offsets are dense") {
+    for (i <- 0L until 200L) {
+      val a = Gen.build(Gen.Seed, i)
+      val b = Gen.build(Gen.Seed, i)
+      assert(a == b, s"doc $i not deterministic")
+      assert(a.golden.map(_.offset) == a.golden.indices.map(identity), s"doc $i offsets")
+      assert(a.spans.nonEmpty, s"doc $i has no input spans")
+      // every media ref in spans resolves
+      val refs = a.spans.flatMap(s => Option(s.media_ref)).toSet
+      assert(refs == a.media.map(_.media_ref).toSet, s"doc $i media refs")
+    }
+  }
+
+  test("Gen golden matches direct kernel extraction for every doc kind") {
+    // end-to-end per-doc check without Spark: simulate the pipeline's
+    // per-span extraction and compare to the generator's golden.
+    for (i <- 0L until 300L) {
+      val b = Gen.build(Gen.Seed, i)
+      val mediaMap = b.media.map(m => m.media_ref -> m.bytes_b64).toMap
+      val got = b.spans.sortBy(_.offset).flatMap { s =>
+        val out =
+          if (s.media_ref == null) Extract.extractText(s.kind, s.text, opts)
+          else {
+            val b64 = mediaMap(s.media_ref)
+            val bytes = if (b64.isEmpty) Array.emptyByteArray
+              else java.util.Base64.getDecoder.decode(b64)
+            Extract.extractBytes(s.kind, bytes, opts)
+          }
+        if (out.isMedia) Seq(graft.spark.Span("media", null, s.media_ref, -1))
+        else out.blocks.map(t => graft.spark.Span("text", t, null, -1))
+      }.zipWithIndex.map { case (s, k) => s.copy(offset = k) }
+      assert(got == b.golden.toVector,
+        s"doc $i kind ${b.kind_major}\nGOT: ${got.take(3)}\nWANT: ${b.golden.take(3)}")
+    }
+  }
+}
