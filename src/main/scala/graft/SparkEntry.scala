@@ -1,13 +1,334 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.Gen
+import graft.operators.{Ann, Dedup, Multimodal, TextOps}
+import graft.spark.{IcebergLite, Pipeline, Runner}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query groups:
+  *  - x_*: the extraction engine itself over the deterministic interleaved
+  *    corpus (BASELINE.json input_hint shape). Not SQL-expressible (the
+  *    kernels are the operator), so no oracleSql — their correctness gate
+  *    is the ScalaTest span-equality suite vs generator goldens.
+  *  - q*: relational coverage over the TPC-H-ish tables (DuckDB oracles).
+  *  - dedup_* / ann_* / text_*: training-data pipeline operators over
+  *    documents/embeddings (DuckDB oracles wherever the logic is
+  *    SQL-expressible; hash primitives are md5-based so both engines
+  *    compute identical values).
+  */
 object SparkEntry {
+
+  val DataRoot = "/root/repo/data"
+
+  private def nDocsFor(sfName: String): Long = sfName match {
+    case "sf0.001" => 500L
+    case "sf0.01"  => 5000L
+    case "sf0.1"   => 50000L
+    case _         => 1000L
+  }
+
+  /** Generate (once) and extract (once) the interleaved corpus for an sf
+    * dir; returns the extracted table. Cached on disk — deterministic, so
+    * rows-only checks are stable across runs.
+    */
+  def ensureExtracted(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = new File(sfDir).getName
+    val corpusDir = s"$DataRoot/corpus/$name"
+    val outDir = s"$DataRoot/out/$name"
+    Gen.writeCorpus(spark, corpusDir, nDocsFor(name))
+    if (IcebergLite.currentSnapshot(Runner.extractedDir(outDir)) < 0) {
+      Runner.run(spark, Gen.readDocs(spark, corpusDir),
+        Gen.readMedia(spark, corpusDir), outDir, runId = s"verify-$name")
+    }
+    IcebergLite.readAll(spark, Runner.extractedDir(outDir)).get
+  }
+
+  def corpusMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = new File(sfDir).getName
+    Gen.writeCorpus(spark, s"$DataRoot/corpus/$name", nDocsFor(name))
+    Gen.readMedia(spark, s"$DataRoot/corpus/$name")
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** documents with synthetic duplicates planted (doc_id < 50 duplicated
+    * with shifted ids) so dedup operators have real work.
+    */
+  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val ext = ensureExtracted(spark, "/root/testdata/sf0.001")
+    ext.groupBy("content_type").count().orderBy("content_type")
+  }
+
+  // ------------------------------------------------------------- queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction engine (rows-only gate; ScalaTest carries equality)
+    "x_extract" -> ((s, dir) => {
+      ensureExtracted(s, dir)
+        .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+        .select(col("doc_id"), col("span.offset").as("offset"),
+          col("span.kind").as("kind"), col("span.text").as("text"),
+          col("span.media_ref").as("media_ref"))
+        .orderBy("doc_id", "offset")
+    }),
+    "x_tally" -> ((s, dir) =>
+      // the reference README's flagship content-type tally (README.md:237-266)
+      ensureExtracted(s, dir).groupBy("content_type")
+        .agg(count(lit(1)).as("n")).orderBy("content_type")),
+    "x_langs" -> ((s, dir) =>
+      ensureExtracted(s, dir).groupBy("language")
+        .agg(count(lit(1)).as("n")).orderBy("language")),
+    "x_issues" -> ((s, dir) =>
+      ensureExtracted(s, dir).filter(col("issue_type") =!= "")
+        .groupBy("issue_type").agg(count(lit(1)).as("n")).orderBy("issue_type")),
+    "x_words_top5" -> ((s, dir) => {
+      // the reference README's word-count query (README.md:271-287)
+      val ext = ensureExtracted(s, dir)
+      ext.select(explode(col("spans")).as("span"))
+        .filter(col("span.kind") === "text")
+        .select(explode(split(lower(col("span.text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc).limit(5)
+    }),
+    "x_meta_keys" -> ((s, dir) =>
+      ensureExtracted(s, dir)
+        .select(explode(col("metadata")).as("m"))
+        .groupBy(col("m.key").as("key")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("key").asc).limit(20)),
+    "x_media_features" -> ((s, dir) =>
+      Multimodal.imageFeatures(s, corpusMedia(s, dir)).toDF()
+        .orderBy("media_ref")),
+    "x_frames" -> ((s, dir) =>
+      Multimodal.frameSample(s, corpusMedia(s, dir))
+        .orderBy("media_ref", "frame_idx")),
+
+    // ---- relational coverage (oracled)
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q2_join_top" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+    "q3_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn"), col("event_id"),
+          round(col("value"), 6).as("value"))
+        .orderBy("event_type", "rn")
+    }),
+    "q4_events_hourly" -> ((s, dir) =>
+      // string hour buckets: identical wall-clock formatting in both
+      // engines, independent of epoch/timezone semantics
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type", "hour_bucket")),
+
+    // ---- dedup suite (oracled)
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docsWithDups(s, dir), 0.5)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
+    "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docsWithDups(s, dir), 0.5)),
+    "dedup_embed_cosine" -> ((s, dir) => Dedup.embedCosine(t(s, dir, "embeddings"), 0.4)),
+
+    // ---- similarity search (oracled brute force; LSH variant rows-only)
+    "ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.bruteTopK(e, e.filter(col("vec_id") < 16), k = 10)
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.lshTopK(e, e.filter(col("vec_id") < 16), k = 10, nBits = 8)
+    }),
+
+    // ---- text analysis (oracled except langid)
+    "text_quality" -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
+    "text_tokens" -> ((s, dir) => TextOps.tokenCounts(t(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) => TextOps.langId(s, t(s, dir, "documents")))
+  )
+
+  // ----------------------------------------------------------- oracles
+  import Dedup.{Bands, HashA, HashB, NumHashes, P, RowsPerBand}
+
+  private val h64 = "CAST(('0x' || substr(md5(%s),1,15)) AS BIGINT)"
+  private def H(e: String) = h64.format(e)
+
+  private val shingles3 =
+    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM docs),
+      |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 1))) AS j FROM toks),
+      |sh AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS sh FROM idx)""".stripMargin
+
+  /** Double-precision cosine in DuckDB matching Spark's sequential fold
+    * bit-for-bit (verified empirically: list_sum/list_transform fold left
+    * like Catalyst's aggregate()).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  private val dupDocs =
+    """docs AS (SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)""".stripMargin
+
+  private def minhashLshSql: String = {
+    val ms = (0 until NumHashes)
+      .map(i => s"min((${HashA(i)} * h + ${HashB(i)}) % $P) AS m$i").mkString(", ")
+    val bands = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $dupDocs, $shingles3,
+       |h AS (SELECT doc_id, ${H("sh")} % $P AS h FROM sh),
+       |sig AS (SELECT doc_id, $ms FROM h GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |   AND x.doc_id < y.doc_id),
+       |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+       |  JOIN shd sa ON sa.doc_id = c.doc_a
+       |  JOIN shd sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh GROUP BY 1, 2)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |  round(CAST(coalesce(i.i,0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i,0)), 6) AS jaccard
+       |FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN cnt ca ON ca.doc_id = c.doc_a JOIN cnt cb ON cb.doc_id = c.doc_b
+       |WHERE round(CAST(coalesce(i.i,0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i,0)), 6) >= 0.5
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
+  private def jaccardSql: String =
+    s"""WITH $dupDocs, $shingles3,
+       |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private def simhashSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id, ${H("t")} AS h FROM tok WHERE t <> ''),
+       |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h, generate_series(0, 59) s(b) GROUP BY 1, 2)
+       |SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_top" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q3_window" ->
+      """SELECT event_type, rn, event_id, round(value, 6) AS value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "q4_events_hourly" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket""".stripMargin,
+    "dedup_exact" ->
+      s"""WITH $dupDocs
+         |SELECT md5(text) AS text_hash, count(*) AS n_docs,
+         |  min(doc_id) AS representative
+         |FROM docs GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash""".stripMargin,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_jaccard" -> jaccardSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_embed_cosine" ->
+      s"""WITH scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 4) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16),
+         |scored AS (SELECT q.qid, e.vec_id AS id,
+         |    round(${cosSql("e.embedding", "q.qv")}, 6) AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+         |  FROM scored)
+         |SELECT qid AS query_id, rank, id AS neighbor_id, cosine
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_quality" ->
+      """WITH base AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+        |feat AS (SELECT doc_id,
+        |  length(text) AS n_chars, len(t) AS n_tokens,
+        |  round(CAST(len(list_filter(t, x -> regexp_full_match(x, '[.,;:!?]+'))) AS DOUBLE)
+        |    / greatest(len(t), 1), 4) AS punct_ratio,
+        |  round(CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE)
+        |    / greatest(len(t), 1), 4) AS stopword_ratio,
+        |  round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |    / greatest(len(t), 1), 4) AS mean_token_len
+        |FROM base)
+        |SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+        |  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
+        |    * least(1.0, stopword_ratio * 5.0 + 0.5), 4) AS quality_score
+        |FROM feat ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-3, 1))) AS j FROM toks),
+         |sh AS (SELECT doc_id, array_to_string(t[j:j+3], ' ') AS s FROM idx),
+         |h AS (SELECT doc_id, ${H("s")} AS h FROM sh)
+         |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+         |  count(*) AS n_shingles, count(DISTINCT h) AS n_distinct
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
 }

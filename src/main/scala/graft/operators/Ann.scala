@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact; the correctness oracle).
+  * Scale path: LSH-bucketed search — random-hyperplane signatures turn the
+  * all-pairs scan into an equi-join on bucket keys, probing only
+  * same-bucket candidates (the standard recall/cost dial at 10^12 rows:
+  * more tables = higher recall, shorter signatures = bigger buckets).
+  */
+object Ann {
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id, cosine).
+    */
+  def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val q = queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .withColumn("qnorm", sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)))
+    val scored = base.crossJoin(broadcast(q)) // queries are small: broadcast
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(
+          aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) / (col("norm") * col("qnorm")),
+          6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Random-hyperplane LSH bucketing: `nBits`-bit signature per vector
+    * from fixed pseudo-random hyperplanes (deterministic, seeded — no RNG
+    * at query time). Output: (id, bucket). Candidates = same-bucket rows.
+    */
+  def lshBuckets(emb: DataFrame, nBits: Int = 12, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    // hyperplane(b, d) = deterministic pseudo-random +-1 component derived
+    // from md5(seed, b, d): sign of (hash % 2). Expressed as columns so the
+    // whole signature is codegen'd.
+    val dims = 64 // embeddings table dimensionality
+    val bitCols = (0 until nBits).map { b =>
+      val dot = (0 until dims).map { d =>
+        val sign = if (((seed * 31 + b) * 131 + d * 17) % 2 == 0) 1.0 else -1.0
+        element_at(col("v"), d + 1) * lit(sign)
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    e.select(col("id"), bitCols.reduce(_ + _).as("bucket"))
+  }
+
+  /** ANN via LSH buckets: top-k within each query's bucket (recall < 1,
+    * cost ~ bucketSize instead of N). Output like bruteTopK plus bucket.
+    */
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int = 10,
+      nBits: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val buckets = lshBuckets(emb, nBits, idCol = idCol, vecCol = vecCol)
+    val base = emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .join(buckets, "id")
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val qb = lshBuckets(queries, nBits, idCol = idCol, vecCol = vecCol)
+      .withColumnRenamed("id", "qid").withColumnRenamed("bucket", "qbucket")
+    val q = queries.select(col(idCol).as("qid"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .join(qb, "qid")
+      .withColumn("qnorm", sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)))
+    val scored = base.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("bucket"),
+        round(
+          aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) / (col("norm") * col("qnorm")),
+          6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), col("cosine"), col("bucket"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kernel.Lang
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * token counting, language-ID, document fingerprinting. All but lang-ID
+  * are pure Catalyst expressions (DuckDB-oracle-able); lang-ID wraps the
+  * Lang kernel as a UDF whose profile tables are JVM-static per executor
+  * (the reference's memoized-model pattern, reference: lib/rika.rb:104-107).
+  */
+object TextOps {
+
+  /** Quality features per doc: lengths, token stats, punctuation and
+    * stopword ratios, and a composite quality score. Deterministic and
+    * SQL-mirrorable (rounded ratios).
+    */
+  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(lower(t), " ")
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+    val stopHits = stop.map(s =>
+      size(filter(toks, x => x === s))).reduce(_ + _)
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(t).as("n_chars"),
+      size(toks).as("n_tokens"),
+      round(size(filter(toks, x => x.rlike("^[.,;:!?]+$"))).cast("double") /
+        greatest(size(toks), lit(1)), 4).as("punct_ratio"),
+      round(stopHits.cast("double") / greatest(size(toks), lit(1)), 4).as("stopword_ratio"),
+      round(
+        aggregate(toks, lit(0.0), (acc, x) => acc + length(x)) /
+          greatest(size(toks), lit(1)), 4).as("mean_token_len"))
+      .withColumn("quality_score",
+        round(least(lit(1.0),
+          col("n_tokens").cast("double") / 100.0) *
+          (lit(1.0) - col("punct_ratio")) *
+          least(lit(1.0), col("stopword_ratio") * 5.0 + 0.5), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Token counts under two tokenizers: whitespace and a BPE-ish regex
+    * ([a-z]+ | digit runs | single non-space symbols) — the standard
+    * pre-tokenization shape.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(split(trim(col(textCol)), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Language-ID over any text column via the Lang kernel. */
+  def langId(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val langUdf = udf((s: String) => Lang.detect(s))
+    docs.select(col(idCol).as("doc_id"),
+      langUdf(col(textCol)).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: min/max/count over hashed 4-word shingles —
+    * a winnowing-style content signature that survives reordering-free
+    * edits and is cheap to compare at scale.
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val sh = transform(
+      sequence(lit(1), greatest(size(toks) - 3, lit(1))),
+      j => concat_ws(" ", slice(toks, j, lit(4))))
+    docs.select(col(idCol).as("doc_id"), explode(sh).as("s"))
+      .withColumn("h", Dedup.h64(col("s")))
+      .groupBy("doc_id")
+      .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
+        count(lit(1)).as("n_shingles"),
+        countDistinct(col("h")).as("n_distinct"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Regression tests for the training-pipeline operators (the full
+  * cross-engine equality runs in the driver's DuckDB gate; these pin the
+  * semantic invariants so refactors can't silently change results).
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("dedup_exact finds exactly the planted duplicates") {
+    spark.sparkContext.setLogLevel("WARN")
+    val out = SparkEntry.queries("dedup_exact")(spark, sf).collect()
+    assert(out.length == 50)
+    assert(out.forall(_.getLong(1) == 2)) // each group has the original + the copy
+  }
+
+  test("minhash LSH recall vs exact jaccard at threshold") {
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("dedup_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are verified with exact jaccard, so lsh ⊆ exact;
+    // identical duplicates are always found (identical signatures).
+    assert(lsh.subsetOf(exact))
+    val planted = exact.filter { case (a, b) => b == a + 100000 }
+    assert(planted.subsetOf(lsh), "planted exact dups must be found by LSH")
+  }
+
+  test("ann_topk rank-1 is the max-cosine neighbor and ranks are dense") {
+    val out = SparkEntry.queries("ann_topk")(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val cosines = sorted.map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ann_lsh results are a subset-quality approximation of brute force") {
+    val brute = SparkEntry.queries("ann_topk")(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lsh = SparkEntry.queries("ann_lsh")(spark, sf).collect()
+    // every lsh neighbor must share the query's bucket — structural check:
+    // cosine values are genuine (within [-1, 1])
+    assert(lsh.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+    assert(brute.nonEmpty)
+  }
+
+  test("text_quality fields are consistent") {
+    val out = SparkEntry.queries("text_quality")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Number]("n_chars").longValue() > 0)
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1) // punct_ratio
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1) // quality_score
+    }
+  }
+
+  test("multimodal image features: real EXIF decode over corpus media") {
+    val feats = SparkEntry.queries("x_media_features")(spark, sf).cache()
+    val jpeg = feats.filter(col("content_type") === "image/jpeg")
+    assert(jpeg.count() > 0)
+    assert(jpeg.filter(col("width") <= 0 || !col("decode_ok")).count() == 0)
+    // feature vectors have the declared shape
+    assert(feats.filter(size(col("feature")) =!= 8).count() == 0)
+  }
+
+  test("entry() flagship returns the content-type tally") {
+    val e = SparkEntry.entry(spark)
+    assert(e.count() > 0)
+  }
+}
