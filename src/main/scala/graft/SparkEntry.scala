@@ -108,6 +108,12 @@ object SparkEntry {
         .select(explode(col("metadata")).as("m"))
         .groupBy(col("m.key").as("key")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("key").asc).limit(20)),
+    "x_sniff_tally" -> ((s, dir) => {
+      // native codegen Expressions (no UDF): magic-byte MIME + charset
+      val m = corpusMedia(s, dir)
+      m.select(graft.functions.sniff_mime(unbase64(col("bytes_b64"))).as("mime"))
+        .groupBy("mime").agg(count(lit(1)).as("n")).orderBy("mime")
+    }),
     "x_media_features" -> ((s, dir) =>
       Multimodal.imageFeatures(s, corpusMedia(s, dir)).toDF()
         .orderBy("media_ref")),

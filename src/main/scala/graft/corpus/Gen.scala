@@ -200,7 +200,10 @@ object Gen {
     val done = new java.io.File(s"$dir/golden.parquet/_SUCCESS")
     if (done.exists() && !overwrite) return
     import spark.implicits._
-    val par = spark.sparkContext.defaultParallelism
+    // many generation partitions => many parquet files & row groups, so a
+    // reader at any parallelism gets enough scan splits (row groups are the
+    // split granularity; a handful of fat files would cap scan parallelism)
+    val par = math.max(spark.sparkContext.defaultParallelism * 8, 64)
     def ids = spark.range(0, nDocs, 1, par)
     ids.map { i => val b = build(seed, i)
         (b.doc_id, b.spans, b.size_class, b.kind_major) }

@@ -87,16 +87,19 @@ object HtmlKernel {
                 if (!closing && !selfClosed) {
                   if (rawName == "head") dropDepth += 1
                   else {
-                    // skip to matching close tag (scripts/styles don't nest)
+                    // skip to matching close tag (scripts/styles don't
+                    // nest); case-insensitive scan without copying
                     val close = "</" + rawName
-                    val e2 = html.toLowerCase.indexOf(close, e)
-                    i = if (e2 < 0) n else html.indexOf('>', e2) + 1
+                    var p = e
+                    var found = -1
+                    while (found < 0 && p <= n - close.length) {
+                      if (html.regionMatches(true, p, close, 0, close.length)) found = p
+                      else p += 1
+                    }
+                    i = if (found < 0) n else html.indexOf('>', found) + 1
                     if (i <= 0) i = n
                   }
                 } else if (closing && rawName == "head" && dropDepth > 0) dropDepth -= 1
-                if (dropTags.contains(rawName) && rawName != "head") {
-                  // handled by skip above
-                }
               }
               if (rawName == "title") {
                 if (!closing) inTitle = true else inTitle = false

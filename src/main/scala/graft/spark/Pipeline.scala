@@ -10,16 +10,20 @@ import graft.kernel.{Extract, Lang}
   * rika_command.rb:82-90; everything below is our distribution strategy):
   *
   *  - spans are EXPLODED and extracted per-span immediately after the
-  *    media join, so raw payload bytes cross exactly ONE shuffle (the
-  *    join's own hash exchange on media_ref, which is uniformly
-  *    distributed by construction) and are dropped before assembly;
-  *  - inline text spans never join media: they take a cheap salted
-  *    repartition on pmod(hash(doc_id, idx), P) instead — explicit skew
-  *    mixing so giant docs that arrive clustered in scan splits (as
-  *    size-class-partitioned Iceberg layouts would) don't straggle one
-  *    executor (north rule: skew handled explicitly);
-  *  - per-doc assembly shuffles only EXTRACTED text (orders of magnitude
-  *    smaller than payloads), grouped by doc_id;
+  *    media join, so raw payload bytes cross at most ONE shuffle (the
+  *    join's hash exchange on media_ref, uniformly distributed by
+  *    construction) and are dropped before any further movement;
+  *  - per-doc assembly is one linear exchange of EXTRACTED text only
+  *    (orders of magnitude smaller than payloads); every subtree is
+  *    consumed exactly once — a singles fast-path split was measured
+  *    slower because any DAG fork recomputes the scan+join subtrees;
+  *  - inline-text spans extract directly in the scan stage: byte-bounded
+  *    scan splits (spark.sql.files.maxPartitionBytes) balance extraction
+  *    cost across cores. cfg.saltPartitions adds an explicit salted
+  *    repartition on pmod(hash(doc_id, span_idx)) — the north rule's skew
+  *    mixing for layouts where scan splits cluster heavy docs (a giant doc
+  *    is span-granular here, so a 256-span monster lands on up to 256
+  *    partitions, not one);
   *  - kernels run inside mapPartitions: parser state (lang profiles,
   *    format tables) is JVM-static, amortized per executor, mirroring the
   *    reference's one-JVM claim (reference: README.md:225-228).
@@ -46,50 +50,68 @@ object Pipeline {
         col("span.text").as("text"),
         col("span.media_ref").as("media_ref"))
 
-    val textSpans = spanRows.filter(col("media_ref").isNull)
-    val mediaSpans = spanRows.filter(col("media_ref").isNotNull)
-
     val p = if (cfg.saltPartitions > 0) cfg.saltPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    // inline text: explicit salt mixing (one narrow-payload shuffle)
-    val textSalted = textSpans
-      .repartition(p, pmod(hash(col("doc_id"), col("span_idx")), lit(p)))
-
-    // media payloads: the join's own exchange on media_ref IS the salt —
-    // refs are unique per span, so hash distribution is uniform. Broadcast
-    // the media table instead when the caller knows it is small.
-    val mediaSide = if (cfg.broadcastMedia) broadcast(media) else media
-    val mediaJoined = mediaSpans.join(mediaSide, Seq("media_ref"), "left")
-      .select(col("doc_id"), col("span_idx"), col("kind"), col("text"),
-        col("media_ref"), col("bytes_b64"))
-
     val opt = Extract.Options(cfg.maxContentLength)
 
-    val textExtracted = textSalted.as[(String, Int, String, String, String)]
-      .mapPartitions { it =>
-        it.map { case (docId, idx, kind, text, _) =>
+    // ---- text spans ----------------------------------------------------
+    // inline text extracts in the scan stage: byte-bounded scan splits
+    // (spark.sql.files.maxPartitionBytes) balance extraction cost across
+    // cores; optional explicit salt mixing via cfg.saltPartitions for
+    // layouts where scan splits cluster heavy docs
+    val textSpans = spanRows.filter(col("media_ref").isNull)
+    val textMixed =
+      if (cfg.saltPartitions > 0)
+        textSpans.repartition(p, pmod(hash(col("doc_id"), col("span_idx")), lit(p)))
+      else textSpans
+
+    def extractTextRows(df: DataFrame): Dataset[SpanExtract] =
+      df.select(col("doc_id"), col("span_idx"), col("kind"), col("text"))
+        .as[(String, Int, String, String)]
+        .mapPartitions(_.map { case (docId, idx, kind, text) =>
           toSpanExtract(docId, idx, null,
             Extract.extractText(kind, text, opt),
             if (text == null) 0L else text.length.toLong)
-        }
-      }
+        })
 
-    val mediaExtracted = mediaJoined
-      .as[(String, Int, String, String, String, String)]
-      .mapPartitions { it =>
-        it.map { case (docId, idx, kind, _, ref, b64) =>
-          val bytes =
-            if (b64 == null) null
-            else if (b64.isEmpty) Array.emptyByteArray
-            else java.util.Base64.getDecoder.decode(b64)
+    // ---- media spans ---------------------------------------------------
+    // base64 decoded in the SCAN projection: the join exchange carries raw
+    // binary (25% smaller than b64 text) and decodes exactly once. Both
+    // join sides are repartitioned EXPLICITLY to p on media_ref: Spark
+    // reuses those exchanges for the join, and the explicit count pins the
+    // CPU-heavy kernel stage's parallelism (AQE's byte-targeted coalescing
+    // would otherwise fold it into a few partitions — bytes are small,
+    // per-byte cost is not). broadcastMedia flips to a broadcast join when
+    // the media table is known-small.
+    val mediaSpans = spanRows.filter(col("media_ref").isNotNull)
+    val mediaBin = media.select(col("media_ref"), unbase64(col("bytes_b64")).as("bytes"))
+    val mediaJoined = (
+      if (cfg.broadcastMedia)
+        mediaSpans.join(broadcast(mediaBin), Seq("media_ref"), "left")
+      else
+        mediaSpans.repartition(p, col("media_ref"))
+          .join(mediaBin.repartition(p, col("media_ref")), Seq("media_ref"), "left"))
+
+    def extractMediaRows(df: DataFrame): Dataset[SpanExtract] =
+      df.select(col("doc_id"), col("span_idx"), col("kind"),
+          col("media_ref"), col("bytes"))
+        .as[(String, Int, String, String, Array[Byte])]
+        .mapPartitions(_.map { case (docId, idx, kind, ref, bytes) =>
           toSpanExtract(docId, idx, ref,
             Extract.extractBytes(kind, bytes, opt),
             if (bytes == null) 0L else bytes.length.toLong)
-        }
-      }
+        })
 
-    assemble(spark, textExtracted.union(mediaExtracted))
+    // ---- finalize ------------------------------------------------------
+    // one linear flow, each subtree consumed exactly once (a singles
+    // fast-path split would recompute the scan+join subtrees — measured
+    // slower than shuffling the small extracted text). Only extracted
+    // text crosses this exchange; payload bytes are gone.
+    extractTextRows(textMixed).union(extractMediaRows(mediaJoined))
+      .groupByKey(_.doc_id)
+      .mapGroups((docId, it) =>
+        assembleDoc(docId, it.toArray.sortBy(_.span_idx)))
   }
 
   private def toSpanExtract(docId: String, idx: Int, ref: String,
@@ -105,66 +127,60 @@ object Pipeline {
       issue_type = out.issue.getOrElse(""),
       bytes_in = bytesIn)
 
-  /** Reassemble per-doc rows from extracted spans: dense output offsets in
-    * input-span order, doc-level content type / language / sorted
-    * metadata, failure taxonomy. Only extracted text crosses this shuffle.
+  /** Per-doc finalization from extracted spans (sorted by span_idx): dense
+    * output offsets in input order, doc-level content type / language /
+    * sorted metadata, failure taxonomy.
     */
-  private def assemble(spark: SparkSession,
-      spansEx: Dataset[SpanExtract]): Dataset[ExtractedRow] = {
-    import spark.implicits._
-    spansEx.groupByKey(_.doc_id).mapGroups { (docId, it) =>
-      val parts = it.toArray.sortBy(_.span_idx)
-
-      val outSpans = Vector.newBuilder[Span]
-      var off = 0
-      parts.foreach { p =>
-        if (p.out_kind == "media") {
-          outSpans += Span("media", null, p.media_ref, off); off += 1
-        } else p.blocks.foreach { b =>
-          outSpans += Span("text", b, null, off); off += 1
-        }
+  def assembleDoc(docId: String, parts: Array[SpanExtract]): ExtractedRow = {
+    val outSpans = Vector.newBuilder[Span]
+    var off = 0
+    parts.foreach { p =>
+      if (p.out_kind == "media") {
+        outSpans += Span("media", null, p.media_ref, off); off += 1
+      } else p.blocks.foreach { b =>
+        outSpans += Span("text", b, null, off); off += 1
       }
-
-      val cts = parts.map(_.content_type).distinct
-      val contentType = if (cts.length == 1) cts.head else "multipart/mixed"
-
-      // language over a bounded sample of extracted text (doc-level, like
-      // the reference's whole-content detect, reference: lib/rika/parser.rb:30)
-      val sample = new StringBuilder
-      var i = 0
-      while (i < parts.length && sample.length < 4096) {
-        parts(i).blocks.foreach { b =>
-          if (sample.length < 4096) {
-            sample.append(b.take(4096 - sample.length)); sample.append('\n')
-          }
-        }
-        i += 1
-      }
-      val language = Lang.detect(sample.toString)
-
-      // metadata merge: first span wins per key; engine-injected keys
-      // mirror the reference (reference: lib/rika/parser.rb:31-32), sorted
-      // case-insensitively (reference: lib/rika/parser.rb:34).
-      val merged = scala.collection.mutable.LinkedHashMap[String, String]()
-      parts.foreach(_.metadata.foreach(e =>
-        if (!merged.contains(e.key)) merged += (e.key -> e.value)))
-      merged += ("Content-Type" -> contentType)
-      merged += ("rika:language" -> language)
-      merged += ("rika:data-source" -> docId)
-      val metadata = merged.toSeq
-        .sortBy { case (k, _) => (k.toLowerCase, k) }
-        .map { case (k, v) => MetaEntry(k, v) }
-
-      val issues = parts.map(_.issue_type).filter(_.nonEmpty)
-      ExtractedRow(
-        doc_id = docId,
-        spans = outSpans.result(),
-        content_type = contentType,
-        language = language,
-        metadata = metadata,
-        status = if (issues.isEmpty) "ok" else "failed",
-        issue_type = issues.headOption.getOrElse(""),
-        bytes_in = parts.map(_.bytes_in).sum)
     }
+
+    val cts = parts.map(_.content_type).distinct
+    val contentType = if (cts.length == 1) cts.head else "multipart/mixed"
+
+    // language over a bounded sample of extracted text (doc-level, like
+    // the reference's whole-content detect, reference: lib/rika/parser.rb:30)
+    val sample = new StringBuilder
+    var i = 0
+    while (i < parts.length && sample.length < 4096) {
+      parts(i).blocks.foreach { b =>
+        if (sample.length < 4096) {
+          sample.append(b.take(4096 - sample.length)); sample.append('\n')
+        }
+      }
+      i += 1
+    }
+    val language = Lang.detect(sample.toString)
+
+    // metadata merge: first span wins per key; engine-injected keys mirror
+    // the reference (reference: lib/rika/parser.rb:31-32), sorted
+    // case-insensitively (reference: lib/rika/parser.rb:34).
+    val merged = scala.collection.mutable.LinkedHashMap[String, String]()
+    parts.foreach(_.metadata.foreach(e =>
+      if (!merged.contains(e.key)) merged += (e.key -> e.value)))
+    merged += ("Content-Type" -> contentType)
+    merged += ("rika:language" -> language)
+    merged += ("rika:data-source" -> docId)
+    val metadata = merged.toSeq
+      .sortBy { case (k, _) => (k.toLowerCase, k) }
+      .map { case (k, v) => MetaEntry(k, v) }
+
+    val issues = parts.map(_.issue_type).filter(_.nonEmpty)
+    ExtractedRow(
+      doc_id = docId,
+      spans = outSpans.result(),
+      content_type = contentType,
+      language = language,
+      metadata = metadata,
+      status = if (issues.isEmpty) "ok" else "failed",
+      issue_type = issues.headOption.getOrElse(""),
+      bytes_in = parts.map(_.bytes_in).sum)
   }
 }

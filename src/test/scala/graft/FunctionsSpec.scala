@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.kernel.{Charset, Lang, Magic}
+
+/** Native Catalyst expression functions: results equal the kernels they
+  * wrap, and the expressions participate in whole-stage codegen (no
+  * CodegenFallback).
+  */
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("sniff_mime / detect_charset / lang_of match the kernels") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val names = Seq("document.pdf", "document.docx", "document.doc",
+      "image.jpg", "document.txt", "unknown.bin", "ru.txt")
+    val df = names.map(n => (n, fixture(n))).toDF("name", "bytes")
+      .select(col("name"),
+        graft.functions.sniff_mime(col("bytes")).as("mime"),
+        graft.functions.detect_charset(col("bytes")).as("cs"))
+    val got = df.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    names.foreach { n =>
+      val b = fixture(n)
+      assert(got(n)._1 == Magic.contentTypeOf(Magic.sniff(b), None), n)
+      assert(got(n)._2 == Charset.detect(b).name, n)
+    }
+    val langs = Seq("en.txt", "de.txt", "fr.txt", "es.txt", "ru.txt")
+    val ldf = langs.map(n => new String(fixture(n), "UTF-8")).toDF("t")
+      .select(graft.functions.lang_of(col("t"))).collect().map(_.getString(0))
+    assert(ldf.toSeq == langs.map(n => Lang.detect(new String(fixture(n), "UTF-8"))))
+  }
+
+  test("expressions are codegen'd (plan shows WholeStageCodegen, no fallback)") {
+    // spark.range keeps a real physical plan (a local Seq would be
+    // constant-folded into a LocalTableScan before execution)
+    val df = spark.range(2)
+      .select(unbase64(when(col("id") % 2 === 0, lit("JVBERi0="))
+        .otherwise(lit("AAAAAA=="))).as("bytes"))
+      .select(graft.functions.sniff_mime(col("bytes")).as("mime"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the short plan form; the
+    // expression must still be present (not constant-folded away)
+    assert(plan.contains("*(1)"), plan)
+    assert(plan.toLowerCase.contains("sniffmime"), plan)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("application/octet-stream", "application/pdf"))
+  }
+}
