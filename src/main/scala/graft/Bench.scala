@@ -20,6 +20,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // CPU-heavy per byte: small scan splits keep all cores fed; avoid
+      // mmap churn on shuffle blocks (see PERF.md)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.storage.memoryMapThreshold", "512m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,18 +18,15 @@ object Ann {
     */
   def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val base = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    val q = queries.select(col(idCol).as("qid"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
-      .withColumn("qnorm", sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)))
+    import graft.functions.dot_f64
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", sqrt(dot_f64(col("v"), col("v"))))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qnorm", sqrt(dot_f64(col("qv"), col("qv"))))
     val scored = base.crossJoin(broadcast(q)) // queries are small: broadcast
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        round(
-          aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("norm") * col("qnorm")),
+        round(dot_f64(col("v"), col("qv")) / (col("norm") * col("qnorm")),
           6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
@@ -67,23 +64,20 @@ object Ann {
     */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int = 10,
       nBits: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.dot_f64
     val buckets = lshBuckets(emb, nBits, idCol = idCol, vecCol = vecCol)
-    val base = emb.select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(buckets, "id")
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(dot_f64(col("v"), col("v"))))
     val qb = lshBuckets(queries, nBits, idCol = idCol, vecCol = vecCol)
       .withColumnRenamed("id", "qid").withColumnRenamed("bucket", "qbucket")
-    val q = queries.select(col(idCol).as("qid"),
-        transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .join(qb, "qid")
-      .withColumn("qnorm", sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("qnorm", sqrt(dot_f64(col("qv"), col("qv"))))
     val scored = base.join(broadcast(q),
         col("bucket") === col("qbucket") && col("id") =!= col("qid"))
       .select(col("qid"), col("id"), col("bucket"),
-        round(
-          aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("norm") * col("qnorm")),
+        round(dot_f64(col("v"), col("qv")) / (col("norm") * col("qnorm")),
           6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)

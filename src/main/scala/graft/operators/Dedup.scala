@@ -143,16 +143,13 @@ object Dedup {
     */
   def embedCosine(emb: DataFrame, threshold: Double = 0.4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    val withNorm = e.withColumn("norm",
-      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    import graft.functions.dot_f64
+    val withNorm = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", sqrt(dot_f64(col("v"), col("v"))))
     val pairs = withNorm.as("a").crossJoin(withNorm.as("b"))
       .filter(col("a.id") < col("b.id"))
     pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(
-          aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("a.norm") * col("b.norm")),
+        round(dot_f64(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")),
           4).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("id_a", "id_b")

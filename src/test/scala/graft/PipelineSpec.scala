@@ -118,6 +118,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.select("run_id").distinct().count() >= 2)
   }
 
+  test("missing media_ref -> io_error row (both join strategies)") {
+    import spark.implicits._
+    val docs = Seq(
+      graft.spark.DocRow("doc-x", Seq(graft.spark.Span("pdf", null, "m-nope", 0))),
+      graft.spark.DocRow("doc-y", Seq(graft.spark.Span("txt", "hello world", null, 0)))
+    ).toDF()
+    val media = Seq(("m-other", "aGVsbG8=", 5L)).toDF("media_ref", "bytes_b64", "length")
+    for (cfg <- Seq(Pipeline.Config(), Pipeline.Config(saltPartitions = 4))) {
+      val out = Pipeline.extract(spark, docs, media, cfg).toDF()
+      val rows = out.collect().map(r => r.getString(0) -> r.getString(6)).toMap
+      assert(rows("doc-x") == "io_error", s"cfg=$cfg got $rows")
+      assert(rows("doc-y") == "")
+      assert(out.count() == 2)
+    }
+  }
+
   test("failure taxonomy: empty payloads flagged, batch completes (rika_command_spec.rb:147-160)") {
     val out = Pipeline.extract(spark,
       Gen.readDocs(spark, corpusDir), Gen.readMedia(spark, corpusDir)).toDF()
