@@ -108,6 +108,49 @@ object SparkEntry {
         .select(explode(col("metadata")).as("m"))
         .groupBy(col("m.key").as("key")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("key").asc).limit(20)),
+    "x_project" -> ((s, dir) => {
+      // the reference CLI's result_hash projection {source, metadata, text}
+      // (lib/rika/cli/rika_command.rb:141-147) + input-type classification
+      // (lib/rika/parser.rb:59-71: CASE WHEN on "://")
+      val ext = ensureExtracted(s, dir)
+      ext.select(
+          col("doc_id").as("source"),
+          when(col("doc_id").contains("://"), "http").otherwise("file").as("input_type"),
+          col("metadata"),
+          concat_ws("\n\n", filter(col("spans"),
+            sp => sp.getField("kind") === "text").getField("text")).as("text"))
+        .orderBy("source")
+    }),
+    "x_meta_lookup" -> ((s, dir) => {
+      // metadata key lookup, null-safe (spec/rika/parser_spec.rb:195-197);
+      // ordered-array metadata -> filter + element_at
+      val ext = ensureExtracted(s, dir)
+      def meta(k: String) = try_element_at(
+        filter(col("metadata"), m => m.getField("key") === k), lit(1)).getField("value")
+      ext.filter(col("content_type") === "application/pdf")
+        .select(col("doc_id"), meta("dc:title").as("title"),
+          meta("pdf:producer").as("producer"),
+          meta("nonexistent:key").as("absent"))
+        .orderBy("doc_id")
+    }),
+    "x_truncate64" -> ((s, dir) => {
+      // E8 truncation as a pipeline option (computation pruning analog of
+      // lib/rika/cli/rika_command.rb:233-237); prefix invariant asserted in
+      // ScalaTest, here the operator runs at maxContentLength=64
+      val name = new File(dir).getName
+      val corpusDir = s"$DataRoot/corpus/$name"
+      graft.corpus.Gen.writeCorpus(s, corpusDir, nDocsFor(name))
+      val docs = graft.corpus.Gen.readDocs(s, corpusDir).limit(300)
+      val media = graft.corpus.Gen.readMedia(s, corpusDir)
+      Pipeline.extract(s, docs, media, Pipeline.Config(maxContentLength = 64))
+        .toDF()
+        .select(col("doc_id"),
+          aggregate(transform(col("spans"),
+            sp => coalesce(length(sp.getField("text")), lit(0))),
+            lit(0), (acc, x) => acc + x).as("total_text_len"),
+          size(col("spans")).as("n_spans"))
+        .orderBy("doc_id")
+    }),
     "x_sniff_tally" -> ((s, dir) => {
       // native codegen Expressions (no UDF): magic-byte MIME + charset
       val m = corpusMedia(s, dir)
