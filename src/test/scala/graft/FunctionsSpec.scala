@@ -58,4 +58,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).sorted.toSeq ==
       Seq("application/octet-stream", "application/pdf"))
   }
+
+  test("SQL registration: functions usable from spark.sql") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT sniff_mime(unbase64('JVBERi0=')) AS mime,
+        |  detect_charset(unbase64('aGVsbG8=')) AS cs,
+        |  lang_of('the woods are lovely dark and deep and the wind is in the snow') AS l,
+        |  round(dot_f64(array(1.0D, 2.0D), array(3.0D, 4.0D)), 3) AS dot""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "application/pdf")
+    assert(r.getString(1) == "UTF-8")
+    assert(r.getString(2) == "en")
+    assert(r.getDouble(3) == 11.0)
+  }
 }
