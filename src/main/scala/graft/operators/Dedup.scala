@@ -66,18 +66,24 @@ object Dedup {
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sig = minhashSignature(docs, idCol, textCol)
-    // band key = md5 of the band's minhash values
-    val bands = (0 until Bands).map { b =>
+    // bands via a single explode over one signature subtree (a union of
+    // per-band selects would recompute the signature aggregation per band)
+    val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws(",", cols: _*)).as("bkey"))
-    }.reduce(_.unionAll(_))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // the self-join's two sides shuffle identically on (band, bkey) =>
+    // Spark's ReuseExchange materializes the subtree once
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on shingle sets
+    // exact verification on shingle sets; `cand` is consumed exactly once
+    // (a zero-intersection candidate cannot reach any threshold > 0, so no
+    // left join back onto cand is needed)
     val shs = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol)))).as("sh"))
     val counts = shs.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -85,8 +91,7 @@ object Dedup {
       .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shs.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("inter"))
+    inter
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
