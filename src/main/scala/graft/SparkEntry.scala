@@ -217,6 +217,10 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Ann.bruteTopK(e, e.filter(col("vec_id") < 16), k = 10)
     }),
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 16), k = 10)
+    }),
     "ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Ann.lshTopK(e, e.filter(col("vec_id") < 16), k = 10, nBits = 8)

@@ -59,6 +59,51 @@ object Ann {
     e.select(col("id"), bitCols.reduce(_ + _).as("bucket"))
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
+    * centroid's list; queries probe the `nProbe` nearest lists only.
+    * Centroids here are a deterministic sample of the corpus (train-free
+    * IVF-flat); at warehouse scale the assignment join is the same shape
+    * with k-means centroids. Output: (query_id, rank, neighbor_id,
+    * cosine, centroid_id).
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.dot_f64
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", sqrt(dot_f64(col("v"), col("v"))))
+    // deterministic centroid sample: first nCentroids ids
+    val centroids = e.orderBy("id").limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"),
+        col("norm").as("cnorm"))
+    def nearest(df: DataFrame, vc: String, nc: String, idc: String, keep: Int) = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("cscore",
+          dot_f64(col(vc), col("cv")) / (col(nc) * col("cnorm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idc).orderBy(col("cscore").desc, col("cid").asc)
+      scored.withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("cv", "cnorm", "cscore", "crn")
+    }
+    val assigned = nearest(e, "v", "norm", "id", 1) // inverted lists
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qnorm", sqrt(dot_f64(col("qv"), col("qv"))))
+    val probed = nearest(q, "qv", "qnorm", "qid", nProbe)
+    val scored = assigned.join(broadcast(probed), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("cid"),
+        round(dot_f64(col("v"), col("qv")) / (col("norm") * col("qnorm")),
+          6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), col("cosine"), col("cid").as("centroid_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN via LSH buckets: top-k within each query's bucket (recall < 1,
     * cost ~ bucketSize instead of N). Output like bruteTopK plus bucket.
     */

@@ -59,6 +59,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("ann_ivf: recall vs brute force is meaningful, mechanics sound") {
+    val brute = SparkEntry.queries("ann_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SparkEntry.queries("ann_ivf")(spark, sf).collect()
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.toSeq == (1 to ranks.length))
+    }
+    val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivfSet).size.toDouble / brute.size
+    assert(recall > 0.15, s"ivf recall $recall") // nProbe=4/16 lists
+    info(s"IVF recall@10 = $recall")
+  }
+
   test("text_quality fields are consistent") {
     val out = SparkEntry.queries("text_quality")(spark, sf).collect()
     assert(out.nonEmpty)
