@@ -524,6 +524,47 @@ object PdfKernel {
     }
     private val cache = scala.collection.mutable.HashMap[Int, PObj]()
 
+    /** PDF 1.5+ object streams (/Type /ObjStm): compressed objects are
+      * invisible to the top-level brute scan, so every ObjStm is expanded
+      * once, lazily, into this secondary index. Header = N pairs
+      * "objnum offset" before /First.
+      */
+    private var objStmBuilding = false
+    private var objStmCache: Map[Int, PObj] = null
+    private def objStmObjects: Map[Int, PObj] = {
+      if (objStmCache != null) return objStmCache
+      if (objStmBuilding) return Map.empty // re-entrant deref during build
+      objStmBuilding = true
+      val m = Map.newBuilder[Int, PObj]
+      objOffsets.keys.foreach { num =>
+        obj(num) match {
+          case s @ PStream(PDict(d), _) if d.get("Type").contains(PName("ObjStm")) =>
+            try {
+              val data = decodeStream(s)
+              val n = d.get("N").collect { case PNum(v) => v.toInt }.getOrElse(0)
+              val first = deref(d.getOrElse("First", PNull))
+                .collect { case PNum(v) => v.toInt }.getOrElse(0)
+              val head = new Lexer(data)
+              val pairs = (0 until n).flatMap { _ =>
+                (head.next(), head.next()) match {
+                  case (Some(PNum(on)), Some(PNum(off))) => Some(on.toInt -> off.toInt)
+                  case _ => None
+                }
+              }
+              pairs.foreach { case (objNum, off) =>
+                val lex = new Lexer(data)
+                lex.pos = first + off
+                lex.next().foreach(o => m += (objNum -> o))
+              }
+            } catch { case scala.util.control.NonFatal(_) => () }
+          case _ => ()
+        }
+      }
+      objStmCache = m.result()
+      objStmBuilding = false
+      objStmCache
+    }
+
     val trailer: PDict = {
       val m = Map.newBuilder[String, PObj]
       var idx = raw.indexOf("trailer")
@@ -553,7 +594,11 @@ object PdfKernel {
       PDict(d)
     }
 
-    def obj(num: Int): PObj = cache.getOrElseUpdate(num, parseObjAt(num))
+    def obj(num: Int): PObj = cache.getOrElseUpdate(num, parseObjAt(num)) match {
+      case PNull if !objOffsets.contains(num) =>
+        objStmObjects.getOrElse(num, PNull) // compressed object streams
+      case other => other
+    }
 
     private def parseObjAt(num: Int): PObj = objOffsets.get(num) match {
       case None => PNull

@@ -112,6 +112,39 @@ class KernelSpec extends AnyFunSuite {
     assert(t.indexOf("Whose woods") < t.indexOf("The woods are lovely"))
   }
 
+  test("E3: PDF 1.5 object streams (ObjStm) are indexed") {
+    // hand-crafted: catalog/pages/page dicts live compressed inside an
+    // ObjStm; only the content stream and the ObjStm itself are top-level
+    import java.util.zip.Deflater
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(); d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val inner = "<< /Type /Catalog /Pages 4 0 R >> " +
+      "<< /Type /Pages /Kids [ 5 0 R ] /Count 1 >> " +
+      "<< /Type /Page /Parent 4 0 R /Contents 6 0 R >>"
+    val header = "3 0 4 34 5 75 "
+    val stmData = (header + inner).getBytes("ISO-8859-1")
+    val packed = deflate(stmData)
+    val content = "BT /F1 12 Tf 72 700 Td (Hello ObjStm world) Tj ET".getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"1 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length} /Length ${packed.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(packed)
+    w("\nendstream\nendobj\n")
+    w(s"6 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Root 3 0 R >>\n%%EOF\n")
+    val res = Extract.extractBytes("pdf", out.toByteArray, Extract.Options())
+    assert(res.contentType == "application/pdf")
+    assert(res.content.contains("Hello ObjStm world"), res.content)
+  }
+
   // ---------------------------------------------------------------- docx
   test("E4: DOCX first line + content type (spec/rika/parser_spec.rb:153-155,245-249)") {
     val out = Extract.extractBytes("docx", fixture("document.docx"), Extract.Options())
