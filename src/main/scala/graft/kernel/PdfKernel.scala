@@ -104,7 +104,23 @@ object PdfKernel {
     }
     lines += ((curY, cur.result().sortBy(_.x)))
     val ls = lines.result()
-    val lineTexts = ls.map { case (_, runs) => runs.map(_.text).mkString }
+    // join runs left-to-right; insert a synthetic space when a positive
+    // x-gap remains after a (deliberately generous) width estimate of the
+    // previous run — covers PDFs that position words via Td/Tm instead of
+    // space glyphs, while never double-spacing runs that carry their own
+    // spaces (the estimate overshoots, so touching runs never gap)
+    val lineTexts = ls.map { case (_, runs) =>
+      val sb = new StringBuilder
+      var prevEnd = Double.NegativeInfinity
+      runs.foreach { r =>
+        if (sb.nonEmpty && r.x - prevEnd > 0.3 * r.size &&
+            !sb.last.isWhitespace && !r.text.head.isWhitespace)
+          sb.append(' ')
+        sb.append(r.text)
+        prevEnd = r.x + r.text.length * 0.5 * r.size
+      }
+      sb.toString
+    }
     // Paragraph breaks: leading gap noticeably larger than the median gap.
     val gaps = ls.sliding(2).collect { case Vector((y1, _), (y2, _)) => y1 - y2 }.toVector
     val medGap = if (gaps.nonEmpty) gaps.sorted.apply(gaps.length / 2) else 0.0

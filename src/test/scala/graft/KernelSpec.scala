@@ -145,6 +145,23 @@ class KernelSpec extends AnyFunSuite {
     assert(res.content.contains("Hello ObjStm world"), res.content)
   }
 
+  test("E3: Td-positioned words get synthetic spaces (no space glyphs)") {
+    val content = ("BT /F1 12 Tf 72 700 Td (Hello) Tj 60 0 Td (world) Tj ET")
+      .getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    val res = Extract.extractBytes("pdf", out.toByteArray, Extract.Options())
+    assert(res.content.contains("Hello world"), res.content)
+  }
+
   // ---------------------------------------------------------------- docx
   test("E4: DOCX first line + content type (spec/rika/parser_spec.rb:153-155,245-249)") {
     val out = Extract.extractBytes("docx", fixture("document.docx"), Extract.Options())
