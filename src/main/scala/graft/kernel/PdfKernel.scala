@@ -70,11 +70,26 @@ object PdfKernel {
       fname -> loadFont(doc, doc.deref(fref).collect { case d: PDict => d }.getOrElse(PDict(Map.empty)))
     }).getOrElse(Map.empty)
 
+    // multi-part contents assemble in one pass with a hard size bound
+    // (fuzzing found the quadratic fold + unbounded concat: 20 refs to a
+    // 64 MiB stream OOM'd the old code)
+    val MaxPageContent = 64 << 20
     val content: Array[Byte] = doc.deref(page.m.getOrElse("Contents", PNull)) match {
-      case Some(s: PStream)  => doc.decodeStream(s)
+      case Some(s: PStream) =>
+        val d = doc.decodeStream(s)
+        if (d.length > MaxPageContent) java.util.Arrays.copyOf(d, MaxPageContent) else d
       case Some(PArr(items)) =>
-        items.flatMap(it => doc.deref(it).collect { case s: PStream => doc.decodeStream(s) })
-          .foldLeft(Array.emptyByteArray)((a, b) => a ++ Array('\n'.toByte) ++ b)
+        val out = new java.io.ByteArrayOutputStream()
+        items.iterator
+          .flatMap(it => doc.deref(it).collect { case s: PStream => s })
+          .takeWhile(_ => out.size() < MaxPageContent)
+          .foreach { s =>
+            val d = doc.decodeStream(s)
+            val room = MaxPageContent - out.size()
+            out.write('\n')
+            out.write(d, 0, math.min(d.length, room))
+          }
+        out.toByteArray
       case _ => Array.emptyByteArray
     }
 
@@ -245,15 +260,23 @@ object PdfKernel {
     private val out = Vector.newBuilder[Run]
 
     def run(content: Array[Byte]): Vector[Run] = {
-      val toks = new Lexer(content, contentMode = true).allTokens()
+      // stream tokens (never materialize the token list: fuzzing showed
+      // corrupted FlateDecode data can inflate to tens of MB of garbage
+      // that would lex into tens of millions of tokens)
+      val lex = new Lexer(content, contentMode = true)
       val stack = scala.collection.mutable.ArrayBuffer[PObj]()
-      var i = 0
-      while (i < toks.length) {
-        toks(i) match {
+      val maxOps = 16 << 20
+      var n = 0
+      var tok = lex.next()
+      while (tok.isDefined && n < maxOps) {
+        tok.get match {
           case POp(op) => exec(op, stack); stack.clear()
-          case o       => stack += o
+          case o =>
+            stack += o
+            if (stack.length > 4096) stack.clear() // garbage guard
         }
-        i += 1
+        n += 1
+        tok = lex.next()
       }
       out.result()
     }
@@ -347,6 +370,10 @@ object PdfKernel {
   final class Lexer(data: Array[Byte], contentMode: Boolean = false) {
     var pos = 0
     private val n = data.length
+    // fuzz hardening: corrupted FlateDecode garbage can lex forever or
+    // nest arbitrarily deep — bounded token budget + structure depth
+    private var budget: Long = 8L << 20
+    private var depth = 0
 
     def allTokens(): Vector[PObj] = {
       val out = Vector.newBuilder[PObj]
@@ -374,21 +401,34 @@ object PdfKernel {
     def next(): Option[PObj] = {
       skipWs()
       if (pos >= n) return None
+      budget -= 1
+      if (budget <= 0) { pos = n; return None }
       val b = data(pos) & 0xff
       b match {
         case '(' => Some(string())
         case '<' =>
-          if (pos + 1 < n && data(pos + 1) == '<'.toByte) { pos += 2; Some(dict()) }
+          if (pos + 1 < n && data(pos + 1) == '<'.toByte) {
+            pos += 2
+            if (depth > 64) Some(PNull) // contents re-lexed flat; harmless
+            else { depth += 1; val d = dict(); depth -= 1; Some(d) }
+          }
           else Some(hexString())
+        case '[' if depth > 64 => pos += 1; Some(PNull)
         case '[' =>
           pos += 1
+          depth += 1
           val items = Vector.newBuilder[PObj]
+          var count = 0
           skipWs()
+          // item cap: corrupted streams can open an array that never
+          // closes — collect a bounded prefix, keep scanning to the end
           while (pos < n && data(pos) != ']'.toByte) {
-            next().foreach(items += _)
+            val o = next()
+            if (count < 65536) { o.foreach(items += _); count += 1 }
             skipWs()
           }
           pos += 1
+          depth -= 1
           Some(PArr(items.result()))
         case ']' | '>' | '}' | ')' => pos += 1; next()
         case '/' => Some(name())
@@ -684,11 +724,14 @@ object PdfKernel {
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](16384)
+      val maxOut = 256 << 20 // decompression-bomb guard
       try {
         while (!inf.finished() && !inf.needsInput()) {
           val k = inf.inflate(buf)
           if (k == 0 && !inf.finished()) return out.toByteArray
           out.write(buf, 0, k)
+          if (out.size() > maxOut)
+            throw new PdfParseException("FlateDecode output exceeds bound")
         }
         out.toByteArray
       } catch {
