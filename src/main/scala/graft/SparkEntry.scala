@@ -205,6 +205,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy("event_type", "hour_bucket")),
 
+    "q5_setops" -> ((s, dir) => {
+      // INTERSECT + EXCEPT over customer/orders key sets
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.select(col("c_custkey").as("k"))
+        .intersect(o.select(col("o_custkey").as("k")))
+        .except(c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("k")))
+        .orderBy("k")
+    }),
+    "q6_rollup" -> ((s, dir) =>
+      // grouping-sets coverage; NULL grouping levels coalesced to 'ALL'
+      // so cross-engine sort order is unambiguous
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+    "q7_sessions" -> ((s, dir) => {
+      // sessionization: per-user sessions split at >30min gaps
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // ---- dedup suite (oracled)
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docsWithDups(s, dir), 0.5)),
@@ -331,6 +367,37 @@ object SparkEntry {
       """SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket""".stripMargin,
+    "q5_setops" ->
+      """SELECT c_custkey AS k FROM customer
+        |INTERSECT SELECT o_custkey AS k FROM orders
+        |EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+        |ORDER BY k""".stripMargin,
+    "q6_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q7_sessions" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM base),
+        |sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "dedup_exact" ->
       s"""WITH $dupDocs
          |SELECT md5(text) AS text_hash, count(*) AS n_docs,
