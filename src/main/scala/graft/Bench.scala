@@ -37,6 +37,11 @@ object Bench {
     val media = Gen.readMedia(spark, corpusDir)
     val nDocs = docs.count() // materialize cache outside the timed region
 
+    // warm-up extraction (JIT + page cache) outside the timed region
+    Pipeline.extract(spark, docs, media).toDF()
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).collect()
+
     // timed headline: full extraction (payload join + kernels + assembly)
     val t0 = System.nanoTime()
     val agg = Pipeline.extract(spark, docs, media)
@@ -53,8 +58,9 @@ object Bench {
     // operator suite timings (each fully materialized via count)
     val benchQueries = Seq(
       "q1_agg", "q2_join_top", "q3_window", "q4_events_hourly",
+      "q5_setops", "q6_rollup", "q7_sessions",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_jaccard",
-      "dedup_embed_cosine", "ann_topk", "ann_lsh",
+      "dedup_embed_cosine", "ann_topk", "ann_lsh", "ann_ivf",
       "text_quality", "text_tokens", "text_fingerprint", "text_langid")
     val results = benchQueries.map { q =>
       val s0 = System.nanoTime()

@@ -56,7 +56,7 @@ object ScalingBench {
     // a slow window cannot bias one side of the ratio.
     val n = sys.env.getOrElse("SCALING_N", "2").toInt
     var best = Map(n -> (Double.MaxValue, 0L, 0L), 4 * n -> (Double.MaxValue, 0L, 0L))
-    for (round <- 1 to 3) {
+    for (round <- 1 to 4) {
       for (cpus <- Seq(n, 4 * n)) {
         val r = onePass(cpus, warm = round == 1)
         System.err.println(f"[scaling] round $round @ $cpus: ${r._1}%.2f s")
