@@ -205,10 +205,15 @@ object Gen {
     // split granularity; a handful of fat files would cap scan parallelism)
     val par = math.max(spark.sparkContext.defaultParallelism * 8, 64)
     def ids = spark.range(0, nDocs, 1, par)
+    // Iceberg-style partition layout: kind_major is a physical partition
+    // column (directory-level), size_class a stats-pruned data column —
+    // scans with either predicate prune work before reading payloads
     ids.map { i => val b = build(seed, i)
         (b.doc_id, b.spans, b.size_class, b.kind_major) }
       .toDF("doc_id", "spans", "size_class", "kind_major")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs.parquet")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("kind_major")
+      .parquet(s"$dir/docs.parquet")
     ids.flatMap(i => build(seed, i).media)
       .toDF("media_ref", "bytes_b64", "length")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/media.parquet")
