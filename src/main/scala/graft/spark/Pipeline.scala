@@ -40,15 +40,18 @@ object Pipeline {
       cfg: Config = Config()): Dataset[ExtractedRow] = {
     import spark.implicits._
 
-    val spanRows = docs.select(
-      col("doc_id"),
-      explode(col("spans")).as("span"))
-      .select(
-        col("doc_id"),
+    // branch-specialized projections: the media branch never touches the
+    // heavy span.text field, so nested-schema pruning drops it from that
+    // branch's parquet scans (verified in ReadSchema)
+    def spanRows(withText: Boolean) = {
+      val base = docs.select(col("doc_id"), explode(col("spans")).as("span"))
+      val fields = Seq(
         col("span.offset").as("span_idx"),
-        col("span.kind").as("kind"),
-        col("span.text").as("text"),
-        col("span.media_ref").as("media_ref"))
+        col("span.kind").as("kind")) ++
+        (if (withText) Seq(col("span.text").as("text")) else Nil) :+
+        col("span.media_ref").as("media_ref")
+      base.select(col("doc_id") +: fields: _*)
+    }
 
     val p = if (cfg.saltPartitions > 0) cfg.saltPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -60,7 +63,7 @@ object Pipeline {
     // (spark.sql.files.maxPartitionBytes) balance extraction cost across
     // cores; optional explicit salt mixing via cfg.saltPartitions for
     // layouts where scan splits cluster heavy docs
-    val textSpans = spanRows.filter(col("media_ref").isNull)
+    val textSpans = spanRows(withText = true).filter(col("media_ref").isNull)
     val textMixed =
       if (cfg.saltPartitions > 0)
         textSpans.repartition(p, pmod(hash(col("doc_id"), col("span_idx")), lit(p)))
@@ -84,7 +87,7 @@ object Pipeline {
     // would otherwise fold it into a few partitions — bytes are small,
     // per-byte cost is not). broadcastMedia flips to a broadcast join when
     // the media table is known-small.
-    val mediaSpans = spanRows.filter(col("media_ref").isNotNull)
+    val mediaSpans = spanRows(withText = false).filter(col("media_ref").isNotNull)
     val mediaBin = media.select(col("media_ref"), unbase64(col("bytes_b64")).as("bytes"))
 
     // Join-strategy selection by table statistics (the decision a real
