@@ -13,7 +13,9 @@ object Extract {
     * lib/rika/cli/rika_command.rb:233-237): -1 unlimited, 0 = metadata-only
     * (computation pruning), n > 0 = first n chars.
     */
-  final case class Options(maxContentLength: Int = -1)
+  final case class Options(
+      maxContentLength: Int = -1,
+      htmlFullText: Boolean = false) // true = reference/Tika all-text semantics
 
   final case class Out(
       content: String,           // canonical full extracted text (truncated per options)
@@ -81,7 +83,8 @@ object Extract {
   }
 
   private def html(raw: String, charset: String, opt: Options): Out = {
-    val r = HtmlKernel.extract(raw)
+    val r = if (opt.htmlFullText) HtmlKernel.extractFullText(raw)
+      else HtmlKernel.extract(raw)
     val full = r.blocks.mkString("\n\n")
     val content = truncate(full, opt)
     Out(content, blocksOf(content),

@@ -41,7 +41,22 @@ object HtmlKernel {
   private val boilerTags = Set("nav", "header", "footer", "aside", "form", "menu")
   private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
 
+  /** Full-text mode: keep every non-dropped block (script/style/head
+    * still excluded) — the reference's Tika semantics, where "extraction"
+    * means all rendered text. Main-content mode (the default, per the
+    * north rule) additionally classifies and drops boilerplate blocks.
+    */
+  def extractFullText(html: String): Result = {
+    val r = extractRaw(html)
+    Result(r._1.map(_.text), r._2, r._3)
+  }
+
   def extract(html: String): Result = {
+    val r = extractRaw(html)
+    Result(classify(r._1), r._2, r._3)
+  }
+
+  private def extractRaw(html: String): (Vector[Block], String, Map[String, String]) = {
     val blocks = Vector.newBuilder[Block]
     var title = ""
     var metaTags = Map.empty[String, String]
@@ -148,8 +163,7 @@ object HtmlKernel {
     flush()
 
     val all = blocks.result()
-    val kept = classify(all)
-    Result(kept, normalizeWs(title), metaTags ++
+    (all, normalizeWs(title), metaTags ++
       (if (title.trim.nonEmpty) Map("dc:title" -> normalizeWs(title)) else Map.empty))
   }
 

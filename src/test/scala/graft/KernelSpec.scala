@@ -244,6 +244,19 @@ class KernelSpec extends AnyFunSuite {
     assert(out.metadata("dc:title") == "My Page")
   }
 
+  test("E2: full-text mode keeps boilerplate (reference/Tika semantics)") {
+    val html = """<html><head><title>T</title></head><body>
+      |<nav><a href="/">Home</a></nav>
+      |<p>Main content paragraph with plenty of words to be kept as the body.</p>
+      |<footer>Copyright footer text</footer></body></html>""".stripMargin
+    val main = Extract.extractText("html", html, Extract.Options())
+    val full = Extract.extractText("html", html, Extract.Options(htmlFullText = true))
+    assert(!main.content.contains("Copyright"))
+    assert(full.content.contains("Copyright"))
+    assert(full.content.contains("Home"))
+    assert(full.content.contains("Main content paragraph"))
+  }
+
   test("E2: entity decoding") {
     assert(HtmlKernel.decodeEntities("a &amp; b &lt;c&gt; &#65; &#x42;") == "a & b <c> A B")
   }
