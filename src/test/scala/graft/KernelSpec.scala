@@ -177,12 +177,52 @@ class KernelSpec extends AnyFunSuite {
     assert(out.metadata("meta:word-count") == "127")
   }
 
+  test("E4: DOCX tabs and breaks become characters") {
+    val spec = graft.corpus.DocxWriter.Spec("T", "C", Vector("seed"), 1)
+    val base = graft.corpus.DocxWriter.write(spec)
+    // splice a run with tab + br via a handcrafted document.xml
+    val xml = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>
+      |<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t></w:r></w:p>
+      |</w:body></w:document>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bos)
+    def add(n: String, d: String, stored: Boolean): Unit = {
+      val e = new java.util.zip.ZipEntry(n); e.setTime(0L)
+      if (stored) { val b = d.getBytes("UTF-8"); e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(b.length); val c = new java.util.zip.CRC32(); c.update(b); e.setCrc(c.getValue) }
+      zo.putNextEntry(e); zo.write(d.getBytes("UTF-8")); zo.closeEntry()
+    }
+    add("[Content_Types].xml", "<Types xmlns=\"x\"/> word/", stored = true)
+    add("word/document.xml", xml, stored = false)
+    zo.close()
+    val out = Extract.extractBytes("docx", bos.toByteArray, Extract.Options())
+    assert(out.content == "a\tb\nc\n", out.content.map(_.toInt).mkString(","))
+  }
+
   // ----------------------------------------------------------------- doc
   test("E5: legacy DOC detection + best-effort text (spec/rika/parser_spec.rb:240-243)") {
     val out = Extract.extractBytes("doc", fixture("document.doc"), Extract.Options())
     assert(out.contentType == "application/msword")
     assert(out.content.contains(poemTitle))
     assert(out.content.contains("And miles to go before I sleep."))
+  }
+
+  test("E5: UTF-16LE text runs in DOC are decoded") {
+    // build a CFB whose FIB text range holds UTF-16LE (Word unicode docs)
+    val text = "Unicode Grüße Тест\n"
+    val bytes16 = text.replace("\n", "\r").getBytes("UTF-16LE")
+    // CfbWriter writes cp1252; craft the stream manually instead
+    val cp = graft.corpus.CfbWriter.write("x" * bytes16.length) // right-sized container
+    // overwrite the text region (fcMin=2048) with UTF-16LE bytes and patch fcMac
+    // locate WordDocument start: sector 0 data begins at offset 512
+    System.arraycopy(bytes16, 0, cp, 512 + 2048, bytes16.length)
+    // patch fcMac at FIB offset 28 (stream offset) = file offset 512+28
+    val fcMac = 2048 + bytes16.length
+    cp(512 + 28) = (fcMac & 0xff).toByte
+    cp(512 + 29) = ((fcMac >> 8) & 0xff).toByte
+    val out = Extract.extractBytes("doc", cp, Extract.Options())
+    assert(out.content.contains("Unicode Grüße Тест"), out.content)
   }
 
   // ---------------------------------------------------------------- jpeg
