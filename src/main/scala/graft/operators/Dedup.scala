@@ -109,14 +109,10 @@ object Dedup {
       explode(tokens(col(textCol))).as("t"))
       .filter(col("t") =!= "")
       .withColumn("h", h64(col("t"))) // 60-bit value: bits 0..59 meaningful
-    val bits = tok.select(col("doc_id"), col("h"),
-      explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("vote",
-        when(expr("shiftright(h, cast(b as int)) % 2") === 1, 1).otherwise(-1))
-    bits.groupBy("doc_id", "b").agg(sum(col("vote")).as("v"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, cast(b as int))"))
-        .otherwise(0L)).as("simhash"))
+    // native TypedImperativeAggregate: one shuffle of 240-byte vote
+    // buffers per doc instead of exploding 60 bit rows per token
+    tok.groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
       .orderBy("doc_id")
   }
 
