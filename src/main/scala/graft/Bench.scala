@@ -59,8 +59,8 @@ object Bench {
     val benchQueries = Seq(
       "q1_agg", "q2_join_top", "q3_window", "q4_events_hourly",
       "q5_setops", "q6_rollup", "q7_sessions",
-      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_jaccard",
-      "dedup_embed_cosine", "ann_topk", "ann_lsh", "ann_ivf",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+      "dedup_jaccard", "dedup_embed_cosine", "ann_topk", "ann_lsh", "ann_ivf",
       "text_quality", "text_tokens", "text_fingerprint", "text_langid")
     val results = benchQueries.map { q =>
       val s0 = System.nanoTime()

@@ -18,6 +18,11 @@ import graft.kernel.Extract
   *   -l N          max content length (-1 unlimited; 0 metadata-only)
   *   -k-           disable case-insensitive metadata key sort
   *   -J            pretty JSON (default compact)
+  *   -f X          output format: j compact JSON (default), J pretty
+  *                 JSON, y YAML, t text only (reference:
+  *                 lib/rika/formatters.rb:10-27; i/inspect maps to J)
+  *   -n            dry run: print classified targets + plan, exit 0
+  *                 (reference: lib/rika/cli/rika_command.rb:256-281)
   *   --full-html   full-text HTML mode (default: main content)
   * Environment: GRAFT_OPTIONS prepends args (rika's RIKA_OPTIONS,
   * reference: lib/rika/cli/args_parser.rb:138-149).
@@ -31,9 +36,12 @@ object Cli {
       text: Boolean = true,
       maxLen: Int = -1,
       keySort: Boolean = true,
-      pretty: Boolean = false,
+      format: Char = 'j', // j compact JSON, J pretty, y YAML, t text
+      dryRun: Boolean = false,
       fullHtml: Boolean = false,
-      targets: Vector[String] = Vector.empty)
+      targets: Vector[String] = Vector.empty) {
+    def pretty: Boolean = format == 'J'
+  }
 
   def main(args: Array[String]): Unit = {
     val env = sys.env.get("GRAFT_OPTIONS").map(_.split("\\s+").toSeq).getOrElse(Nil)
@@ -44,6 +52,22 @@ object Cli {
     }
     val issues = scala.collection.mutable.ArrayBuffer[(String, String)]() ++ issues0
     val results = scala.collection.mutable.ArrayBuffer[String]()
+
+    if (opts.dryRun) {
+      // the reference's dry run prints parsed options + targets and exits 0
+      // without touching any file content (rika_command.rb:256-281)
+      val expanded = expandTargets(opts.targets, issues)
+      println("Dry run: nothing will be extracted.")
+      println(s"options: array=${opts.array} source=${opts.source} " +
+        s"metadata=${opts.metadata} text=${opts.text} maxLen=${opts.maxLen} " +
+        s"keySort=${opts.keySort} format=${opts.format} fullHtml=${opts.fullHtml}")
+      expanded.foreach { p =>
+        val kind = if (p.toString.contains("://")) "http" else "file"
+        println(s"  $kind $p")
+      }
+      issues.foreach { case (k, t) => println(s"  issue $k $t") }
+      return
+    }
 
     expandTargets(opts.targets, issues).foreach { p =>
       val bytes =
@@ -76,7 +100,7 @@ object Cli {
     }
   }
 
-  private def parse(args: Vector[String]): (Opts, Vector[(String, String)]) = {
+  private[graft] def parse(args: Vector[String]): (Opts, Vector[(String, String)]) = {
     var o = Opts()
     val issues = Vector.newBuilder[(String, String)]
     var i = 0
@@ -87,10 +111,25 @@ object Cli {
         case "-t-"         => o = o.copy(text = false)
         case "-s-"         => o = o.copy(source = false)
         case "-k-"         => o = o.copy(keySort = false)
-        case "-J"          => o = o.copy(pretty = true)
+        case "-J"          => o = o.copy(format = 'J')
+        case "-n"          => o = o.copy(dryRun = true)
         case "--full-html" => o = o.copy(fullHtml = true)
+        case "-f" if i + 1 < args.length =>
+          args(i + 1) match {
+            case "j" => o = o.copy(format = 'j')
+            case "J" | "i" => o = o.copy(format = 'J')
+            case "y" => o = o.copy(format = 'y')
+            case "t" => o = o.copy(format = 't')
+            case bad => issues += (("invalid_input", s"-f $bad"))
+          }
+          i += 1
         case "-l" if i + 1 < args.length =>
-          o = o.copy(maxLen = args(i + 1).toInt); i += 1
+          // a non-numeric length is invalid input, not a crash
+          args(i + 1).toIntOption match {
+            case Some(n) => o = o.copy(maxLen = n)
+            case None    => issues += (("invalid_input", s"-l ${args(i + 1)}"))
+          }
+          i += 1
         case flag if flag.startsWith("-") && flag != "-" =>
           issues += (("invalid_input", flag))
         case t => o = o.copy(targets = o.targets :+ t)
@@ -123,7 +162,43 @@ object Cli {
       }
     }
 
-  private def record(source: String, out: Extract.Out, o: Opts): String = {
+  private def record(source: String, out: Extract.Out, o: Opts): String =
+    o.format match {
+      case 'y' => recordYaml(source, out, o)
+      case 't' => out.content
+      case _   => recordJson(source, out, o)
+    }
+
+  /** Flat YAML document per record (reference -f y,
+    * lib/rika/formatters.rb:19: YAML method option).
+    */
+  private def recordYaml(source: String, out: Extract.Out, o: Opts): String = {
+    def ystr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\x${c.toInt}%02x"
+        case c => c.toString
+      } + "\""
+    val sb = new StringBuilder("---\n")
+    if (o.source) sb.append(s"source: ${ystr(source)}\n")
+    sb.append(s"content_type: ${ystr(out.contentType)}\n")
+    if (o.metadata) {
+      sb.append("metadata:\n")
+      val entries = {
+        val m = out.metadata.toSeq
+        if (o.keySort) m.sortBy { case (k, _) => (k.toLowerCase, k) } else m
+      }
+      entries.foreach { case (k, v) => sb.append(s"  ${ystr(k)}: ${ystr(v)}\n") }
+    }
+    if (o.text) sb.append(s"text: ${ystr(out.content)}\n")
+    sb.result()
+  }
+
+  private def recordJson(source: String, out: Extract.Out, o: Opts): String = {
     val fields = Vector.newBuilder[(String, String)]
     if (o.source) fields += (("source" -> jstr(source)))
     fields += (("content_type" -> jstr(out.contentType)))

@@ -66,6 +66,17 @@ object SparkEntry {
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** embeddings with synthetic near-dup structure planted (vec_id < 30
+    * duplicated with shifted ids) so bucketed embedding-dedup/ANN have
+    * true near neighbors to find (the natural table is ~isotropic noise).
+    */
+  private def embWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    e.select(col("vec_id"), col("embedding"))
+      .unionAll(e.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val ext = ensureExtracted(spark, "/root/testdata/sf0.001")
@@ -113,10 +124,13 @@ object SparkEntry {
       // (lib/rika/cli/rika_command.rb:141-147) + input-type classification
       // (lib/rika/parser.rb:59-71: CASE WHEN on "://")
       val ext = ensureExtracted(s, dir)
+      // metadata serialized with to_json: the driver's pandas
+      // canonicalization cannot sort array<struct> columns (r1 x_project
+      // err: "unhashable type: numpy.ndarray")
       ext.select(
           col("doc_id").as("source"),
           when(col("doc_id").contains("://"), "http").otherwise("file").as("input_type"),
-          col("metadata"),
+          to_json(col("metadata")).as("metadata"),
           concat_ws("\n\n", filter(col("spans"),
             sp => sp.getField("kind") === "text").getField("text")).as("text"))
         .orderBy("source")
@@ -158,7 +172,9 @@ object SparkEntry {
         .groupBy("mime").agg(count(lit(1)).as("n")).orderBy("mime")
     }),
     "x_media_features" -> ((s, dir) =>
+      // feature is array<float>: serialize for driver canonicalization
       Multimodal.imageFeatures(s, corpusMedia(s, dir)).toDF()
+        .withColumn("feature", to_json(col("feature")))
         .orderBy("media_ref")),
     "x_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, corpusMedia(s, dir))
@@ -245,10 +261,15 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docsWithDups(s, dir), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docsWithDups(s, dir))),
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docsWithDups(s, dir), 0.5)),
-    "dedup_embed_cosine" -> ((s, dir) => Dedup.embedCosine(t(s, dir, "embeddings"), 0.4)),
+    // shipped path: LSH-gated (no crossJoin in the plan); the all-pairs
+    // exact version is kept as its own oracled query
+    "dedup_embed_cosine" -> ((s, dir) => Dedup.embedCosineGated(embWithDups(s, dir), 0.4)),
+    "dedup_embed_exact" -> ((s, dir) => Dedup.embedCosineExact(t(s, dir, "embeddings"), 0.4)),
 
-    // ---- similarity search (oracled brute force; LSH variant rows-only)
+    // ---- similarity search (all oracled: brute force exactly, the
+    // bucketed variants via deterministic-gate mirroring in DuckDB)
     "ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Ann.bruteTopK(e, e.filter(col("vec_id") < 16), k = 10)
@@ -259,7 +280,7 @@ object SparkEntry {
     }),
     "ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Ann.lshTopK(e, e.filter(col("vec_id") < 16), k = 10, nBits = 8)
+      Ann.lshTopK(embWithDups(s, dir), e.filter(col("vec_id") < 16), k = 10)
     }),
 
     // ---- text analysis (oracled except langid)
@@ -293,6 +314,37 @@ object SparkEntry {
     """docs AS (SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)""".stripMargin
 
+  private val dupEmb =
+    """emb AS (SELECT vec_id, embedding FROM embeddings
+      |UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 30)""".stripMargin
+
+  /** The deterministic hyperplane sign matrix (Ann.hyperSign) as a DuckDB
+    * VALUES table (tbl, bit, sv DOUBLE[]) — renders the exact same ±1
+    * vectors the Spark expressions use, so LSH signatures are bit-equal
+    * cross-engine.
+    */
+  private def signsCte(nTables: Int = 8, nBits: Int = 16, dims: Int = 64,
+      seed: Long = 42L): String = {
+    val rows = (0 until nTables).flatMap { tb =>
+      (0 until nBits).map { b =>
+        val lst = Ann.signRow(seed, tb, b, dims)
+          .map(s => if (s > 0) "1" else "-1").mkString(",")
+        s"($tb,$b,[$lst]::DOUBLE[])"
+      }
+    }.mkString(", ")
+    s"signs AS (SELECT * FROM (VALUES $rows) s(tbl, bit, sv))"
+  }
+
+  /** LSH signature CTE over a relation e(id, v): sig(id, tbl, sig).
+    * Mirrors Ann.lshSignatures (dot >= 0 per bit, bits OR'd into a long).
+    */
+  private def lshSigCte: String =
+    """bits AS (SELECT e.id, s.tbl, s.bit,
+      |  CASE WHEN list_sum(list_transform(list_zip(e.v, s.sv), x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0
+      |    THEN (CAST(1 AS BIGINT) << s.bit) ELSE 0 END AS bv
+      |  FROM e, signs s),
+      |sig AS (SELECT id, tbl, CAST(sum(bv) AS BIGINT) AS sig FROM bits GROUP BY 1, 2)""".stripMargin
+
   private def minhashLshSql: String = {
     val ms = (0 until NumHashes)
       .map(i => s"min((${HashA(i)} * h + ${HashB(i)}) % $P) AS m$i").mkString(", ")
@@ -320,9 +372,12 @@ object SparkEntry {
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
+  /** df cap mirrored from Dedup.ngramJaccard (default dfCap = 1024). */
   private def jaccardSql: String =
     s"""WITH $dupDocs, $shingles3,
-       |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |shd0 AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |rare AS (SELECT sh FROM shd0 GROUP BY sh HAVING count(*) <= 1024),
+       |shd AS (SELECT shd0.doc_id, shd0.sh FROM shd0 JOIN rare USING (sh)),
        |cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -332,18 +387,97 @@ object SparkEntry {
        |WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  private def simhashSql: String =
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+  /** SimHash signature CTEs over a docs relation: sim(doc_id, simhash). */
+  private def simhashCte(rel: String): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM $rel),
        |h AS (SELECT doc_id, ${H("t")} AS h FROM tok WHERE t <> ''),
        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-       |  FROM h, generate_series(0, 59) s(b) GROUP BY 1, 2)
-       |SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
-       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM h, generate_series(0, 59) s(b) GROUP BY 1, 2),
+       |sim AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  private def simhashSql: String =
+    s"""WITH ${simhashCte("documents")}
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+
+  /** Bit-block banding mirror of Dedup.simhashPairs (4 blocks x 15 bits,
+    * Hamming <= 3).
+    */
+  private def simhashPairsSql: String =
+    s"""WITH $dupDocs, ${simhashCte("docs")},
+       |blk AS (SELECT doc_id, simhash, g.b AS bi, (simhash >> (g.b * 15)) & 32767 AS bv
+       |  FROM sim, generate_series(0, 3) g(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Mirror of Dedup.embedCosineGated over the planted-dup embeddings. */
+  private def embedGatedSql: String =
+    s"""WITH $dupEmb,
+       |e AS (SELECT vec_id AS id, embedding AS v FROM emb),
+       |${signsCte()},
+       |$lshSigCte,
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM sig x JOIN sig y ON x.tbl = y.tbl AND x.sig = y.sig AND x.id < y.id)
+       |SELECT id_a, id_b, round(${cosSql("a.v", "b.v")}, 4) AS cosine
+       |FROM cand JOIN e a ON a.id = id_a JOIN e b ON b.id = id_b
+       |WHERE round(${cosSql("a.v", "b.v")}, 4) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Mirror of Ann.lshTopK (8 tables x 16 bits, 1-bit multiprobe) over the
+    * planted-dup corpus with queries vec_id < 16.
+    */
+  private def annLshSql: String =
+    s"""WITH $dupEmb,
+       |e AS (SELECT vec_id AS id, embedding AS v FROM emb),
+       |${signsCte()},
+       |$lshSigCte,
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16),
+       |qsig AS (SELECT id AS qid, tbl, sig FROM sig WHERE id < 16),
+       |probes AS (SELECT qid, tbl, sig AS p FROM qsig
+       |  UNION ALL SELECT qid, tbl, xor(sig, CAST(1 AS BIGINT) << g.b) AS p
+       |    FROM qsig, generate_series(0, 15) g(b)),
+       |cand AS (SELECT DISTINCT p.qid, s.id FROM probes p
+       |  JOIN sig s ON s.tbl = p.tbl AND s.sig = p.p AND s.id <> p.qid),
+       |scored AS (SELECT c.qid, c.id, round(${cosSql("e.v", "q.qv")}, 6) AS cosine
+       |  FROM cand c JOIN e ON e.id = c.id JOIN q ON q.qid = c.qid),
+       |r AS (SELECT qid, id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+       |  FROM scored)
+       |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, id AS neighbor_id, cosine
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Mirror of Ann.ivfTopK: centroids = first 16 ids, nProbe = 4. */
+  private def annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 16),
+       |asgs AS (SELECT e.id, c.cid, ${cosSql("e.v", "c.cv")} AS cs FROM e CROSS JOIN cent c),
+       |asg AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid ASC) AS rn FROM asgs)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16),
+       |ps AS (SELECT q.qid, c.cid, ${cosSql("q.qv", "c.cv")} AS cs FROM q CROSS JOIN cent c),
+       |probe AS (SELECT qid, cid FROM (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid ASC) AS rn FROM ps)
+       |  WHERE rn <= 4),
+       |scored AS (SELECT p.qid, a.id, a.cid, round(${cosSql("e.v", "q.qv")}, 6) AS cosine
+       |  FROM probe p JOIN asg a ON a.cid = p.cid
+       |  JOIN e ON e.id = a.id JOIN q ON q.qid = p.qid
+       |  WHERE a.id <> p.qid),
+       |r AS (SELECT qid, id, cid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+       |  FROM scored)
+       |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, id AS neighbor_id,
+       |  cosine, cid AS centroid_id
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  round(avg(l_discount), 6) AS avg_disc,
@@ -375,7 +509,7 @@ object SparkEntry {
     "q6_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
-        |  count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     "q7_sessions" ->
@@ -391,8 +525,8 @@ object SparkEntry {
         |  FROM base),
         |sess AS (
         |  SELECT user_id, event_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
@@ -406,12 +540,16 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_jaccard" -> jaccardSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_embed_cosine" ->
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_embed_cosine" -> embedGatedSql,
+    "dedup_embed_exact" ->
       s"""WITH scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${cosSql("a.embedding", "b.embedding")}, 4) AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql,
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16),
          |scored AS (SELECT q.qid, e.vec_id AS id,

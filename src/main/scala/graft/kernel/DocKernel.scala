@@ -47,11 +47,18 @@ object DocKernel {
       }
     }
 
+    // A valid (acyclic) chain can never emit more bytes than the file
+    // holds, so cap output by the input size: a crafted FAT cycle would
+    // otherwise amplify a tiny CFB up to maxSectors * sectorSize (~4 GiB).
+    // The visited bitmap stops the cycle itself.
     def chain(start: Long, maxSectors: Int = 1 << 20): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
+      val visited = new java.util.BitSet(fat.length)
       var s = start
       var n = 0
-      while (s != EndChain && s != FreeSect && s < fat.length && n < maxSectors) {
+      while (s != EndChain && s != FreeSect && s >= 0 && s < fat.length &&
+          n < maxSectors && out.size() <= bytes.length && !visited.get(s.toInt)) {
+        visited.set(s.toInt)
         val off = 512 + s.toInt * sectorSize
         if (off + sectorSize <= bytes.length) out.write(bytes, off, sectorSize)
         s = fat(s.toInt)

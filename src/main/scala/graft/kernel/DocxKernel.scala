@@ -43,11 +43,21 @@ object DocxKernel {
     Result(paragraphs, meta)
   }
 
+  /** Decompressed-size bound (same posture as PdfKernel.inflate): a
+    * zip-bomb part must fail the taxonomy, not OOM the executor.
+    */
+  private val MaxPartBytes = 256 << 20
+
   private def readAll(zis: ZipInputStream): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     var n = zis.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = zis.read(buf) }
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > MaxPartBytes)
+        throw new IllegalArgumentException("OOXML part exceeds inflate bound")
+      n = zis.read(buf)
+    }
     out.toByteArray
   }
 

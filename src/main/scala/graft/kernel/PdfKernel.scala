@@ -691,11 +691,24 @@ object PdfKernel {
         }
     }
 
+    /** Dereference with a visited-set cycle guard: a crafted ref cycle
+      * ("1 0 obj 2 0 R" / "2 0 obj 1 0 R", or a self-reference) must
+      * resolve to null, not StackOverflowError — a stack overflow is an
+      * Error that escapes the extractor's NonFatal taxonomy and would
+      * kill the whole Spark task from one poison document.
+      */
     def deref(o: PObj): Option[PObj] = o match {
-      case PRef(num, _) => Some(obj(num)) match {
-        case Some(r: PRef) => deref(r)
-        case other         => other
-      }
+      case PRef(num0, _) =>
+        val seen = scala.collection.mutable.Set[Int](num0)
+        var cur: PObj = obj(num0)
+        var done = false
+        while (!done) cur match {
+          case PRef(n, _) =>
+            if (seen.add(n)) cur = obj(n)
+            else { cur = PNull; done = true } // ref cycle: treat as missing
+          case _ => done = true
+        }
+        Some(cur)
       case PNull => None
       case other => Some(other)
     }
@@ -745,6 +758,10 @@ object PdfKernel {
       val pagesRoot = rootOpt.flatMap(r => deref(r.m.getOrElse("Pages", PNull)))
         .collect { case d: PDict => d }
       val out = Vector.newBuilder[PDict]
+      // each referenced kid object number is walked at most once: a cyclic
+      // /Kids array with multiple back-references is otherwise a traversal
+      // bomb (fan-out^depth) even under a depth cap
+      val seenKids = scala.collection.mutable.Set[Int]()
       def walk(node: PDict, depth: Int): Unit = {
         if (depth > 64) return
         node.m.get("Type") match {
@@ -752,7 +769,13 @@ object PdfKernel {
           case _ =>
             deref(node.m.getOrElse("Kids", PNull)) match {
               case Some(PArr(kids)) =>
-                kids.foreach(k => deref(k).collect { case d: PDict => walk(d, depth + 1) })
+                kids.foreach {
+                  case r @ PRef(n, _) =>
+                    if (seenKids.add(n))
+                      deref(r).collect { case d: PDict => walk(d, depth + 1) }
+                  case k =>
+                    deref(k).collect { case d: PDict => walk(d, depth + 1) }
+                }
               case _ => ()
             }
         }

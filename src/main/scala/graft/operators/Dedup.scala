@@ -101,10 +101,8 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 62-bit SimHash per doc (token-frequency weighted bit voting).
-    * Output: (doc_id, simhash).
-    */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Per-doc SimHash signatures, unsorted (building block). */
+  def simhashSigs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("t"))
       .filter(col("t") =!= "")
@@ -113,17 +111,71 @@ object Dedup {
     // buffers per doc instead of exploding 60 bit rows per token
     tok.groupBy("doc_id")
       .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** 60-bit SimHash per doc (token-frequency weighted bit voting).
+    * Output: (doc_id, simhash).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashSigs(docs, idCol, textCol).orderBy("doc_id")
+
+  /** SimHash near-dup PAIRS via bit-block banding: the 60-bit signature is
+    * split into `blocks` contiguous blocks; by pigeonhole, any pair within
+    * Hamming distance `maxHamming` <= blocks-1 shares at least one intact
+    * block, so the quadratic search becomes an equi-join on
+    * (block_idx, block_value) — candidate pairs only, verified exactly
+    * with bit_count(xor). Output: (doc_a, doc_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming < blocks, "pigeonhole needs maxHamming <= blocks-1")
+    val bitsPerBlock = 60 / blocks
+    val mask = (1L << bitsPerBlock) - 1L
+    val sigs = simhashSigs(docs, idCol, textCol)
+    val blockStructs = (0 until blocks).map { b =>
+      struct(lit(b).as("bi"),
+        shiftrightunsigned(col("simhash"), b * bitsPerBlock)
+          .bitwiseAND(lit(mask)).as("bv"))
+    }
+    val blk = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(blockStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+    // both sides shuffle identically on (bi, bv) => ReuseExchange
+    val cand = blk.as("x").join(blk.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram (shingle) Jaccard near-dup pairs over an inverted index
     * (join on shared shingles — never a cross join).
+    *
+    * Hot-shingle cap: a shingle appearing in > dfCap documents contributes
+    * dfCap²-bounded pair rows, so without a cap one stopword-like shingle
+    * shared by k docs yields k² rows inside a single join key — the
+    * classic inverted-index scale-killer on Zipf corpora. Shingles with
+    * document frequency > dfCap are dropped from the shingle universe
+    * entirely (both the index AND the per-doc set sizes), i.e. Jaccard is
+    * computed over the capped universe; ubiquitous shingles carry no
+    * near-dup signal, and the DuckDB oracle mirrors the same cap.
     * Output: (doc_a, doc_b, jaccard >= threshold).
     */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 1024,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val shs = docs.select(col(idCol).as("doc_id"),
+    val all = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol)))).as("sh"))
+    // df filter first: the rare-shingle table and the self-join below share
+    // the `sh` hash-partitioning, so the exchange is reused
+    val rare = all.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("sh")
+    val shs = all.join(rare, Seq("sh"))
     val counts = shs.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shs.as("a").join(shs.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -139,10 +191,11 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding-cosine near-dup pairs (double-precision dot products via
-    * codegen'd higher-order functions; threshold filter).
+  /** Embedding-cosine near-dup pairs, ALL-PAIRS (O(N²) crossJoin). This is
+    * the exact small-scale oracle for [[embedCosineGated]] — never the
+    * shipped scale path.
     */
-  def embedCosine(emb: DataFrame, threshold: Double = 0.4,
+  def embedCosineExact(emb: DataFrame, threshold: Double = 0.4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.dot_f64
     val withNorm = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -150,6 +203,38 @@ object Dedup {
     val pairs = withNorm.as("a").crossJoin(withNorm.as("b"))
       .filter(col("a.id") < col("b.id"))
     pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot_f64(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")),
+          4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs, LSH-GATED (the 10^12-row shape):
+    * candidates are pairs sharing any (table, signature) bucket of
+    * [[Ann.lshSignatures]]; exact cosine verification on candidates only —
+    * no crossJoin anywhere in the plan. Recall vs the exact operator is
+    * distance-dependent (≈1 for true near-dups at cosine ≥ ~0.9, the
+    * regime embedding dedup targets; asserted in OperatorsSpec). The
+    * hyperplanes are deterministic so the DuckDB oracle mirrors the gate
+    * bit-for-bit.
+    */
+  def embedCosineGated(emb: DataFrame, threshold: Double = 0.4,
+      nTables: Int = 8, nBits: Int = 16, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.dot_f64
+    val sigs = Ann.lshSignatures(emb, nTables, nBits, seed, idCol, vecCol)
+    // both sides shuffle identically on (tbl, sig) => ReuseExchange
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", sqrt(dot_f64(col("v"), col("v"))))
+    cand
+      .join(base.as("a"), col("id_a") === col("a.id"))
+      .join(base.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"),
         round(dot_f64(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")),
           4).as("cosine"))
       .filter(col("cosine") >= threshold)

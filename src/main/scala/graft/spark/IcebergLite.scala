@@ -28,12 +28,20 @@ object IcebergLite {
     else new String(Files.readAllBytes(v.toPath)).trim.toLong
   }
 
-  /** Append `df` as a new snapshot; returns the committed snapshot id. */
+  /** Append `df` as a new snapshot; returns the committed snapshot id.
+    *
+    * Crash-safe (single writer): if a previous run died AFTER writing
+    * data/manifest for this id but BEFORE the VERSION rename, that
+    * snapshot is invisible (manifest-last protocol) — so this attempt may
+    * legitimately reuse the id. Overwrite semantics on the data dir and
+    * REPLACE_EXISTING on the manifest make the retry automatic instead of
+    * failing on the orphaned leftovers.
+    */
   def append(df: DataFrame, tableDir: String): Long = {
     val parent = currentSnapshot(tableDir)
     val id = parent + 1
     val dataDir = s"$tableDir/data/snap-$id"
-    df.write.parquet(dataDir)
+    df.write.mode("overwrite").parquet(dataDir)
     val rows = 0L // row count is informational; avoid an extra job here
     Files.createDirectories(Paths.get(s"$tableDir/snapshots"))
     val manifest =
@@ -41,7 +49,7 @@ object IcebergLite {
     val tmpM = Paths.get(s"$tableDir/snapshots/.$id.json.tmp")
     Files.write(tmpM, manifest.getBytes("UTF-8"))
     Files.move(tmpM, Paths.get(s"$tableDir/snapshots/$id.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val tmpV = Paths.get(s"$tableDir/.VERSION.tmp")
     Files.write(tmpV, id.toString.getBytes("UTF-8"))
     Files.move(tmpV, Paths.get(s"$tableDir/VERSION"),

@@ -63,13 +63,20 @@ object Runner {
 
   /** Issue-taxonomy rollup over the whole extracted table (the reference's
     * bad_targets report, reference: lib/rika/cli/rika_command.rb:94-123).
+    * Examples are capped at [[MaxExampleDocIds]] per issue: an unbounded
+    * collect_list is a single-row bomb at 10^12 docs (one pervasive issue
+    * = the whole corpus in one aggregation buffer).
     */
+  val MaxExampleDocIds = 100
+
   def issueReport(spark: SparkSession, outDir: String): DataFrame = {
     IcebergLite.readAll(spark, extractedDir(outDir)) match {
       case Some(df) =>
         df.filter(col("issue_type") =!= "")
           .groupBy("issue_type")
-          .agg(count(lit(1)).as("n"), sort_array(collect_list("doc_id")).as("doc_ids"))
+          .agg(count(lit(1)).as("n"),
+            slice(sort_array(collect_list("doc_id")), 1, MaxExampleDocIds)
+              .as("example_doc_ids"))
           .orderBy("issue_type")
       case None => spark.emptyDataFrame
     }

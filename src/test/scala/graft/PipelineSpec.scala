@@ -134,6 +134,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("issueReport caps example doc_ids (no single-row bomb at scale)") {
+    import spark.implicits._
+    val outDir = freshOut()
+    val rows = (1 to 250).map(i => (f"doc-$i%04d", "io_error", "failed", 0L,
+      Seq.empty[graft.spark.Span])) ++
+      Seq(("doc-ok", "", "ok", 3L, Seq.empty[graft.spark.Span]))
+    val df = rows.toDF("doc_id", "issue_type", "status", "bytes_in", "spans")
+      .withColumn("run_id", lit("t")).withColumn("part_id", lit(0))
+    IcebergLite.append(df, Runner.extractedDir(outDir))
+    val rep = Runner.issueReport(spark, outDir).collect()
+    assert(rep.length == 1)
+    assert(rep(0).getAs[Long]("n") == 250) // true count is NOT capped
+    val ex = rep(0).getSeq[String](rep(0).fieldIndex("example_doc_ids")).toVector
+    assert(ex.length == Runner.MaxExampleDocIds)
+    assert(ex == ex.sorted) // deterministic sample: first 100 sorted ids
+  }
+
+  test("IcebergLite append is crash-safe: orphaned uncommitted snapshot is overwritten") {
+    import spark.implicits._
+    val dir = s"${freshOut()}/table"
+    IcebergLite.append(Seq((1, "a")).toDF("k", "v"), dir)
+    // simulate a crash AFTER data write + manifest write, BEFORE the
+    // VERSION rename: snapshot id 1 exists on disk but is uncommitted
+    Seq((2, "b")).toDF("k", "v").write.parquet(s"$dir/data/snap-1")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/snapshots/1.json"),
+      """{"id":1,"parent":0,"dir":"data/snap-1","rows":0}""")
+    // resume must reuse id 1 automatically (overwrite), not fail
+    val id = IcebergLite.append(Seq((3, "c")).toDF("k", "v"), dir)
+    assert(id == 1)
+    val all = IcebergLite.readAll(spark, dir).get.collect().map(_.getInt(0)).sorted
+    assert(all.toSeq == Seq(1, 3)) // the orphaned row 2 is gone
+  }
+
   test("failure taxonomy: empty payloads flagged, batch completes (rika_command_spec.rb:147-160)") {
     val out = Pipeline.extract(spark,
       Gen.readDocs(spark, corpusDir), Gen.readMedia(spark, corpusDir)).toDF()
