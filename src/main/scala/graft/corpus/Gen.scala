@@ -44,22 +44,28 @@ object Gen {
 
     val pieces: Vector[Piece] =
       if (roll < 25) Vector(txtPiece(rng, lang, giant = rng.nextInt(100) < 2))
-      else if (roll < 45) Vector(htmlPiece(rng, lang))
-      else if (roll < 60) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
-      else if (roll < 72) Vector(docxPiece(rng, lang, docId, 0))
+      else if (roll < 43) Vector(htmlPiece(rng, lang))
+      else if (roll < 57) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
+      else if (roll < 67) Vector(docxPiece(rng, lang, docId, 0))
+      else if (roll < 71) Vector(xlsxPiece(rng, lang, docId, 0))
+      else if (roll < 75) Vector(pptxPiece(rng, lang, docId, 0))
       else if (roll < 80) Vector(jpegPiece(rng, docId, 0))
+      else if (roll < 82) Vector(pngPiece(rng, docId, 0))
       else if (roll < 85) Vector(docPiece(rng, docId, 0))
       else if (roll < 88) Vector(binPiece(rng, docId, 0))
       else if (roll < 90) Vector(emptyPiece(rng, docId, 0))
       else { // interleaved multi-span doc
         val n = if (rng.nextInt(100) < 5) 16 + rng.nextInt(17) else 2 + rng.nextInt(7)
         Vector.tabulate(n) { k =>
-          rng.nextInt(6) match {
+          rng.nextInt(9) match {
             case 0     => txtPiece(rng, lang, giant = false)
             case 1     => htmlPiece(rng, lang)
             case 2     => pdfPiece(rng, lang, docId, k, giant = false)
             case 3     => docxPiece(rng, lang, docId, k)
             case 4     => jpegPiece(rng, docId, k)
+            case 5     => xlsxPiece(rng, lang, docId, k)
+            case 6     => pptxPiece(rng, lang, docId, k)
+            case 7     => pngPiece(rng, docId, k)
             case _     => binPiece(rng, docId, k)
           }
         }
@@ -135,6 +141,47 @@ object Gen {
     Piece("docx", Span("docx", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
       textGolden(DocxWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def xlsxPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val nRows = 2 + rng.nextInt(8)
+    val nCols = 2 + rng.nextInt(4)
+    val rows = Vector.tabulate(nRows) { r =>
+      Vector.tabulate(nCols) { c =>
+        if ((r + c) % 3 == 2) String.valueOf(rng.nextInt(100000)) // numeric path
+        else TextGen.titleLine(rng, lang)
+      }
+    }
+    val spec = XlsxWriter.Spec(TextGen.titleLine(rng, lang),
+      TextGen.titleLine(rng, "en"), rows)
+    val bytes = XlsxWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("xlsx", Span("xlsx", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(XlsxWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def pptxPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val slides = Vector.tabulate(1 + rng.nextInt(4)) { _ =>
+      Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.titleLine(rng, lang))
+    }
+    val spec = PptxWriter.Spec(TextGen.titleLine(rng, lang),
+      TextGen.titleLine(rng, "en"), slides)
+    val bytes = PptxWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("pptx", Span("pptx", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(PptxWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def pngPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
+    val bytes = PngWriter.write(PngWriter.Spec(
+      width = 8 + rng.nextInt(120), height = 8 + rng.nextInt(120),
+      seed = rng.nextLong()))
+    val ref = s"m-$docId-$k"
+    Piece("png", Span("png", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      Seq(Span("media", null, ref, -1)), bytes.length.toLong)
   }
 
   private def jpegPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {

@@ -53,8 +53,16 @@ object Extract {
       Magic.sniff(bytes) match {
         case Magic.Kind.Pdf  => pdf(bytes, opt)
         case Magic.Kind.Docx => docx(bytes, opt)
+        case Magic.Kind.Xlsx => xlsx(bytes, opt)
+        case Magic.Kind.Pptx => pptx(bytes, opt)
         case Magic.Kind.Doc  => doc(bytes, opt)
         case Magic.Kind.Jpeg => jpeg(bytes)
+        case Magic.Kind.Png  =>
+          Out("", Vector.empty, "image/png", PngKernel.extract(bytes),
+            isMedia = true, issue = None)
+        case Magic.Kind.Gif  =>
+          Out("", Vector.empty, "image/gif", GifKernel.extract(bytes),
+            isMedia = true, issue = None)
         case Magic.Kind.Html =>
           val cs = Charset.detect(bytes)
           html(cs.decoded, cs.name, opt)
@@ -117,6 +125,22 @@ object Extract {
     val content = truncate(full, opt)
     Out(content, blocksOf(content),
       "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+      r.metadata, isMedia = false, issue = None)
+  }
+
+  private def xlsx(bytes: Array[Byte], opt: Options): Out = {
+    val r = XlsxKernel.extract(bytes)
+    val content = truncate(r.text, opt)
+    Out(content, blocksOf(content),
+      "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+      r.metadata, isMedia = false, issue = None)
+  }
+
+  private def pptx(bytes: Array[Byte], opt: Options): Out = {
+    val r = PptxKernel.extract(bytes)
+    val content = truncate(r.text, opt)
+    Out(content, blocksOf(content),
+      "application/vnd.openxmlformats-officedocument.presentationml.presentation",
       r.metadata, isMedia = false, issue = None)
   }
 

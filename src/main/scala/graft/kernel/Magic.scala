@@ -18,15 +18,23 @@ object Magic {
   object Kind {
     case object Pdf     extends Kind("pdf")
     case object Docx    extends Kind("docx")
+    case object Xlsx    extends Kind("xlsx")
+    case object Pptx    extends Kind("pptx")
     case object Doc     extends Kind("doc")   // OLE2/CFB container
     case object Jpeg    extends Kind("jpeg")
+    case object Png     extends Kind("png")
+    case object Gif     extends Kind("gif")
     case object Html    extends Kind("html")
     case object Text    extends Kind("txt")
-    case object Zip     extends Kind("zip")   // PK but not OOXML wordprocessing
+    case object Zip     extends Kind("zip")   // PK but not a known OOXML type
     case object Unknown extends Kind("bin")
   }
 
-  /** Max bytes inspected when hunting for the OOXML content-types entry. */
+  /** Max bytes inspected (at each end) when routing an OOXML zip: local
+    * file headers carry entry names at the front; the central directory
+    * repeats ALL names at the tail, so scanning both ends finds the
+    * package parts even when the main part sits deep in a large zip.
+    */
   private val ZipScanWindow = 4096
 
   def sniff(bytes: Array[Byte]): Kind = {
@@ -35,7 +43,7 @@ object Magic {
     if (bytes.length >= 4 &&
         (bytes(0) & 0xff) == 0x50 && (bytes(1) & 0xff) == 0x4b &&
         (bytes(2) & 0xff) == 0x03 && (bytes(3) & 0xff) == 0x04) {
-      return if (zipLooksLikeDocx(bytes)) Kind.Docx else Kind.Zip
+      return classifyZip(bytes)
     }
     if (bytes.length >= 4 &&
         (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
@@ -43,6 +51,11 @@ object Magic {
     if (bytes.length >= 3 &&
         (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
         (bytes(2) & 0xff) == 0xff) return Kind.Jpeg
+    if (bytes.length >= 8 &&
+        (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G' && bytes(4) == 0x0d && bytes(5) == 0x0a &&
+        bytes(6) == 0x1a && bytes(7) == 0x0a) return Kind.Png
+    if (startsWith(bytes, "GIF87a") || startsWith(bytes, "GIF89a")) return Kind.Gif
     if (looksLikeText(bytes)) {
       return if (looksLikeHtml(bytes)) Kind.Html else Kind.Text
     }
@@ -57,8 +70,14 @@ object Magic {
     case Kind.Pdf  => "application/pdf"
     case Kind.Docx =>
       "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+    case Kind.Xlsx =>
+      "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+    case Kind.Pptx =>
+      "application/vnd.openxmlformats-officedocument.presentationml.presentation"
     case Kind.Doc  => "application/msword"
     case Kind.Jpeg => "image/jpeg"
+    case Kind.Png  => "image/png"
+    case Kind.Gif  => "image/gif"
     case Kind.Html => s"text/html; charset=${charset.getOrElse("UTF-8")}"
     case Kind.Text => s"text/plain; charset=${charset.getOrElse("UTF-8")}"
     case Kind.Zip  => "application/zip"
@@ -75,13 +94,25 @@ object Magic {
     true
   }
 
-  /** OOXML docx: a zip whose first entries include [Content_Types].xml and
-    * a word/ part. Bounded scan of local-file-header names in the prefix.
+  /** OOXML routing: a zip carrying [Content_Types].xml routes by its main
+    * part root — word/ (docx), xl/ (xlsx), ppt/ (pptx). Entry names are
+    * uncompressed in both local file headers (front) and the central
+    * directory (tail); scan a bounded window at each end.
     */
-  private def zipLooksLikeDocx(bytes: Array[Byte]): Boolean = {
-    val n = math.min(bytes.length, ZipScanWindow)
-    val hay = new String(bytes, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
-    hay.contains("[Content_Types].xml") && hay.contains("word/")
+  private def classifyZip(bytes: Array[Byte]): Kind = {
+    val head = new String(bytes, 0, math.min(bytes.length, ZipScanWindow),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val tail =
+      if (bytes.length <= ZipScanWindow) ""
+      else new String(bytes, math.max(0, bytes.length - ZipScanWindow),
+        math.min(bytes.length, ZipScanWindow),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+    def has(s: String) = head.contains(s) || tail.contains(s)
+    if (!has("[Content_Types].xml")) Kind.Zip
+    else if (has("word/")) Kind.Docx
+    else if (has("xl/")) Kind.Xlsx
+    else if (has("ppt/")) Kind.Pptx
+    else Kind.Zip
   }
 
   /** A payload is text when its prefix is valid UTF-8 or plausible

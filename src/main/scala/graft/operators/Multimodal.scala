@@ -38,12 +38,18 @@ object Multimodal {
             if (b64 == null || b64.isEmpty) Array.emptyByteArray
             else java.util.Base64.getDecoder.decode(b64)
           val kind = Magic.sniff(bytes)
-          if (kind == Magic.Kind.Jpeg) {
-            val meta = JpegKernel.extract(bytes)
+          val meta: Map[String, String] = kind match {
+            case Magic.Kind.Jpeg => JpegKernel.extract(bytes)
+            case Magic.Kind.Png  => graft.kernel.PngKernel.extract(bytes)
+            case Magic.Kind.Gif  => graft.kernel.GifKernel.extract(bytes)
+            case _               => Map.empty
+          }
+          if (meta.nonEmpty) {
             def px(k: String): Int =
               meta.get(k).map(_.takeWhile(_.isDigit)).filter(_.nonEmpty)
                 .map(_.toInt).getOrElse(-1)
-            ImageFeature(ref, "image/jpeg", px("Image Width"), px("Image Height"),
+            ImageFeature(ref, Magic.contentTypeOf(kind, None),
+              px("Image Width"), px("Image Height"),
               meta.getOrElse("Software", ""),
               stubFeature(bytes, dim), decode_ok = true)
           } else {

@@ -239,6 +239,70 @@ class KernelSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------- unknown
+  test("E9: XLSX text extraction (shared strings + inline numerics) + routing") {
+    import graft.corpus.XlsxWriter
+    val spec = XlsxWriter.Spec("Quarterly", "A. Author", Vector(
+      Vector("name", "qty", "note"),
+      Vector("widget", "42", "solid & <tested>"),
+      Vector("gadget", "7", "fragile")))
+    val bytes = XlsxWriter.write(spec)
+    assert(Magic.sniff(bytes) == Magic.Kind.Xlsx)
+    val out = Extract.extractBytes("xlsx", bytes, Extract.Options())
+    assert(out.contentType ==
+      "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+    assert(out.content == XlsxWriter.expectedText(spec))
+    assert(out.content.contains("widget\t42\tsolid & <tested>"))
+    assert(out.metadata("dc:title") == "Quarterly")
+  }
+
+  test("E10: PPTX slide text in numeric order + routing") {
+    import graft.corpus.PptxWriter
+    // 11 slides: lexicographic entry order (slide10 < slide2) must NOT
+    // leak into the text order
+    val spec = PptxWriter.Spec("Deck", "B. Author",
+      Vector.tabulate(11)(i => Vector(s"Slide ${i + 1} headline", s"point ${i + 1}")))
+    val bytes = PptxWriter.write(spec)
+    assert(Magic.sniff(bytes) == Magic.Kind.Pptx)
+    val out = Extract.extractBytes("pptx", bytes, Extract.Options())
+    assert(out.contentType ==
+      "application/vnd.openxmlformats-officedocument.presentationml.presentation")
+    assert(out.content == PptxWriter.expectedText(spec))
+    val idx = (1 to 11).map(i => out.content.indexOf(s"Slide $i headline"))
+    assert(idx.forall(_ >= 0) && idx == idx.sorted, s"slide order wrong: $idx")
+    assert(out.metadata("meta:slide-count") == "11")
+  }
+
+  test("E11: PNG dimensions; GIF dimensions (header kernels)") {
+    import graft.corpus.PngWriter
+    val bytes = PngWriter.write(PngWriter.Spec(123, 45, seed = 7L))
+    assert(Magic.sniff(bytes) == Magic.Kind.Png)
+    val out = Extract.extractBytes("png", bytes, Extract.Options())
+    assert(out.contentType == "image/png")
+    assert(out.isMedia)
+    assert(out.metadata("Image Width") == "123 pixels")
+    assert(out.metadata("Image Height") == "45 pixels")
+    assert(out.metadata("Bits Per Sample") == "8")
+    // GIF header-only contract
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x2c, 0x01, 0x0f, 0x00) ++ new Array[Byte](6) // 300 x 15
+    assert(Magic.sniff(gif) == Magic.Kind.Gif)
+    val g = Extract.extractBytes("gif", gif, Extract.Options())
+    assert(g.contentType == "image/gif")
+    assert(g.metadata("Image Width") == "300 pixels")
+    assert(g.metadata("Image Height") == "15 pixels")
+  }
+
+  test("E9/E10: plain zip (non-OOXML) still routes to application/zip") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("some/file.txt"))
+    zos.write("hello".getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    assert(Magic.sniff(bos.toByteArray) == Magic.Kind.Zip)
+    val out = Extract.extractBytes("zip", bos.toByteArray, Extract.Options())
+    assert(out.contentType == "application/octet-stream")
+  }
+
   test("E7: unknown bytes -> empty content + octet-stream (spec/rika/parser_spec.rb:186-188,236-238)") {
     val out = Extract.extractBytes("bin", fixture("unknown.bin"), Extract.Options())
     assert(out.contentType == "application/octet-stream")
