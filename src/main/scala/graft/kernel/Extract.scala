@@ -108,7 +108,8 @@ object Extract {
       // absent at length 0 (reference: lib/rika.rb:92-95).
       val r = PdfKernel.extract(bytes)
       Out("", Vector.empty, "application/pdf",
-        r.metadata - "pdf:charsPerPage", isMedia = false, issue = None)
+        r.metadata - "pdf:charsPerPage" - "pdf:unmappedUnicodeCharsPerPage",
+        isMedia = false, issue = None)
     } else {
       val r = PdfKernel.extract(bytes)
       val content = truncate(r.text, opt)

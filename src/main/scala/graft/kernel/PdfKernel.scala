@@ -54,15 +54,17 @@ object PdfKernel {
     val pages = doc.pages
     val pageTexts = pages.map(p => pageText(doc, p))
     val allLines = pageTexts.flatMap(_._1)
-    val body = pageTexts.map { case (_, t) => t }.mkString("")
-    val meta = infoMetadata(doc, version, pages.length, body)
+    val body = pageTexts.map(_._2).mkString("")
+    val unmapped = pageTexts.map(_._3).sum
+    val meta = infoMetadata(doc, version, pages.length, body, unmapped)
     Result(body, allLines, meta, pages.length)
   }
 
-  /** One page's (lines, text-with-layout). Text = "\n" + lines joined by
-    * "\n" (blank line inserted at paragraph-sized leading gaps) + "\n".
+  /** One page's (lines, text-with-layout, unmapped-glyph count). Text =
+    * "\n" + lines joined by "\n" (blank line inserted at paragraph-sized
+    * leading gaps) + "\n".
     */
-  private def pageText(doc: Doc, page: PDict): (Vector[String], String) = {
+  private def pageText(doc: Doc, page: PDict): (Vector[String], String, Int) = {
     val fonts: Map[String, Font] = (for {
       res   <- doc.deref(page.m.getOrElse("Resources", PNull)).collect { case d: PDict => d }
       fdict <- doc.deref(res.m.getOrElse("Font", PNull)).collect { case d: PDict => d }
@@ -93,8 +95,10 @@ object PdfKernel {
       case _ => Array.emptyByteArray
     }
 
-    val items = new ContentInterp(fonts).run(content)
-    assemble(items)
+    val interp = new ContentInterp(fonts)
+    val items = interp.run(content)
+    val (lines, text) = assemble(items)
+    (lines, text, interp.unmappedGlyphs)
   }
 
   /** A positioned text run in device space. */
@@ -332,6 +336,13 @@ object PdfKernel {
       case _       => ()
     }
 
+    /** Glyph codes a declared ToUnicode CMap failed to map (the per-page
+      * average feeds pdf:unmappedUnicodeCharsPerPage, reference:
+      * lib/rika.rb:92-95). Fonts without any CMap decode via the simple
+      * byte encoding and are not counted as unmapped.
+      */
+    var unmappedGlyphs: Int = 0
+
     private def decode(s: PStr): String = {
       val b = s.bytes
       val sb = new StringBuilder
@@ -339,15 +350,24 @@ object PdfKernel {
         var i = 0
         while (i + 1 < b.length) {
           val code = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-          sb.append(font.toUnicode.getOrElse(code, code.toChar.toString))
+          font.toUnicode.get(code) match {
+            case Some(u) => sb.append(u)
+            case None =>
+              if (font.toUnicode.nonEmpty) unmappedGlyphs += 1
+              sb.append(code.toChar)
+          }
           i += 2
         }
       } else {
         var i = 0
         while (i < b.length) {
           val code = b(i) & 0xff
-          sb.append(font.toUnicode.getOrElse(code,
-            new String(Array(b(i)), StandardCharsets.ISO_8859_1)))
+          font.toUnicode.get(code) match {
+            case Some(u) => sb.append(u)
+            case None =>
+              if (font.toUnicode.nonEmpty) unmappedGlyphs += 1
+              sb.append(new String(Array(b(i)), StandardCharsets.ISO_8859_1))
+          }
           i += 1
         }
       }
@@ -799,13 +819,19 @@ object PdfKernel {
   }
 
   // ------------------------------------------------------------ metadata
-  private def infoMetadata(doc: Doc, version: String, nPages: Int, body: String): Map[String, String] = {
+  private def infoMetadata(doc: Doc, version: String, nPages: Int, body: String,
+      unmappedGlyphs: Int): Map[String, String] = {
     var meta = Map(
       "dc:format" -> s"application/pdf; version=$version",
       "pdf:PDFVersion" -> version,
       "xmpTPg:NPages" -> nPages.toString)
-    if (nPages > 0)
+    if (nPages > 0) {
       meta += ("pdf:charsPerPage" -> (body.length / nPages).toString)
+      // per-page average of glyphs a ToUnicode CMap failed to map
+      // (reference: lib/rika.rb:92-95; absent in metadata-only mode like
+      // charsPerPage)
+      meta += ("pdf:unmappedUnicodeCharsPerPage" -> (unmappedGlyphs / nPages).toString)
+    }
     doc.info.foreach { d =>
       def str(k: String): Option[String] = d.m.get(k).flatMap {
         case PStr(b) => Some(decodePdfString(b))

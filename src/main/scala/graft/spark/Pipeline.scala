@@ -79,55 +79,56 @@ object Pipeline {
         })
 
     // ---- media spans ---------------------------------------------------
-    // base64 decoded in the SCAN projection: the join exchange carries raw
-    // binary (25% smaller than b64 text) and decodes exactly once. Both
-    // join sides are repartitioned EXPLICITLY to p on media_ref: Spark
-    // reuses those exchanges for the join, and the explicit count pins the
-    // CPU-heavy kernel stage's parallelism (AQE's byte-targeted coalescing
-    // would otherwise fold it into a few partitions — bytes are small,
-    // per-byte cost is not). broadcastMedia flips to a broadcast join when
-    // the media table is known-small.
+    // EXTRACT-BEFORE-JOIN (round 2): payloads are base64-decoded AND
+    // kernel-extracted inside the media table's OWN scan stage, so raw
+    // bytes never cross any exchange at any scale — the join that attaches
+    // results to spans moves only text-sized MediaExtract rows. This also
+    // removes the r1 broadcast-spans path's serial section (collecting and
+    // building a spans hash relation on the driver — an Amdahl cap whose
+    // cost is invisible at 2 cores and ~20% of the pass at 8), and
+    // deduplicates kernel work when several spans reference one media row.
+    // Detection is content-first (D1 re-sniffs), so extraction needs
+    // nothing from the span row. Tradeoff: media rows never referenced by
+    // any doc (e.g. on resume) are extracted wastefully; at warehouse
+    // scale gate with a keys-only semi-join or bucket both tables.
     val mediaSpans = spanRows(withText = false).filter(col("media_ref").isNotNull)
-    val mediaBin = media.select(col("media_ref"), unbase64(col("bytes_b64")).as("bytes"))
+    val extractedMedia: Dataset[MediaExtract] = media
+      .select(col("media_ref"), unbase64(col("bytes_b64")).as("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (ref, bytes) =>
+        val out = Extract.extractBytes("media", bytes, opt)
+        MediaExtract(ref,
+          if (out.isMedia) "media" else if (out.blocks.nonEmpty) "text" else "none",
+          out.blocks, out.contentType,
+          out.metadata.toSeq.map { case (k, v) => MetaEntry(k, v) },
+          out.issue.getOrElse(""),
+          if (bytes == null) 0L else bytes.length.toLong)
+      })
 
-    // Join-strategy selection by table statistics (the decision a real
-    // engine makes): when the SPAN-METADATA side is small enough to
-    // broadcast, the payload side never moves at all — extraction runs in
-    // the media SCAN partitions and zero payload bytes cross the network
-    // (the local stand-in for the bucketed-storage layout that makes this
-    // join shuffle-free at warehouse scale). Otherwise payloads take one
-    // explicit hash exchange + SHUFFLE_HASH join (never sort-merge: SMJ
-    // would sort the big binary rows, measured ~3x kernel CPU).
-    val spanSideBytes = mediaSpans.queryExecution.optimizedPlan.stats.sizeInBytes
-    val broadcastSpansLimit = BigInt(256L << 20)
+    // left join keeps spans whose media_ref resolves nothing -> io_error
+    // taxonomy rows (null-filled columns defaulted below). Both sides are
+    // text-sized; broadcastMedia broadcasts the extracted side, otherwise
+    // an explicit hash exchange on media_ref (uniform by construction).
+    val exDF = extractedMedia.toDF()
     val mediaJoined =
       if (cfg.broadcastMedia)
-        mediaSpans.join(broadcast(mediaBin), Seq("media_ref"), "left")
-      else if (spanSideBytes <= broadcastSpansLimit) {
-        // inner broadcast join streams the payload scan; spans that
-        // resolve no media are recovered via a broadcast anti-join (rare:
-        // the io_error taxonomy path)
-        val matched = mediaBin.join(broadcast(mediaSpans), Seq("media_ref"), "inner")
-        val missing = mediaSpans
-          .join(media.select(col("media_ref")), Seq("media_ref"), "left_anti")
-          .withColumn("bytes", lit(null).cast("binary"))
-        matched.select(col("doc_id"), col("span_idx"), col("kind"),
-            col("media_ref"), col("bytes"))
-          .unionByName(missing.select(col("doc_id"), col("span_idx"),
-            col("kind"), col("media_ref"), col("bytes")))
-      } else
-        mediaSpans.hint("shuffle_hash").repartition(p, col("media_ref"))
-          .join(mediaBin.repartition(p, col("media_ref")), Seq("media_ref"), "left")
+        mediaSpans.join(broadcast(exDF), Seq("media_ref"), "left")
+      else
+        mediaSpans.repartition(p, col("media_ref"))
+          .hint("shuffle_hash")
+          .join(exDF.repartition(p, col("media_ref")), Seq("media_ref"), "left")
 
-    def extractMediaRows(df: DataFrame): Dataset[SpanExtract] =
-      df.select(col("doc_id"), col("span_idx"), col("kind"),
-          col("media_ref"), col("bytes"))
-        .as[(String, Int, String, String, Array[Byte])]
-        .mapPartitions(_.map { case (docId, idx, kind, ref, bytes) =>
-          toSpanExtract(docId, idx, ref,
-            Extract.extractBytes(kind, bytes, opt),
-            if (bytes == null) 0L else bytes.length.toLong)
-        })
+    val emptyMeta = array().cast("array<struct<key:string,value:string>>")
+    val mediaRows: Dataset[SpanExtract] = mediaJoined.select(
+        col("doc_id"), col("span_idx"),
+        coalesce(col("out_kind"), lit("none")).as("out_kind"),
+        coalesce(col("blocks"), array().cast("array<string>")).as("blocks"),
+        col("media_ref"),
+        coalesce(col("content_type"), lit("application/octet-stream")).as("content_type"),
+        coalesce(col("metadata"), emptyMeta).as("metadata"),
+        coalesce(col("issue_type"), lit(Extract.IssueIoError)).as("issue_type"),
+        coalesce(col("bytes_in"), lit(0L)).as("bytes_in"))
+      .as[SpanExtract]
 
     // ---- finalize ------------------------------------------------------
     // one linear flow, each subtree consumed exactly once (a singles
@@ -137,7 +138,7 @@ object Pipeline {
     // typed Aggregator => ObjectHashAggregate: no sort, and partial
     // aggregation completes single-span docs (the common case) on the map
     // side before the exchange
-    extractTextRows(textMixed).union(extractMediaRows(mediaJoined))
+    extractTextRows(textMixed).union(mediaRows)
       .groupByKey(_.doc_id)
       .agg(AssembleAgg.toColumn.name("row"))
       .select(col("row.*"))

@@ -33,6 +33,20 @@ case class ExtractedRow(
     bytes_in: Long      // total payload bytes consumed (throughput metrics)
 )
 
+/** Extraction result of ONE media payload, computed inside the media
+  * table's scan stage — payload bytes never cross any exchange; only this
+  * (text-sized) row does.
+  */
+case class MediaExtract(
+    media_ref: String,
+    out_kind: String, // text | media | none
+    blocks: Seq[String],
+    content_type: String,
+    metadata: Seq[MetaEntry],
+    issue_type: String,
+    bytes_in: Long
+)
+
 /** Per-span intermediate (post-extraction, pre-assembly): raw bytes are
   * already dropped — only extracted text crosses the assembly shuffle.
   */

@@ -100,6 +100,13 @@ class KernelSpec extends AnyFunSuite {
     assert(out.metadata("dc:format") == "application/pdf; version=1.3")
     assert(out.metadata("pdf:docinfo:creator") == "Robert Frost")
     assert(out.metadata("pdf:docinfo:created") == "D:20200723174639Z00'00'")
+    // per-page unmapped-glyph counter present (lib/rika.rb:92-95); the
+    // fixture's ToUnicode CMap covers every glyph used
+    assert(out.metadata("pdf:unmappedUnicodeCharsPerPage") == "0")
+    // both counters absent in metadata-only mode (reference caveat)
+    val m0 = Extract.extractBytes("pdf", fixture("document.pdf"), Extract.Options(0))
+    assert(!m0.metadata.contains("pdf:charsPerPage"))
+    assert(!m0.metadata.contains("pdf:unmappedUnicodeCharsPerPage"))
   }
 
   test("E3: PDF body contains the full poem in reading order") {
