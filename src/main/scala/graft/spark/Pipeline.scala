@@ -40,18 +40,27 @@ object Pipeline {
       cfg: Config = Config()): Dataset[ExtractedRow] = {
     import spark.implicits._
 
-    // branch-specialized projections: the media branch never touches the
-    // heavy span.text field, so nested-schema pruning drops it from that
-    // branch's parquet scans (verified in ReadSchema)
-    def spanRows(withText: Boolean) = {
-      val base = docs.select(col("doc_id"), explode(col("spans")).as("span"))
-      val fields = Seq(
-        col("span.offset").as("span_idx"),
-        col("span.kind").as("kind")) ++
-        (if (withText) Seq(col("span.text").as("text")) else Nil) :+
-        col("span.media_ref").as("media_ref")
-      base.select(col("doc_id") +: fields: _*)
-    }
+    // branch-specialized projections. The media branch never touches the
+    // heavy span.text field — but explode(spans) plants a size(spans)>0
+    // filter on the FULL struct column, defeating nested-schema pruning
+    // (verified: ReadSchema kept text:string). Extracting the needed
+    // fields as parallel arrays (GetArrayStructFields, which
+    // NestedColumnAliasing handles) and zipping them back lets the scan
+    // read only <kind, media_ref, offset> (verified in ReadSchema) — the
+    // text column is the bulk of the docs table's inline bytes.
+    def spanRows(withText: Boolean) =
+      if (withText)
+        docs.select(col("doc_id"), explode(col("spans")).as("span"))
+          .select(col("doc_id"),
+            col("span.offset").as("span_idx"), col("span.kind").as("kind"),
+            col("span.text").as("text"), col("span.media_ref").as("media_ref"))
+      else
+        docs.select(col("doc_id"),
+            explode(arrays_zip(col("spans.offset"), col("spans.kind"),
+              col("spans.media_ref"))).as("span"))
+          .select(col("doc_id"),
+            col("span.offset").as("span_idx"), col("span.kind").as("kind"),
+            col("span.media_ref").as("media_ref"))
 
     val p = if (cfg.saltPartitions > 0) cfg.saltPartitions
       else spark.sessionState.conf.numShufflePartitions

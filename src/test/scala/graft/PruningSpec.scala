@@ -32,4 +32,22 @@ class PruningSpec extends AnyFunSuite {
     val plan2 = q2.queryExecution.executedPlan.toString
     assert(plan2.contains("PushedFilters") && plan2.contains("size_class"), plan2.take(1500))
   }
+
+  test("media branch's docs scan prunes span.text from ReadSchema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune2").toString
+    Gen.writeCorpus(spark, dir, nDocs = 200)
+    val docs = Gen.readDocs(spark, dir)
+    val media = Gen.readMedia(spark, dir)
+    val plan = graft.spark.Pipeline.extract(spark, docs, media)
+      .toDF().queryExecution.executedPlan.toString
+    // exactly one docs scan (the text branch) may read text:string; the
+    // media branch's scan must read only <kind, media_ref, offset>
+    val readSchemas = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("spans:array")).toVector
+    assert(readSchemas.nonEmpty)
+    val withText = readSchemas.count(_.contains("text:string"))
+    assert(withText == 1,
+      s"expected exactly 1 spans scan with text (the text branch), got $withText:\n" +
+        readSchemas.mkString("\n"))
+  }
 }
