@@ -58,10 +58,14 @@ object JpegWriter {
 }
 
 /** Minimal-but-valid CFB container holding a WordDocument stream with a
-  * FIB (magic 0xA5EC) and cp1252 text at fcMin..fcMac. Streams are padded
-  * to >= 4096 bytes so they live in the regular FAT (DocKernel does not
-  * walk the mini-FAT, matching real .doc files whose WordDocument stream
-  * always exceeds the mini-stream cutoff).
+  * FIB (magic 0xA5EC). Two layouts:
+  *  - `write`: non-complex, cp1252 text at fcMin..fcMac, streams >= 4096
+  *    so everything lives in the regular FAT;
+  *  - `writeComplex`: fComplex piece table — text split into three pieces
+  *    stored OUT of file order with mixed cp1252/UTF-16LE encodings, the
+  *    Clx/PlcPcd in a small `0Table` stream that lives in the MINI
+  *    stream (exercising DocKernel's MiniFAT walk), and a decoy
+  *    fcMin..fcMac range so any fallback is loudly wrong.
   */
 object CfbWriter {
 
@@ -135,6 +139,142 @@ object CfbWriter {
     out.write(header)
     out.write(body)
     out.toByteArray
+  }
+
+  def writeComplex(text: String): Array[Byte] = {
+    val t = text.replace("\n", "\r")
+    // three character pieces; physical file order is p3, p1, p2
+    val l1 = t.length / 3
+    val l2 = t.length / 3
+    val (p1, p2, p3) = (t.substring(0, l1), t.substring(l1, l1 + l2), t.substring(l1 + l2))
+    val b3 = p3.getBytes("windows-1252")
+    val b1 = p1.getBytes("windows-1252")
+    val b2 = p2.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+
+    val fibSize = 2048
+    val offA = fibSize               // p3 (compressed)
+    val offB = offA + b3.length      // p1 (compressed)
+    val offC0 = offB + b1.length
+    val offC = offC0 + (offC0 & 1)   // p2 (UTF-16LE), even offset
+    val decoy = "DECOY RANGE TEXT - piece table must win".getBytes("windows-1252")
+    val decoyOff = offC + b2.length
+    val wdLen = math.max(4096, decoyOff + decoy.length)
+    val wd = new Array[Byte](wdLen)
+    wd(0) = 0xec.toByte; wd(1) = 0xa5.toByte
+    wd(2) = 0xc1.toByte; wd(3) = 0x00
+    wd(10) = 0x04 // flags: fComplex (fWhichTblStm clear => 0Table)
+    putU32(wd, 24, decoyOff); putU32(wd, 28, decoyOff + decoy.length)
+    // variable FIB geometry (Word97): csw=14, cslw=22, cbRgFcLcb=93
+    putU16(wd, 32, 14)
+    putU16(wd, 34 + 14 * 2, 22)
+    val cbAt = 34 + 14 * 2 + 2 + 22 * 4
+    putU16(wd, cbAt, 93)
+    val rg = cbAt + 2
+    System.arraycopy(b3, 0, wd, offA, b3.length)
+    System.arraycopy(b1, 0, wd, offB, b1.length)
+    System.arraycopy(b2, 0, wd, offC, b2.length)
+    System.arraycopy(decoy, 0, wd, decoyOff, decoy.length)
+
+    // Clx: one Prc block (skipped by readers) + Pcdt with 3 pieces
+    val n = 3
+    val lcb = (n + 1) * 4 + n * 8
+    val clx = new Array[Byte](3 + 2 + 5 + lcb)
+    clx(0) = 0x01; putU16(clx, 1, 2) // Prc: cb=2 junk bytes
+    val pcdt = 5
+    clx(pcdt) = 0x02
+    putU32(clx, pcdt + 1, lcb)
+    val plc = pcdt + 5
+    val cps = Array(0, p1.length, p1.length + p2.length, t.length)
+    cps.zipWithIndex.foreach { case (cp, k) => putU32(clx, plc + k * 4, cp) }
+    def putPcd(k: Int, fc: Long): Unit =
+      putU32(clx, plc + (n + 1) * 4 + k * 8 + 2, fc)
+    putPcd(0, (offB.toLong * 2) | 0x40000000L) // p1 compressed
+    putPcd(1, offC.toLong)                     // p2 UTF-16LE
+    putPcd(2, (offA.toLong * 2) | 0x40000000L) // p3 compressed
+    // fcClx=0 in the table stream, lcbClx = clx length
+    putU32(wd, rg + 33 * 8, 0); putU32(wd, rg + 33 * 8 + 4, clx.length)
+
+    // ---- container: WD (regular FAT) + 0Table (mini stream) ----
+    val sectorSize = 512
+    val miniSector = 64
+    val wdSectors = (wdLen + sectorSize - 1) / sectorSize
+    val msMini = (clx.length + miniSector - 1) / miniSector // mini sectors used
+    val msLen = msMini * miniSector
+    val msSectors = (msLen + sectorSize - 1) / sectorSize   // regular sectors of ministream
+    val msStart = wdSectors
+    val dirSector = msStart + msSectors
+    val miniFatSector = dirSector + 1
+    val fatSector = miniFatSector + 1
+    val fatEntries = fatSector + 1
+    val fatSectors = (fatEntries * 4 + sectorSize - 1) / sectorSize
+    val nSectors = fatSector + fatSectors
+    val body = new Array[Byte](nSectors * sectorSize)
+    java.util.Arrays.fill(body, 0xff.toByte)
+
+    var s = 0
+    while (s < wdSectors) {
+      val nB = math.min(sectorSize, wdLen - s * sectorSize)
+      java.util.Arrays.fill(body, s * sectorSize, (s + 1) * sectorSize, 0.toByte)
+      System.arraycopy(wd, s * sectorSize, body, s * sectorSize, nB)
+      s += 1
+    }
+    // ministream data (holds the 0Table bytes in mini sectors)
+    java.util.Arrays.fill(body, msStart * sectorSize,
+      (msStart + msSectors) * sectorSize, 0.toByte)
+    System.arraycopy(clx, 0, body, msStart * sectorSize, clx.length)
+    // directory
+    val dirOff = dirSector * sectorSize
+    java.util.Arrays.fill(body, dirOff, dirOff + sectorSize, 0.toByte)
+    writeDirEntry(body, dirOff, "Root Entry", 5, msStart, msLen)
+    writeDirEntry(body, dirOff + 128, "WordDocument", 2, 0, wdLen)
+    writeDirEntry(body, dirOff + 256, "0Table", 2, 0, clx.length) // mini sector 0
+    putU32(body, dirOff + 128 + 72, 2) // WordDocument right-sibling -> 0Table
+    // MiniFAT: 0Table occupies mini sectors 0..msMini-1
+    val mfOff = miniFatSector * sectorSize
+    java.util.Arrays.fill(body, mfOff, mfOff + sectorSize, 0xff.toByte)
+    var m = 0
+    while (m < msMini - 1) { putU32(body, mfOff + m * 4, m + 1); m += 1 }
+    putU32Signed(body, mfOff + (msMini - 1) * 4, 0xfffffffeL)
+    // FAT
+    val fatOff = fatSector * sectorSize
+    var i = 0
+    while (i < wdSectors - 1) { putU32(body, fatOff + i * 4, i + 1); i += 1 }
+    putU32Signed(body, fatOff + (wdSectors - 1) * 4, 0xfffffffeL)
+    var j = 0
+    while (j < msSectors - 1) {
+      putU32(body, fatOff + (msStart + j) * 4, msStart + j + 1); j += 1
+    }
+    putU32Signed(body, fatOff + (msStart + msSectors - 1) * 4, 0xfffffffeL)
+    putU32Signed(body, fatOff + dirSector * 4, 0xfffffffeL)
+    putU32Signed(body, fatOff + miniFatSector * 4, 0xfffffffeL)
+    putU32Signed(body, fatOff + fatSector * 4, 0xfffffffdL)
+
+    val header = new Array[Byte](512)
+    val sig = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+    sig.zipWithIndex.foreach { case (b, k) => header(k) = b.toByte }
+    header(24) = 0x3e; header(26) = 0x03
+    header(28) = 0xfe.toByte; header(29) = 0xff.toByte
+    header(30) = 9
+    header(32) = 6
+    putU32(header, 44, fatSectors)
+    putU32(header, 48, dirSector)
+    putU32(header, 56, 4096)
+    putU32(header, 60, miniFatSector)
+    putU32(header, 64, 1)
+    putU32Signed(header, 68, 0xfffffffeL)
+    var k = 0
+    while (k < 109) { putU32Signed(header, 76 + k * 4, 0xffffffffL); k += 1 }
+    putU32(header, 76, fatSector)
+
+    val out = new ByteArrayOutputStream()
+    out.write(header)
+    out.write(body)
+    out.toByteArray
+  }
+
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
   }
 
   private def writeDirEntry(b: Array[Byte], off: Int, name: String,

@@ -195,13 +195,18 @@ object Gen {
       Seq(Span("media", null, ref, -1)), bytes.length.toLong)
   }
 
-  /** .doc stays latin (cp1252 round-trip is exact for en/de/fr/es). */
+  /** .doc stays latin (cp1252 round-trip is exact for en/de/fr/es);
+    * ~1/3 are fComplex piece-table documents (out-of-order pieces,
+    * mini-stream table) — the layout real multiply-edited Word files use.
+    */
   private def docPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
     val lang = Vector("en", "de", "fr", "es")(rng.nextInt(4))
     val text = (TextGen.titleLine(rng, lang) +
       "\n\n" + TextGen.paragraph(rng, lang, 2 + rng.nextInt(4)) +
       "\n\n" + TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))) + "\n"
-    val bytes = CfbWriter.write(text)
+    val bytes =
+      if (rng.nextInt(3) == 0) CfbWriter.writeComplex(text)
+      else CfbWriter.write(text)
     val ref = s"m-$docId-$k"
     Piece("doc", Span("doc", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),

@@ -1,10 +1,13 @@
 package graft.kernel
 
-/** E5 - legacy Word (.doc) extractor: CFB/OLE2 sector+FAT walk, FIB text
-  * range, from scratch. Minimal by design: the reference's specs pin only
-  * detection (content type `application/msword` or
-  * `application/x-tika-msoffice`, spec/rika/parser_spec.rb:240-243) and
-  * best-effort text, with no content assertion.
+/** E5 - legacy Word (.doc) extractor: CFB/OLE2 sector+FAT walk (regular
+  * AND mini-stream), FIB parse, and BOTH text layouts — the non-complex
+  * fcMin/fcMac range and the fComplex piece table (Clx/PlcPcd in the
+  * 0Table/1Table stream, mixed cp1252/UTF-16LE pieces in any file
+  * order) — from scratch. The reference's specs pin detection (content
+  * type `application/msword` or `application/x-tika-msoffice`,
+  * spec/rika/parser_spec.rb:240-243) and best-effort text; the piece
+  * table is what real Word files (edited more than once) actually use.
   */
 object DocKernel {
 
@@ -12,6 +15,7 @@ object DocKernel {
 
   private val FreeSect = 0xffffffffL
   private val EndChain = 0xfffffffeL
+  private val MaxTextChars = 64 << 20
 
   def extract(bytes: Array[Byte]): Result = {
     if (bytes.length < 512) return Result("", isWord = false)
@@ -22,7 +26,10 @@ object DocKernel {
 
     val sectorSize = 1 << u16(30)
     if (sectorSize < 128 || sectorSize > 4096) return Result("", isWord = false)
+    val miniSectorSize = 1 << u16(32)
     val firstDirSector = u32(48)
+    val miniCutoff = u32(56)
+    val firstMiniFat = u32(60)
 
     // FAT from the header DIFAT (109 entries — covers files < ~6.8 MB at
     // 512B sectors; larger CFBs chain extra DIFAT sectors).
@@ -69,41 +76,148 @@ object DocKernel {
 
     // Directory entries: 128 bytes each, UTF-16LE names.
     val dir = chain(firstDirSector)
-    var wordStart = -1L
-    var wordSize = -1L
+    final case class Entry(start: Long, size: Long)
+    var entries = Map.empty[String, Entry]
+    var rootStart = -1L
+    var rootSize = -1L
     var i = 0
     while (i * 128 + 128 <= dir.length) {
       val e = i * 128
       val nameLen = (dir(e + 64) & 0xff) | ((dir(e + 65) & 0xff) << 8)
       if (nameLen >= 2 && nameLen <= 64) {
         val name = new String(dir, e, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
-        if (name == "WordDocument") {
-          wordStart = (dir(e + 116) & 0xffL) | ((dir(e + 117) & 0xffL) << 8) |
-            ((dir(e + 118) & 0xffL) << 16) | ((dir(e + 119) & 0xffL) << 24)
-          wordSize = (dir(e + 120) & 0xffL) | ((dir(e + 121) & 0xffL) << 8) |
-            ((dir(e + 122) & 0xffL) << 16) | ((dir(e + 123) & 0xffL) << 24)
-        }
+        val start = (dir(e + 116) & 0xffL) | ((dir(e + 117) & 0xffL) << 8) |
+          ((dir(e + 118) & 0xffL) << 16) | ((dir(e + 119) & 0xffL) << 24)
+        val size = (dir(e + 120) & 0xffL) | ((dir(e + 121) & 0xffL) << 8) |
+          ((dir(e + 122) & 0xffL) << 16) | ((dir(e + 123) & 0xffL) << 24)
+        if ((dir(e + 66) & 0xff) == 5) { rootStart = start; rootSize = size }
+        else entries += (name -> Entry(start, size))
       }
       i += 1
     }
-    if (wordStart < 0) return Result("", isWord = false)
 
-    val wd0 = chain(wordStart)
-    val wd = if (wordSize in0 wd0.length) java.util.Arrays.copyOf(wd0, wordSize.toInt) else wd0
-    Result(fibText(wd), isWord = true)
+    // Mini stream: objects smaller than miniCutoff live in 64-byte mini
+    // sectors inside the root entry's own chain, addressed by the MiniFAT.
+    lazy val miniStream: Array[Byte] =
+      if (rootStart < 0) Array.emptyByteArray else chain(rootStart)
+    lazy val miniFat: Array[Long] = {
+      val b = chain(firstMiniFat)
+      Array.tabulate(b.length / 4) { k =>
+        (b(4 * k) & 0xffL) | ((b(4 * k + 1) & 0xffL) << 8) |
+          ((b(4 * k + 2) & 0xffL) << 16) | ((b(4 * k + 3) & 0xffL) << 24)
+      }
+    }
+    def miniChain(start: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val visited = new java.util.BitSet(miniFat.length)
+      var s = start
+      while (s != EndChain && s != FreeSect && s >= 0 && s < miniFat.length &&
+          out.size() <= bytes.length && !visited.get(s.toInt)) {
+        visited.set(s.toInt)
+        val off = s.toInt * miniSectorSize
+        if (off + miniSectorSize <= miniStream.length)
+          out.write(miniStream, off, miniSectorSize)
+        s = miniFat(s.toInt)
+      }
+      out.toByteArray
+    }
+
+    def readStream(name: String): Option[Array[Byte]] =
+      entries.get(name).map { e =>
+        val raw = if (e.size < miniCutoff) miniChain(e.start) else chain(e.start)
+        if (e.size >= 0 && e.size <= raw.length) java.util.Arrays.copyOf(raw, e.size.toInt)
+        else raw
+      }
+
+    readStream("WordDocument") match {
+      case None => Result("", isWord = false)
+      case Some(wd) =>
+        val table =
+          if (fibFlag(wd, 0x0200)) readStream("1Table").orElse(readStream("0Table"))
+          else readStream("0Table").orElse(readStream("1Table"))
+        Result(docText(wd, table), isWord = true)
+    }
   }
 
-  private implicit class LongOps(val l: Long) extends AnyVal {
-    def in0(n: Int): Boolean = l >= 0 && l <= n
-  }
+  private def fibFlag(wd: Array[Byte], mask: Int): Boolean =
+    wd.length >= 12 && (((wd(10) & 0xff) | ((wd(11) & 0xff) << 8)) & mask) != 0
 
-  /** FIB base: magic 0xA5EC at 0; fcMin/fcMac at 24/28 bound the text in
-    * non-complex documents. 8-bit cp1252 unless the bytes look UTF-16LE.
+  /** FIB text: the fComplex piece table (Clx in the table stream) when
+    * present and parseable, else the non-complex fcMin/fcMac range.
     */
-  private def fibText(wd: Array[Byte]): String = {
+  private def docText(wd: Array[Byte], table: Option[Array[Byte]]): String = {
     if (wd.length < 32) return ""
     val magic = (wd(0) & 0xff) | ((wd(1) & 0xff) << 8)
     if (magic != 0xa5ec) return ""
+    val viaPieces = table.flatMap(t => pieceTableText(wd, t))
+    viaPieces.getOrElse(rangeText(wd))
+  }
+
+  /** fcClx/lcbClx from the variable-length FIB: base(32) + csw + rgW +
+    * cslw + rgLw + cbRgFcLcb + rgFcLcb, with fcClx = FcLcb pair 33.
+    */
+  private def pieceTableText(wd: Array[Byte], table: Array[Byte]): Option[String] = {
+    def u16(p: Int): Int =
+      if (p + 2 > wd.length) -1 else (wd(p) & 0xff) | ((wd(p + 1) & 0xff) << 8)
+    def u32(b: Array[Byte], p: Int): Long =
+      if (p + 4 > b.length) -1L
+      else (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    val csw = u16(32)
+    if (csw < 0 || csw > 0x100) return None
+    val cslwAt = 34 + csw * 2
+    val cslw = u16(cslwAt)
+    if (cslw < 0 || cslw > 0x100) return None
+    val cbAt = cslwAt + 2 + cslw * 4
+    val cb = u16(cbAt)
+    if (cb < 34) return None // need at least 34 pairs to reach fcClx
+    val rg = cbAt + 2
+    val fcClx = u32(wd, rg + 33 * 8)
+    val lcbClx = u32(wd, rg + 33 * 8 + 4)
+    if (fcClx < 0 || lcbClx <= 0 || fcClx + lcbClx > table.length) return None
+
+    // Clx: RgPrc (clxt=0x01 blocks) then Pcdt (clxt=0x02 + lcb + PlcPcd)
+    var pos = fcClx.toInt
+    val end = (fcClx + lcbClx).toInt
+    while (pos < end && (table(pos) & 0xff) == 0x01) {
+      val cbG = (table(pos + 1) & 0xff) | ((table(pos + 2) & 0xff) << 8)
+      pos += 3 + cbG
+    }
+    if (pos >= end || (table(pos) & 0xff) != 0x02) return None
+    val lcb = u32(table, pos + 1)
+    val plc = pos + 5
+    if (lcb < 4 + 12 || plc + lcb > end + 1) return None
+    val n = ((lcb - 4) / 12).toInt
+    if (n <= 0 || n > (1 << 20)) return None
+    val cps = Array.tabulate(n + 1)(k => u32(table, plc + k * 4))
+    val sb = new StringBuilder
+    var k = 0
+    while (k < n) {
+      val pcdOff = plc + (n + 1) * 4 + k * 8
+      val fcRaw = u32(table, pcdOff + 2)
+      val chars = (cps(k + 1) - cps(k)).toInt
+      if (chars < 0 || sb.length + chars > MaxTextChars) return None
+      val compressed = (fcRaw & 0x40000000L) != 0L
+      if (compressed) {
+        val off = ((fcRaw & 0x3fffffffL) >>> 1).toInt
+        if (off < 0 || off + chars > wd.length) return None
+        sb.append(new String(wd, off, chars,
+          java.nio.charset.Charset.forName("windows-1252")))
+      } else {
+        val off = (fcRaw & 0x3fffffffL).toInt
+        if (off < 0 || off + chars * 2 > wd.length) return None
+        sb.append(new String(wd, off, chars * 2,
+          java.nio.charset.StandardCharsets.UTF_16LE))
+      }
+      k += 1
+    }
+    Some(clean(sb.toString))
+  }
+
+  /** Non-complex layout: fcMin/fcMac at 24/28 bound the text run. 8-bit
+    * cp1252 unless the bytes look UTF-16LE.
+    */
+  private def rangeText(wd: Array[Byte]): String = {
     def u32(p: Int): Int =
       ((wd(p) & 0xff) | ((wd(p + 1) & 0xff) << 8) |
         ((wd(p + 2) & 0xff) << 16) | ((wd(p + 3) & 0xff) << 24))
@@ -119,9 +233,13 @@ object DocKernel {
       if (slice.length >= 4 && nulEven * 2 > slice.length / 2)
         new String(slice, java.nio.charset.StandardCharsets.UTF_16LE)
       else new String(slice, java.nio.charset.Charset.forName("windows-1252"))
-    // Word paragraph mark is CR; cell/row mark is 0x07; control chars
-    // other than tab/newline are stripped.
+    clean(text)
+  }
+
+  /** Word paragraph mark is CR; cell/row mark is 0x07; control chars
+    * other than tab/newline are stripped.
+    */
+  private def clean(text: String): String =
     text.replace("\r\n", "\n").replace('\r', '\n').replace(7.toChar, '\n')
       .filter(c => c == '\n' || c == '\t' || c >= ' ')
-  }
 }

@@ -215,6 +215,18 @@ class KernelSpec extends AnyFunSuite {
     assert(out.content.contains("And miles to go before I sleep."))
   }
 
+  test("E5: fComplex piece table — out-of-order mixed-encoding pieces, mini-stream 0Table") {
+    import graft.corpus.CfbWriter
+    val text = "First part of the document.\n\nSecond part — déjà vu naïveté.\n\nThird and final part.\n"
+    val bytes = CfbWriter.writeComplex(text)
+    assert(Magic.sniff(bytes) == Magic.Kind.Doc)
+    val out = Extract.extractBytes("doc", bytes, Extract.Options())
+    assert(out.contentType == "application/msword")
+    assert(out.content == text, s"got: ${out.content}")
+    // the decoy fcMin..fcMac range must NOT leak into the output
+    assert(!out.content.contains("DECOY"))
+  }
+
   test("E5: UTF-16LE text runs in DOC are decoded") {
     // build a CFB whose FIB text range holds UTF-16LE (Word unicode docs)
     val text = "Unicode Grüße Тест\n"
