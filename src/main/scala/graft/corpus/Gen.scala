@@ -43,21 +43,26 @@ object Gen {
     val lang = pickLang(rng)
 
     val pieces: Vector[Piece] =
-      if (roll < 25) Vector(txtPiece(rng, lang, giant = rng.nextInt(100) < 2))
-      else if (roll < 43) Vector(htmlPiece(rng, lang))
-      else if (roll < 57) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
-      else if (roll < 67) Vector(docxPiece(rng, lang, docId, 0))
-      else if (roll < 71) Vector(xlsxPiece(rng, lang, docId, 0))
-      else if (roll < 75) Vector(pptxPiece(rng, lang, docId, 0))
+      if (roll < 22) Vector(txtPiece(rng, lang, giant = rng.nextInt(100) < 2))
+      else if (roll < 38) Vector(htmlPiece(rng, lang))
+      else if (roll < 52) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
+      else if (roll < 60) Vector(docxPiece(rng, lang, docId, 0))
+      else if (roll < 64) Vector(xlsxPiece(rng, lang, docId, 0))
+      else if (roll < 67) Vector(pptxPiece(rng, lang, docId, 0))
+      else if (roll < 71) Vector(rtfPiece(rng, lang, docId, 0))
+      else if (roll < 74) Vector(odtPiece(rng, lang, docId, 0))
+      else if (roll < 76) Vector(epubPiece(rng, lang, docId, 0))
       else if (roll < 80) Vector(jpegPiece(rng, docId, 0))
       else if (roll < 82) Vector(pngPiece(rng, docId, 0))
-      else if (roll < 85) Vector(docPiece(rng, docId, 0))
+      else if (roll < 83) Vector(tiffPiece(rng, docId, 0))
+      else if (roll < 84) Vector(mp3Piece(rng, lang, docId, 0))
+      else if (roll < 87) Vector(docPiece(rng, docId, 0))
       else if (roll < 88) Vector(binPiece(rng, docId, 0))
       else if (roll < 90) Vector(emptyPiece(rng, docId, 0))
       else { // interleaved multi-span doc
         val n = if (rng.nextInt(100) < 5) 16 + rng.nextInt(17) else 2 + rng.nextInt(7)
         Vector.tabulate(n) { k =>
-          rng.nextInt(9) match {
+          rng.nextInt(12) match {
             case 0     => txtPiece(rng, lang, giant = false)
             case 1     => htmlPiece(rng, lang)
             case 2     => pdfPiece(rng, lang, docId, k, giant = false)
@@ -66,6 +71,9 @@ object Gen {
             case 5     => xlsxPiece(rng, lang, docId, k)
             case 6     => pptxPiece(rng, lang, docId, k)
             case 7     => pngPiece(rng, docId, k)
+            case 8     => rtfPiece(rng, lang, docId, k)
+            case 9     => odtPiece(rng, lang, docId, k)
+            case 10    => tiffPiece(rng, docId, k)
             case _     => binPiece(rng, docId, k)
           }
         }
@@ -172,6 +180,61 @@ object Gen {
     Piece("pptx", Span("pptx", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
       textGolden(PptxWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def rtfPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val spec = RtfWriter.Spec(TextGen.titleLine(rng, lang),
+      TextGen.titleLine(rng, "en"),
+      Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))))
+    val bytes = RtfWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("rtf", Span("rtf", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(RtfWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def odtPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val spec = OdtWriter.Spec(TextGen.titleLine(rng, lang),
+      TextGen.titleLine(rng, "en"),
+      Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))))
+    val bytes = OdtWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("odt", Span("odt", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(OdtWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def epubPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val spec = EpubWriter.Spec(TextGen.titleLine(rng, lang),
+      TextGen.titleLine(rng, "en"),
+      Vector.tabulate(1 + rng.nextInt(4)) { _ =>
+        Vector.tabulate(1 + rng.nextInt(3))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(2)))
+      })
+    val bytes = EpubWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("epub", Span("epub", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(EpubWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def tiffPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
+    val bytes = TiffWriter.write(TiffWriter.Spec(
+      width = 16 + rng.nextInt(400), height = 16 + rng.nextInt(400),
+      software = s"graft-scan-${rng.nextInt(10)}"))
+    val ref = s"m-$docId-$k"
+    Piece("tiff", Span("tiff", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      Seq(Span("media", null, ref, -1)), bytes.length.toLong)
+  }
+
+  private def mp3Piece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val bytes = Mp3Writer.write(Mp3Writer.Spec(
+      TextGen.titleLine(rng, "en"), TextGen.titleLine(rng, "en"),
+      TextGen.titleLine(rng, "en")))
+    val ref = s"m-$docId-$k"
+    Piece("mp3", Span("mp3", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      Seq(Span("media", null, ref, -1)), bytes.length.toLong)
   }
 
   private def pngPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {

@@ -1,0 +1,203 @@
+package graft.corpus
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{CRC32, ZipEntry, ZipOutputStream}
+
+/** Deterministic writers for the round-2 format tail (RTF, ODT, EPUB,
+  * TIFF, MP3/ID3) with analytically-known expected text/metadata, like
+  * the other corpus writers.
+  */
+
+object RtfWriter {
+
+  final case class Spec(title: String, author: String, paragraphs: Vector[String])
+
+  /** Expected extracted content: paragraphs joined by newlines (one \n
+    * per \par; a blank line between paragraphs = two \par marks).
+    */
+  def expectedText(spec: Spec): String =
+    spec.paragraphs.map(_ + "\n").mkString("\n")
+
+  def write(spec: Spec): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '{'  => "\\{"
+      case '}'  => "\\}"
+      case c if c < 128 => c.toString
+      case c    => s"\\u${c.toInt}?" // unicode escape with 1 fallback char
+    }
+    val sb = new StringBuilder
+    sb.append("{\\rtf1\\ansi\\ansicpg1252\\deff0")
+    sb.append("{\\fonttbl{\\f0\\froman Times New Roman;}}")
+    sb.append("{\\colortbl;\\red0\\green0\\blue0;}")
+    sb.append(s"{\\info{\\title ${esc(spec.title)}}{\\author ${esc(spec.author)}}}")
+    sb.append("{\\stylesheet{\\s0 Normal;}}")
+    sb.append("\\f0\\fs24 ")
+    spec.paragraphs.zipWithIndex.foreach { case (p, i) =>
+      if (i > 0) sb.append("\\par ") // blank line between paragraphs
+      sb.append(esc(p)).append("\\par\n")
+    }
+    sb.append("}")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+}
+
+object OdtWriter {
+
+  final case class Spec(title: String, creator: String, paragraphs: Vector[String])
+
+  /** Expected extracted content: paragraphs joined by \n, trailing \n
+    * (same shape as DOCX).
+    */
+  def expectedText(spec: Spec): String =
+    if (spec.paragraphs.isEmpty) "" else spec.paragraphs.mkString("", "\n", "\n")
+
+  def write(spec: Spec): Array[Byte] = {
+    val contentXml = {
+      val sb = new StringBuilder
+      sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+      sb.append("<office:document-content xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" ")
+      sb.append("xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">")
+      sb.append("<office:body><office:text>")
+      spec.paragraphs.foreach { p =>
+        sb.append("<text:p>").append(DocxWriter.xmlEsc(p)).append("</text:p>")
+      }
+      sb.append("</office:text></office:body></office:document-content>")
+      sb.toString
+    }
+    val metaXml =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<office:document-meta xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
+      "xmlns:dc=\"http://purl.org/dc/elements/1.1/\"><office:meta>" +
+      s"<dc:title>${DocxWriter.xmlEsc(spec.title)}</dc:title>" +
+      s"<dc:creator>${DocxWriter.xmlEsc(spec.creator)}</dc:creator>" +
+      "</office:meta></office:document-meta>"
+    // mimetype MUST be the first entry, STORED (ODF spec) — OoxmlZip
+    // stores the first entry, so the magic head-window sees it verbatim
+    OoxmlZip.build(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text",
+      "content.xml" -> contentXml,
+      "meta.xml" -> metaXml))
+  }
+}
+
+object EpubWriter {
+
+  final case class Spec(title: String, creator: String,
+      chapters: Vector[Vector[String]]) // chapter -> paragraphs
+
+  /** Expected extracted content: per chapter, paragraphs joined by blank
+    * lines; chapters joined by blank lines (HtmlKernel full-text blocks).
+    */
+  def expectedText(spec: Spec): String =
+    spec.chapters.map(_.mkString("\n\n")).filter(_.nonEmpty).mkString("\n\n")
+
+  def write(spec: Spec): Array[Byte] = {
+    def chapterXhtml(paras: Vector[String]): String =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<html xmlns=\"http://www.w3.org/1999/xhtml\"><head><title>c</title></head><body>" +
+      paras.map(p => s"<p>${DocxWriter.xmlEsc(p)}</p>").mkString +
+      "</body></html>"
+    val opf =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<package xmlns=\"http://www.idpf.org/2007/opf\" version=\"3.0\" unique-identifier=\"id\">" +
+      "<metadata xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+      s"<dc:title>${DocxWriter.xmlEsc(spec.title)}</dc:title>" +
+      s"<dc:creator>${DocxWriter.xmlEsc(spec.creator)}</dc:creator>" +
+      "<dc:identifier id=\"id\">graft-synth</dc:identifier>" +
+      "<dc:language>en</dc:language></metadata>" +
+      "<manifest>" + spec.chapters.indices.map(i =>
+        s"""<item id="c$i" href="ch$i.xhtml" media-type="application/xhtml+xml"/>""").mkString +
+      "</manifest><spine>" + spec.chapters.indices.map(i =>
+        s"""<itemref idref="c$i"/>""").mkString + "</spine></package>"
+    val container =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<container version=\"1.0\" xmlns=\"urn:oasis:names:tc:opendocument:xmlns:container\">" +
+      "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" media-type=\"application/oebps-package+xml\"/>" +
+      "</rootfiles></container>"
+    OoxmlZip.build(Seq(
+      "mimetype" -> "application/epub+zip", // stored first (EPUB OCF spec)
+      "META-INF/container.xml" -> container,
+      "OEBPS/content.opf" -> opf) ++
+      spec.chapters.zipWithIndex.map { case (c, i) =>
+        s"OEBPS/ch$i.xhtml" -> chapterXhtml(c)
+      })
+  }
+}
+
+object TiffWriter {
+
+  final case class Spec(width: Int, height: Int, software: String)
+
+  /** Minimal little-endian TIFF: header + one IFD carrying dims, a
+    * software tag and a tiny 8-bit gray strip.
+    */
+  def write(spec: Spec): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >> 16) & 0xffff) }
+    val sw = spec.software + "\u0000"
+    val nTags = 6
+    val ifdOff = 8
+    val swOff = ifdOff + 2 + nTags * 12 + 4
+    val dataOff = swOff + sw.length
+    out.write('I'); out.write('I'); u16(42); u32(ifdOff)
+    u16(nTags)
+    def tag(id: Int, typ: Int, cnt: Int, v: Int): Unit = { u16(id); u16(typ); u32(cnt); u32(v) }
+    tag(0x0100, 3, 1, spec.width)   // ImageWidth SHORT
+    tag(0x0101, 3, 1, spec.height)  // ImageLength SHORT
+    tag(0x0102, 3, 1, 8)            // BitsPerSample
+    tag(0x0106, 3, 1, 1)            // PhotometricInterpretation: gray
+    tag(0x0111, 4, 1, dataOff)      // StripOffsets
+    tag(0x0131, 2, sw.length, swOff) // Software ASCII
+    u32(0) // next IFD
+    out.write(sw.getBytes(StandardCharsets.US_ASCII))
+    // deterministic tiny strip (content need not be decodable)
+    var x = (spec.width * 31L) ^ (spec.height * 17L)
+    for (_ <- 0 until math.min(256, spec.width * spec.height)) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out.write(((x >>> 33) & 0xff).toInt)
+    }
+    out.toByteArray
+  }
+}
+
+object Mp3Writer {
+
+  final case class Spec(title: String, artist: String, album: String)
+
+  /** ID3v2.3 tag + a few sync-marked dummy audio frames. */
+  def write(spec: Spec): Array[Byte] = {
+    def frame(id: String, text: String): Array[Byte] = {
+      val data = Array(0.toByte) ++ text.getBytes(StandardCharsets.ISO_8859_1)
+      val out = new ByteArrayOutputStream()
+      out.write(id.getBytes(StandardCharsets.US_ASCII))
+      val n = data.length
+      out.write((n >> 24) & 0xff); out.write((n >> 16) & 0xff)
+      out.write((n >> 8) & 0xff); out.write(n & 0xff)
+      out.write(0); out.write(0) // flags
+      out.write(data)
+      out.toByteArray
+    }
+    val frames = frame("TIT2", spec.title) ++ frame("TPE1", spec.artist) ++
+      frame("TALB", spec.album)
+    val out = new ByteArrayOutputStream()
+    out.write("ID3".getBytes(StandardCharsets.US_ASCII))
+    out.write(3); out.write(0); out.write(0) // v2.3, flags
+    val size = frames.length
+    out.write((size >> 21) & 0x7f); out.write((size >> 14) & 0x7f)
+    out.write((size >> 7) & 0x7f); out.write(size & 0x7f)
+    out.write(frames)
+    // dummy MPEG frame headers + noise
+    var x = spec.title.hashCode.toLong
+    for (_ <- 0 until 8) {
+      out.write(0xff); out.write(0xfb); out.write(0x90); out.write(0x00)
+      for (_ <- 0 until 104) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        out.write(((x >>> 33) & 0xff).toInt)
+      }
+    }
+    out.toByteArray
+  }
+}

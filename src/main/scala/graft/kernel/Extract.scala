@@ -56,12 +56,21 @@ object Extract {
         case Magic.Kind.Xlsx => xlsx(bytes, opt)
         case Magic.Kind.Pptx => pptx(bytes, opt)
         case Magic.Kind.Doc  => doc(bytes, opt)
+        case Magic.Kind.Rtf  => rtf(bytes, opt)
+        case Magic.Kind.Odt  => odt(bytes, opt)
+        case Magic.Kind.Epub => epub(bytes, opt)
         case Magic.Kind.Jpeg => jpeg(bytes)
         case Magic.Kind.Png  =>
           Out("", Vector.empty, "image/png", PngKernel.extract(bytes),
             isMedia = true, issue = None)
         case Magic.Kind.Gif  =>
           Out("", Vector.empty, "image/gif", GifKernel.extract(bytes),
+            isMedia = true, issue = None)
+        case Magic.Kind.Tiff =>
+          Out("", Vector.empty, "image/tiff", TiffKernel.extract(bytes),
+            isMedia = true, issue = None)
+        case Magic.Kind.Mp3  =>
+          Out("", Vector.empty, "audio/mpeg", Mp3Kernel.extract(bytes),
             isMedia = true, issue = None)
         case Magic.Kind.Html =>
           val cs = Charset.detect(bytes)
@@ -127,6 +136,31 @@ object Extract {
     Out(content, blocksOf(content),
       "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
       r.metadata, isMedia = false, issue = None)
+  }
+
+  private def rtf(bytes: Array[Byte], opt: Options): Out = {
+    val r = RtfKernel.extract(bytes)
+    val content = truncate(r.text, opt)
+    Out(content, blocksOf(content), "application/rtf", r.metadata,
+      isMedia = false, issue = None)
+  }
+
+  private def odt(bytes: Array[Byte], opt: Options): Out = {
+    val r = OdtKernel.extract(bytes)
+    val full =
+      if (r.paragraphs.isEmpty) ""
+      else r.paragraphs.mkString("", "\n", "\n")
+    val content = truncate(full, opt)
+    Out(content, blocksOf(content),
+      "application/vnd.oasis.opendocument.text", r.metadata,
+      isMedia = false, issue = None)
+  }
+
+  private def epub(bytes: Array[Byte], opt: Options): Out = {
+    val r = EpubKernel.extract(bytes)
+    val content = truncate(r.text, opt)
+    Out(content, blocksOf(content), "application/epub+zip", r.metadata,
+      isMedia = false, issue = None)
   }
 
   private def xlsx(bytes: Array[Byte], opt: Options): Out = {

@@ -45,8 +45,10 @@ object JpegKernel {
       b(p + 2) == 'i'.toByte && b(p + 3) == 'f'.toByte &&
       b(p + 4) == 0 && b(p + 5) == 0
 
-  /** TIFF structure inside APP1: header at `off`, bounded by `end`. */
-  private def exif(b: Array[Byte], off: Int, end: Int): Map[String, String] = {
+  /** TIFF structure: header at `off`, bounded by `end`. Shared between
+    * the JPEG APP1/EXIF path and standalone .tif files (TiffKernel).
+    */
+  private[kernel] def exif(b: Array[Byte], off: Int, end: Int): Map[String, String] = {
     if (off + 8 > end) return Map.empty
     val little = (b(off) & 0xff) == 0x49 && (b(off + 1) & 0xff) == 0x49
     val big    = (b(off) & 0xff) == 0x4d && (b(off + 1) & 0xff) == 0x4d
@@ -61,10 +63,12 @@ object JpegKernel {
         ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
 
     val tagNames = Map(
+      0x0100 -> "Image Width", 0x0101 -> "Image Height", // baseline TIFF dims
       0x010f -> "Make", 0x0110 -> "Model", 0x0131 -> "Software",
       0x0132 -> "Date/Time", 0x013b -> "Artist", 0x8298 -> "Copyright",
       0x9003 -> "Date/Time Original", 0x9004 -> "Date/Time Digitized",
       0xa002 -> "Exif Image Width", 0xa003 -> "Exif Image Height")
+    val pixelTags = Set(0x0100, 0x0101)
 
     var meta = Map.empty[String, String]
     def readIfd(ifdOff: Int): Option[Int] = {
@@ -90,7 +94,9 @@ object JpegKernel {
               case 4 => Some(u32(p + 8).toString) // LONG
               case _ => None
             }
-            value.filter(_.nonEmpty).foreach(v => meta += (name -> v))
+            value.filter(_.nonEmpty).foreach { v =>
+              meta += (name -> (if (pixelTags.contains(tag)) s"$v pixels" else v))
+            }
           }
         }
         e += 1

@@ -21,9 +21,14 @@ object Magic {
     case object Xlsx    extends Kind("xlsx")
     case object Pptx    extends Kind("pptx")
     case object Doc     extends Kind("doc")   // OLE2/CFB container
+    case object Rtf     extends Kind("rtf")
+    case object Odt     extends Kind("odt")
+    case object Epub    extends Kind("epub")
     case object Jpeg    extends Kind("jpeg")
     case object Png     extends Kind("png")
     case object Gif     extends Kind("gif")
+    case object Tiff    extends Kind("tiff")
+    case object Mp3     extends Kind("mp3")
     case object Html    extends Kind("html")
     case object Text    extends Kind("txt")
     case object Zip     extends Kind("zip")   // PK but not a known OOXML type
@@ -40,6 +45,12 @@ object Magic {
   def sniff(bytes: Array[Byte]): Kind = {
     if (bytes == null || bytes.length == 0) return Kind.Unknown
     if (startsWith(bytes, "%PDF-")) return Kind.Pdf
+    if (startsWith(bytes, "{\\rtf")) return Kind.Rtf
+    if (startsWith(bytes, "ID3")) return Kind.Mp3
+    if (bytes.length >= 4 &&
+        ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 0x2a && bytes(3) == 0) ||
+         (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 0x2a)))
+      return Kind.Tiff
     if (bytes.length >= 4 &&
         (bytes(0) & 0xff) == 0x50 && (bytes(1) & 0xff) == 0x4b &&
         (bytes(2) & 0xff) == 0x03 && (bytes(3) & 0xff) == 0x04) {
@@ -75,9 +86,14 @@ object Magic {
     case Kind.Pptx =>
       "application/vnd.openxmlformats-officedocument.presentationml.presentation"
     case Kind.Doc  => "application/msword"
+    case Kind.Rtf  => "application/rtf"
+    case Kind.Odt  => "application/vnd.oasis.opendocument.text"
+    case Kind.Epub => "application/epub+zip"
     case Kind.Jpeg => "image/jpeg"
     case Kind.Png  => "image/png"
     case Kind.Gif  => "image/gif"
+    case Kind.Tiff => "image/tiff"
+    case Kind.Mp3  => "audio/mpeg"
     case Kind.Html => s"text/html; charset=${charset.getOrElse("UTF-8")}"
     case Kind.Text => s"text/plain; charset=${charset.getOrElse("UTF-8")}"
     case Kind.Zip  => "application/zip"
@@ -108,7 +124,11 @@ object Magic {
         math.min(bytes.length, ZipScanWindow),
         java.nio.charset.StandardCharsets.ISO_8859_1)
     def has(s: String) = head.contains(s) || tail.contains(s)
-    if (!has("[Content_Types].xml")) Kind.Zip
+    // ODF/EPUB packages carry a STORED-first `mimetype` entry whose
+    // content is visible verbatim in the head window (per their specs)
+    if (head.contains("mimetypeapplication/vnd.oasis.opendocument.text")) Kind.Odt
+    else if (head.contains("mimetypeapplication/epub+zip")) Kind.Epub
+    else if (!has("[Content_Types].xml")) Kind.Zip
     else if (has("word/")) Kind.Docx
     else if (has("xl/")) Kind.Xlsx
     else if (has("ppt/")) Kind.Pptx

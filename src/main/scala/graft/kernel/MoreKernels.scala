@@ -1,0 +1,292 @@
+package graft.kernel
+
+import java.io.ByteArrayInputStream
+import javax.xml.stream.XMLStreamConstants
+
+/** Round-2 format-tail kernels: RTF, ODT, EPUB, TIFF, MP3/ID3 — the next
+  * tier of the reference's Tika-delegate breadth (reference:
+  * README.md:3-8 "any file type Tika supports"). Each is a bounded,
+  * from-scratch JDK-only parser following the same failure-taxonomy
+  * contract as E1-E11 (never throw past Extract's NonFatal net, never
+  * amplify input unboundedly).
+  */
+
+/** RTF text + \info metadata: group-aware control-word scanner. */
+object RtfKernel {
+
+  final case class Result(text: String, metadata: Map[String, String])
+
+  private val SkipDests = Set(
+    "fonttbl", "stylesheet", "colortbl", "pict", "themedata", "listtable",
+    "listoverridetable", "latentstyles", "datastore", "generator",
+    "rsidtbl", "xmlnstbl", "header", "footer", "operator")
+
+  def extract(bytes: Array[Byte]): Result = {
+    val s = new String(bytes, java.nio.charset.Charset.forName("windows-1252"))
+    val out = new StringBuilder
+    var meta = Map.empty[String, String]
+    var i = 0
+    val n = math.min(s.length, 16 << 20)
+    // group stack: per-group (skipping, capture-key, uc-count)
+    final case class G(skip: Boolean, capture: String, uc: Int)
+    var stack = List(G(skip = false, capture = null, uc = 1))
+    val captures = scala.collection.mutable.Map[String, StringBuilder]()
+    def cur = stack.head
+    def emit(c: Char): Unit =
+      if (cur.capture != null) captures.getOrElseUpdate(cur.capture, new StringBuilder) += c
+      else if (!cur.skip) out += c
+
+    while (i < n) {
+      s.charAt(i) match {
+        case '{' =>
+          stack = cur :: stack
+          i += 1
+          // destination control word directly after the brace?
+          if (i < n && s.charAt(i) == '\\') {
+            var j = i + 1
+            var star = false
+            if (j < n && s.charAt(j) == '*') { star = true; j += 1
+              if (j < n && s.charAt(j) == '\\') j += 1 }
+            val w0 = j
+            while (j < n && s.charAt(j).isLetter) j += 1
+            val word = s.substring(w0, j)
+            if (word == "title" || word == "author" || word == "subject" ||
+                word == "company" || word == "keywords") {
+              stack = cur.copy(capture = word, skip = false) :: stack.tail
+              i = j
+              if (i < n && s.charAt(i) == ' ') i += 1
+            } else if (star || SkipDests.contains(word)) {
+              stack = cur.copy(skip = true, capture = null) :: stack.tail
+            } // else: normal group, fall through to parse the word
+          }
+        case '}' =>
+          if (stack.tail.nonEmpty) stack = stack.tail
+          i += 1
+        case '\\' if i + 1 < n =>
+          val c1 = s.charAt(i + 1)
+          if (c1 == '\'' && i + 3 < n) {
+            val hex = s.substring(i + 2, i + 4)
+            try emit(new String(Array(Integer.parseInt(hex, 16).toByte),
+              java.nio.charset.Charset.forName("windows-1252")).charAt(0))
+            catch { case _: NumberFormatException => () }
+            i += 4
+          } else if (c1 == '\\' || c1 == '{' || c1 == '}') { emit(c1); i += 2 }
+          else if (c1 == '~') { emit(' '); i += 2 }
+          else if (c1 == '-' || c1 == '_' || c1 == ':') { i += 2 }
+          else if (c1.isLetter) {
+            var j = i + 1
+            while (j < n && s.charAt(j).isLetter) j += 1
+            val word = s.substring(i + 1, j)
+            var neg = false
+            var num = -1L
+            if (j < n && (s.charAt(j) == '-' || s.charAt(j).isDigit)) {
+              if (s.charAt(j) == '-') { neg = true; j += 1 }
+              num = 0
+              while (j < n && s.charAt(j).isDigit) { num = num * 10 + (s.charAt(j) - '0'); j += 1 }
+              if (neg) num = -num
+            }
+            if (j < n && s.charAt(j) == ' ') j += 1 // delimiter space consumed
+            word match {
+              case "par" | "line" | "sect" | "page" => emit('\n')
+              case "tab" => emit('\t')
+              case "emdash" => emit('—')
+              case "endash" => emit('–')
+              case "lquote" => emit('‘')
+              case "rquote" => emit('’')
+              case "ldblquote" => emit('“')
+              case "rdblquote" => emit('”')
+              case "uc" if num >= 0 =>
+                stack = cur.copy(uc = num.toInt.min(8)) :: stack.tail
+              case "u" if num != -1 =>
+                val cp = if (num < 0) (num + 65536).toInt else num.toInt
+                if (cp >= 0 && cp <= 0xffff) emit(cp.toChar)
+                // skip the uc fallback chars (default 1)
+                var skip = cur.uc
+                while (skip > 0 && j < n) {
+                  if (s.charAt(j) == '\\' && j + 3 < n && s.charAt(j + 1) == '\'') j += 4
+                  else j += 1
+                  skip -= 1
+                }
+              case _ => () // formatting word: ignore
+            }
+            i = j
+          } else i += 2
+        case '\r' | '\n' => i += 1 // raw newlines are not RTF content
+        case c => emit(c); i += 1
+      }
+    }
+    captures.foreach { case (k, v) =>
+      val key = k match {
+        case "title"    => "dc:title"
+        case "author"   => "dc:creator"
+        case "subject"  => "dc:subject"
+        case "keywords" => "meta:keyword"
+        case other      => other
+      }
+      if (v.nonEmpty) meta += (key -> v.toString)
+    }
+    Result(out.toString, meta)
+  }
+}
+
+/** ODT (OpenDocument text): content.xml text:p/text:h paragraphs +
+  * meta.xml Dublin Core.
+  */
+object OdtKernel {
+
+  final case class Result(paragraphs: Vector[String], metadata: Map[String, String])
+
+  def extract(bytes: Array[Byte]): Result = {
+    var paragraphs = Vector.empty[String]
+    var meta = Map.empty[String, String]
+    OoxmlUtil.walkZip(bytes) { (name, read) =>
+      name match {
+        case "content.xml" => paragraphs = contentParagraphs(read())
+        case "meta.xml"    => meta ++= metaProps(read())
+        case _             => ()
+      }
+    }
+    Result(paragraphs, meta)
+  }
+
+  private def contentParagraphs(xml: Array[Byte]): Vector[String] = {
+    val r = OoxmlUtil.factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val paras = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0 // inside text:p/text:h nesting depth
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "p" | "h" =>
+              if (depth == 0) cur.setLength(0)
+              depth += 1
+            case "tab" if depth > 0 => cur.append('\t')
+            case "line-break" if depth > 0 => cur.append('\n')
+            case "s" if depth > 0 =>
+              val c = Option(r.getAttributeValue(null, "c"))
+                .flatMap(_.toIntOption).getOrElse(1)
+              cur.append(" " * c.max(1).min(1000))
+            case _ => ()
+          }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (depth > 0) cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+            case "p" | "h" =>
+              depth -= 1
+              if (depth == 0) paras += cur.toString
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    paras.result()
+  }
+
+  private def metaProps(xml: Array[Byte]): Map[String, String] =
+    OoxmlUtil.flatElements(xml).flatMap {
+      case ("title", v)         => Seq("dc:title" -> v)
+      case ("creator", v)       => Seq("dc:creator" -> v, "meta:author" -> v)
+      case ("subject", v)       => Seq("dc:subject" -> v)
+      case ("description", v)   => Seq("dc:description" -> v)
+      case ("language", v)      => Seq("dc:language" -> v)
+      case ("creation-date", v) => Seq("dcterms:created" -> v)
+      case ("generator", v)     => Seq("generator" -> v)
+      case _                    => Nil
+    }.toMap
+}
+
+/** EPUB: zip of XHTML chapters; text via the HTML kernel per chapter in
+  * path order, metadata from the OPF manifest's Dublin Core.
+  */
+object EpubKernel {
+
+  final case class Result(chapters: Vector[String], metadata: Map[String, String]) {
+    def text: String = chapters.filter(_.nonEmpty).mkString("\n\n")
+  }
+
+  def extract(bytes: Array[Byte]): Result = {
+    var parts = Vector.empty[(String, Array[Byte])]
+    var meta = Map.empty[String, String]
+    OoxmlUtil.walkZip(bytes) { (name, read) =>
+      val lower = name.toLowerCase
+      if (!lower.startsWith("meta-inf/") &&
+          (lower.endsWith(".xhtml") || lower.endsWith(".html") || lower.endsWith(".htm")))
+        parts :+= (name, read())
+      else if (lower.endsWith(".opf")) meta ++= opfProps(read())
+    }
+    val chapters = parts.sortBy(_._1).map { case (_, b) =>
+      // chapters are content, not web pages: full-text HTML semantics
+      HtmlKernel.extractFullText(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        .blocks.mkString("\n\n")
+    }
+    Result(chapters, meta)
+  }
+
+  private def opfProps(xml: Array[Byte]): Map[String, String] =
+    OoxmlUtil.flatElements(xml).flatMap {
+      case ("title", v)       => Seq("dc:title" -> v)
+      case ("creator", v)     => Seq("dc:creator" -> v)
+      case ("language", v)    => Seq("dc:language" -> v)
+      case ("identifier", v)  => Seq("dc:identifier" -> v)
+      case ("publisher", v)   => Seq("dc:publisher" -> v)
+      case _                  => Nil
+    }.toMap
+}
+
+/** Standalone TIFF: the same IFD decoder the JPEG/EXIF path uses, rooted
+  * at byte 0.
+  */
+object TiffKernel {
+  def extract(bytes: Array[Byte]): Map[String, String] =
+    JpegKernel.exif(bytes, 0, bytes.length)
+}
+
+/** MP3/ID3v2 metadata (header-only; audio frames are opaque media). */
+object Mp3Kernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
+      return Map.empty
+    val verMajor = bytes(3) & 0xff
+    def syncsafe(p: Int): Int =
+      ((bytes(p) & 0x7f) << 21) | ((bytes(p + 1) & 0x7f) << 14) |
+        ((bytes(p + 2) & 0x7f) << 7) | (bytes(p + 3) & 0x7f)
+    val tagSize = syncsafe(6)
+    val end = math.min(bytes.length, 10 + tagSize)
+    val frameKeys = Map(
+      "TIT2" -> "dc:title", "TPE1" -> "xmpDM:artist", "TALB" -> "xmpDM:album",
+      "TDRC" -> "xmpDM:releaseDate", "TYER" -> "xmpDM:releaseDate",
+      "TCON" -> "xmpDM:genre", "TRCK" -> "xmpDM:trackNumber")
+    var meta = Map.empty[String, String]
+    var p = 10
+    while (p + 10 <= end) {
+      val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (!id.forall(c => c.isUpper || c.isDigit)) p = end // padding reached
+      else {
+        val size = if (verMajor >= 4) syncsafe(p + 4)
+          else ((bytes(p + 4) & 0xff) << 24) | ((bytes(p + 5) & 0xff) << 16) |
+            ((bytes(p + 6) & 0xff) << 8) | (bytes(p + 7) & 0xff)
+        if (size <= 0 || p + 10 + size > end) p = end
+        else {
+          frameKeys.get(id).foreach { key =>
+            val enc = bytes(p + 10) & 0xff
+            val data = java.util.Arrays.copyOfRange(bytes, p + 11, p + 10 + size)
+            val v = enc match {
+              case 0 => new String(data, java.nio.charset.Charset.forName("windows-1252"))
+              case 1 => new String(data, java.nio.charset.StandardCharsets.UTF_16)
+              case 2 => new String(data, java.nio.charset.StandardCharsets.UTF_16BE)
+              case _ => new String(data, java.nio.charset.StandardCharsets.UTF_8)
+            }
+            val clean = v.takeWhile(_ != 0.toChar).trim
+            if (clean.nonEmpty) meta += (key -> clean)
+          }
+          p += 10 + size
+        }
+      }
+    }
+    if (meta.nonEmpty) meta += ("xmpDM:audioCompressor" -> "MP3")
+    meta
+  }
+}

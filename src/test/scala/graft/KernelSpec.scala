@@ -311,6 +311,74 @@ class KernelSpec extends AnyFunSuite {
     assert(g.metadata("Image Height") == "15 pixels")
   }
 
+  test("E12: RTF text + info metadata, skip destinations, escapes") {
+    import graft.corpus.RtfWriter
+    val spec = RtfWriter.Spec("Mémo — déjà", "A. Writer",
+      Vector("First paragraph with braces {x} and back\\slash.",
+        "Café naïve — em—dash", "Third."))
+    val bytes = RtfWriter.write(spec)
+    assert(Magic.sniff(bytes) == Magic.Kind.Rtf)
+    val out = Extract.extractBytes("rtf", bytes, Extract.Options())
+    assert(out.contentType == "application/rtf")
+    assert(out.content == RtfWriter.expectedText(spec), s"got: ${out.content}")
+    assert(out.metadata("dc:title") == "Mémo — déjà")
+    assert(out.metadata("dc:creator") == "A. Writer")
+    // font table / stylesheet names never leak into content
+    assert(!out.content.contains("Times New Roman") && !out.content.contains("Normal"))
+  }
+
+  test("E13: ODT paragraphs + Dublin Core metadata") {
+    import graft.corpus.OdtWriter
+    val spec = OdtWriter.Spec("Das Dokument", "B. Autor",
+      Vector("Erster Absatz.", "Zweiter Absatz & mehr.", "Dritter."))
+    val bytes = OdtWriter.write(spec)
+    assert(Magic.sniff(bytes) == Magic.Kind.Odt)
+    val out = Extract.extractBytes("odt", bytes, Extract.Options())
+    assert(out.contentType == "application/vnd.oasis.opendocument.text")
+    assert(out.content == OdtWriter.expectedText(spec), s"got: ${out.content}")
+    assert(out.metadata("dc:title") == "Das Dokument")
+    assert(out.metadata("dc:creator") == "B. Autor")
+  }
+
+  test("E14: EPUB chapters in order + OPF metadata") {
+    import graft.corpus.EpubWriter
+    val spec = EpubWriter.Spec("The Book", "C. Author",
+      Vector(Vector("Chapter one opens.", "It continues."),
+        Vector("Chapter two arrives.")))
+    val bytes = EpubWriter.write(spec)
+    assert(Magic.sniff(bytes) == Magic.Kind.Epub)
+    val out = Extract.extractBytes("epub", bytes, Extract.Options())
+    assert(out.contentType == "application/epub+zip")
+    assert(out.content == EpubWriter.expectedText(spec), s"got: ${out.content}")
+    assert(out.metadata("dc:title") == "The Book")
+    assert(out.metadata("dc:creator") == "C. Author")
+    assert(out.content.indexOf("Chapter one") < out.content.indexOf("Chapter two"))
+  }
+
+  test("E15: TIFF dimensions + software via the shared IFD decoder") {
+    import graft.corpus.TiffWriter
+    val bytes = TiffWriter.write(TiffWriter.Spec(640, 480, "graft-scan"))
+    assert(Magic.sniff(bytes) == Magic.Kind.Tiff)
+    val out = Extract.extractBytes("tiff", bytes, Extract.Options())
+    assert(out.contentType == "image/tiff")
+    assert(out.isMedia)
+    assert(out.metadata("Image Width") == "640 pixels")
+    assert(out.metadata("Image Height") == "480 pixels")
+    assert(out.metadata("Software") == "graft-scan")
+  }
+
+  test("E16: MP3 ID3v2 metadata") {
+    import graft.corpus.Mp3Writer
+    val bytes = Mp3Writer.write(Mp3Writer.Spec("Track Title", "The Artist", "An Album"))
+    assert(Magic.sniff(bytes) == Magic.Kind.Mp3)
+    val out = Extract.extractBytes("mp3", bytes, Extract.Options())
+    assert(out.contentType == "audio/mpeg")
+    assert(out.isMedia)
+    assert(out.metadata("dc:title") == "Track Title")
+    assert(out.metadata("xmpDM:artist") == "The Artist")
+    assert(out.metadata("xmpDM:album") == "An Album")
+  }
+
   test("E9/E10: plain zip (non-OOXML) still routes to application/zip") {
     val bos = new java.io.ByteArrayOutputStream()
     val zos = new java.util.zip.ZipOutputStream(bos)
