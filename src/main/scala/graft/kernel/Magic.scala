@@ -110,29 +110,92 @@ object Magic {
     true
   }
 
-  /** OOXML routing: a zip carrying [Content_Types].xml routes by its main
-    * part root — word/ (docx), xl/ (xlsx), ppt/ (pptx). Entry names are
-    * uncompressed in both local file headers (front) and the central
-    * directory (tail); scan a bounded window at each end.
+  /** OOXML/ODF/EPUB routing on EXACT zip entry names (a raw substring
+    * scan of the window false-positives on short tokens like "xl/"
+    * occurring inside compressed data — observed ~1 in 400k docs).
+    * Local file headers are walked structurally (compressed-size
+    * skipping, no inflation); if a data-descriptor entry blocks the walk
+    * or the zip is larger than the walk budget, central-directory
+    * records parsed from the tail window take over.
     */
   private def classifyZip(bytes: Array[Byte]): Kind = {
-    val head = new String(bytes, 0, math.min(bytes.length, ZipScanWindow),
-      java.nio.charset.StandardCharsets.ISO_8859_1)
-    val tail =
-      if (bytes.length <= ZipScanWindow) ""
-      else new String(bytes, math.max(0, bytes.length - ZipScanWindow),
-        math.min(bytes.length, ZipScanWindow),
-        java.nio.charset.StandardCharsets.ISO_8859_1)
-    def has(s: String) = head.contains(s) || tail.contains(s)
-    // ODF/EPUB packages carry a STORED-first `mimetype` entry whose
-    // content is visible verbatim in the head window (per their specs)
-    if (head.contains("mimetypeapplication/vnd.oasis.opendocument.text")) Kind.Odt
-    else if (head.contains("mimetypeapplication/epub+zip")) Kind.Epub
-    else if (!has("[Content_Types].xml")) Kind.Zip
-    else if (has("word/")) Kind.Docx
-    else if (has("xl/")) Kind.Xlsx
-    else if (has("ppt/")) Kind.Pptx
+    val names = zipEntryNames(bytes, 64)
+    if (names.headOption.contains("mimetype")) {
+      storedFirstEntryContent(bytes) match {
+        case Some(m) if m.startsWith("application/vnd.oasis.opendocument.text") =>
+          return Kind.Odt
+        case Some(m) if m.startsWith("application/epub+zip") => return Kind.Epub
+        case _ => ()
+      }
+    }
+    if (!names.contains("[Content_Types].xml")) Kind.Zip
+    else if (names.exists(_.startsWith("word/"))) Kind.Docx
+    else if (names.exists(_.startsWith("xl/"))) Kind.Xlsx
+    else if (names.exists(_.startsWith("ppt/"))) Kind.Pptx
     else Kind.Zip
+  }
+
+  private def zu16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def zu32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  /** Exact entry names from local headers (front) + central directory
+    * records (tail window). Bounded: at most `max` from each source.
+    */
+  private def zipEntryNames(bytes: Array[Byte], max: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var p = 0
+    var n = 0
+    var ok = true
+    while (ok && n < max && p + 30 <= bytes.length &&
+        bytes(p) == 'P' && bytes(p + 1) == 'K' && bytes(p + 2) == 3 && bytes(p + 3) == 4) {
+      val flags = zu16(bytes, p + 6)
+      val comp = zu32(bytes, p + 18)
+      val nl = zu16(bytes, p + 26)
+      val el = zu16(bytes, p + 28)
+      if (p + 30 + nl > bytes.length || nl == 0) ok = false
+      else {
+        out += new String(bytes, p + 30, nl, java.nio.charset.StandardCharsets.ISO_8859_1)
+        n += 1
+        // data-descriptor entries don't record sizes in the local header:
+        // stop; the central directory below covers the rest
+        if ((flags & 0x8) != 0 && comp == 0) ok = false
+        else p += 30 + nl + el + comp.toInt
+      }
+    }
+    // central directory (complete name list for zips of any size)
+    var q = math.max(0, bytes.length - ZipScanWindow)
+    var m = 0
+    while (q + 46 <= bytes.length && m < max) {
+      if (bytes(q) == 'P' && bytes(q + 1) == 'K' && bytes(q + 2) == 1 && bytes(q + 3) == 2) {
+        val nl = zu16(bytes, q + 28)
+        val el = zu16(bytes, q + 30)
+        val cl = zu16(bytes, q + 32)
+        if (nl > 0 && q + 46 + nl <= bytes.length) {
+          out += new String(bytes, q + 46, nl, java.nio.charset.StandardCharsets.ISO_8859_1)
+          m += 1
+          q += 46 + nl + el + cl
+        } else q += 4
+      } else q += 1
+    }
+    out.result().distinct
+  }
+
+  /** Content of the first entry when it is STORED (the ODF/EPUB
+    * `mimetype` contract), read directly from the local header.
+    */
+  private def storedFirstEntryContent(bytes: Array[Byte]): Option[String] = {
+    if (bytes.length < 30) return None
+    val method = zu16(bytes, 8)
+    val size = zu32(bytes, 22)
+    val nl = zu16(bytes, 26)
+    val el = zu16(bytes, 28)
+    val start = 30 + nl + el
+    if (method != 0 || size <= 0 || size > 256 || start + size > bytes.length) None
+    else Some(new String(bytes, start, size.toInt,
+      java.nio.charset.StandardCharsets.ISO_8859_1))
   }
 
   /** A payload is text when its prefix is valid UTF-8 or plausible
