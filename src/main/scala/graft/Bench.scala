@@ -67,7 +67,9 @@ object Bench {
       "q1_agg", "q2_join_top", "q3_window", "q4_events_hourly",
       "q5_setops", "q6_rollup", "q7_sessions",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-      "dedup_jaccard", "dedup_embed_cosine", "ann_topk", "ann_lsh", "ann_ivf",
+      "dedup_jaccard", "dedup_embed_cosine", "dedup_clusters",
+      "ann_topk", "ann_lsh", "ann_ivf",
+      "curate_sample", "curate_filter",
       "text_quality", "text_tokens", "text_fingerprint", "text_langid")
     val results = benchQueries.map { q =>
       val s0 = System.nanoTime()

@@ -4,7 +4,7 @@ import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.corpus.Gen
-import graft.operators.{Ann, Dedup, Multimodal, TextOps}
+import graft.operators.{Ann, Curation, Dedup, Multimodal, TextOps}
 import graft.spark.{IcebergLite, Pipeline, Runner}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -283,6 +283,15 @@ object SparkEntry {
       Ann.lshTopK(embWithDups(s, dir), e.filter(col("vec_id") < 16), k = 10)
     }),
 
+    // ---- corpus curation (oracled)
+    "curate_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultRate = 0.05)),
+    "curate_filter" -> ((s, dir) =>
+      Curation.filterPipeline(docsWithDups(s, dir))),
+    "dedup_clusters" -> ((s, dir) =>
+      Curation.dupClusters(Dedup.minhashLsh(docsWithDups(s, dir), 0.5))),
+
     // ---- text analysis (oracled except langid)
     "text_quality" -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(t(s, dir, "documents"))),
@@ -474,6 +483,46 @@ object SparkEntry {
        |  cosine, cid AS centroid_id
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** text_quality's feature pipeline over a docs relation -> q(doc_id,
+    * n_chars, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+    * quality_score) — mirrors TextOps.quality exactly (shared by
+    * text_quality and curate_filter).
+    */
+  private def qualityCte(rel: String): String =
+    s"""qbase AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM $rel),
+       |qfeat AS (SELECT doc_id,
+       |  length(text) AS n_chars, len(t) AS n_tokens,
+       |  round(CAST(len(list_filter(t, x -> regexp_full_match(x, '[.,;:!?]+'))) AS DOUBLE)
+       |    / greatest(len(t), 1), 4) AS punct_ratio,
+       |  round(CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE)
+       |    / greatest(len(t), 1), 4) AS stopword_ratio,
+       |  round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+       |    / greatest(len(t), 1), 4) AS mean_token_len
+       |FROM qbase),
+       |q AS (SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+       |  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
+       |    * least(1.0, stopword_ratio * 5.0 + 0.5), 4) AS quality_score
+       |FROM qfeat)""".stripMargin
+
+  /** 3 unrolled min-label-propagation rounds over the minhash-LSH pairs —
+    * mirrors Curation.dupClusters(iterations = 3).
+    */
+  private def dupClustersSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (SELECT l.id, least(l.lbl, coalesce(m.nlbl, l.lbl)) AS lbl
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT e.src, min(x.lbl) AS nlbl FROM edges e
+         |    JOIN $prev x ON x.id = e.dst GROUP BY e.src) m ON m.src = l.id)""".stripMargin
+    s"""WITH pr AS (SELECT * FROM ($minhashLshSql)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pr),
+       |lab0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+       |${round("lab0", "lab1")},
+       |${round("lab1", "lab2")},
+       |${round("lab2", "lab3")}
+       |SELECT id AS doc_id, lbl AS cluster_rep FROM lab3 ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -561,20 +610,33 @@ object SparkEntry {
          |SELECT qid AS query_id, rank, id AS neighbor_id, cosine
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "text_quality" ->
-      """WITH base AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
-        |feat AS (SELECT doc_id,
-        |  length(text) AS n_chars, len(t) AS n_tokens,
-        |  round(CAST(len(list_filter(t, x -> regexp_full_match(x, '[.,;:!?]+'))) AS DOUBLE)
-        |    / greatest(len(t), 1), 4) AS punct_ratio,
-        |  round(CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE)
-        |    / greatest(len(t), 1), 4) AS stopword_ratio,
-        |  round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-        |    / greatest(len(t), 1), 4) AS mean_token_len
-        |FROM base)
+      s"""WITH ${qualityCte("documents")}
         |SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
-        |  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
-        |    * least(1.0, stopword_ratio * 5.0 + 0.5), 4) AS quality_score
-        |FROM feat ORDER BY doc_id""".stripMargin,
+        |  quality_score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "curate_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CAST(trunc((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |  WHEN 'zh' THEN 0.1 ELSE 0.05 END) * 1000000.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+    "curate_filter" ->
+      s"""WITH $dupDocs, ${qualityCte("docs")},
+        |canon AS (SELECT md5(text) AS h, min(doc_id) AS canonical FROM docs GROUP BY 1),
+        |j AS (SELECT q.doc_id, q.n_tokens, q.quality_score, c.canonical,
+        |    CASE WHEN q.doc_id <> c.canonical THEN 'duplicate'
+        |      WHEN q.n_tokens < 20 THEN 'too_short'
+        |      WHEN q.n_tokens > 100000 THEN 'too_long'
+        |      WHEN q.quality_score < 0.3 THEN 'low_quality'
+        |      ELSE '' END AS reason
+        |  FROM q JOIN docs d ON d.doc_id = q.doc_id
+        |  JOIN canon c ON c.h = md5(d.text))
+        |SELECT doc_id, n_tokens, quality_score, canonical,
+        |  (reason = '') AS keep, reason
+        |FROM j ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> dupClustersSql,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,

@@ -139,6 +139,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sigs.forall(r => !r.isNullAt(2)))
   }
 
+  test("stratified sample: deterministic, per-stratum rates roughly honored") {
+    val out = SparkEntry.queries("curate_sample")(spark, sf)
+    val out2 = SparkEntry.queries("curate_sample")(spark, sf)
+    assert(out.collect().toSeq == out2.collect().toSeq) // no RNG anywhere
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en sampled at 0.5: expect a substantial fraction; zh at 0.1: small
+    val enFrac = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enFrac > 0.25 && enFrac < 0.75, s"en frac $enFrac")
+  }
+
+  test("filter pipeline: duplicates dropped, keep implies empty reason") {
+    val out = SparkEntry.queries("curate_filter")(spark, sf).collect()
+    val dups = out.filter(_.getAs[String]("reason") == "duplicate")
+    assert(dups.length == 50) // the planted copies, never the originals
+    assert(dups.forall(r => r.getAs[Long]("doc_id") >= 100000L))
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[String]("reason") == ""))
+    }
+  }
+
+  test("dup clusters: planted pairs collapse to the original as representative") {
+    val out = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted copy clusters to a representative <= its original id
+    (0L until 50L).foreach { i =>
+      out.get(i + 100000L).foreach { rep => assert(rep <= i, s"copy ${i + 100000} -> $rep") }
+    }
+    // representative is a cluster member mapping to itself
+    out.values.foreach(rep => assert(out.getOrElse(rep, rep) == rep))
+  }
+
   test("text_quality fields are consistent") {
     val out = SparkEntry.queries("text_quality")(spark, sf).collect()
     assert(out.nonEmpty)
