@@ -92,7 +92,8 @@ object ScalingBench {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      .config("spark.sql.shuffle.partitions",
+        (cpus * sys.env.getOrElse("SCALING_PART_MULT", "4").toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // CPU-heavy per byte: small scan splits keep all cores fed
       .config("spark.sql.files.maxPartitionBytes", "16m")

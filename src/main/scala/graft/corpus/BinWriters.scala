@@ -69,7 +69,7 @@ object JpegWriter {
   */
 object CfbWriter {
 
-  def write(text: String): Array[Byte] = {
+  def write(text: String, title: String = null, author: String = null): Array[Byte] = {
     val textBytes = text.replace("\n", "\r").getBytes("windows-1252")
     val fibSize = 2048
     val fcMin = fibSize
@@ -82,17 +82,26 @@ object CfbWriter {
     putU32(wd, 24, fcMin); putU32(wd, 28, fcMac)
     System.arraycopy(textBytes, 0, wd, fcMin, textBytes.length)
 
+    // SummaryInformation property set (title/author), 4096-padded so it
+    // lives in the regular FAT like the other streams of this writer
+    val si: Array[Byte] =
+      if (title == null && author == null) null
+      else summaryInfo(Option(title), Option(author))
+    val siLen = if (si == null) 0 else si.length
+    val siSectors = if (si == null) 0 else 4096 / 512
+
     val sectorSize = 512
     val wdSectors = (wdLen + sectorSize - 1) / sectorSize
-    // sector layout: [0..wdSectors) = WordDocument, then 1 dir sector,
-    // then FAT sectors at the end.
-    val dirSector = wdSectors
-    val totalDataSectors = wdSectors + 1
+    // sector layout: [0..wdSectors) = WordDocument, [SummaryInformation,]
+    // then 1 dir sector, then FAT sectors at the end.
+    val siStart = wdSectors
+    val dirSector = wdSectors + siSectors
+    val totalDataSectors = dirSector + 1
     val fatEntries = totalDataSectors + 1 // + the FAT sector itself
     val fatSectors = (fatEntries * 4 + sectorSize - 1) / sectorSize
     val fatSector = dirSector + 1
 
-    val nSectors = wdSectors + 1 + fatSectors
+    val nSectors = fatSector + fatSectors
     val body = new Array[Byte](nSectors * sectorSize)
     java.util.Arrays.fill(body, 0xff.toByte) // free-sector fill in FAT areas
 
@@ -104,16 +113,33 @@ object CfbWriter {
       System.arraycopy(wd, s * sectorSize, body, s * sectorSize, n)
       s += 1
     }
-    // directory sector: Root Entry + WordDocument
+    // SummaryInformation stream data
+    if (si != null) {
+      java.util.Arrays.fill(body, siStart * sectorSize,
+        (siStart + siSectors) * sectorSize, 0.toByte)
+      System.arraycopy(si, 0, body, siStart * sectorSize, si.length)
+    }
+    // directory sector: Root Entry + WordDocument [+ SummaryInformation]
     val dirOff = dirSector * sectorSize
     java.util.Arrays.fill(body, dirOff, dirOff + sectorSize, 0.toByte)
     writeDirEntry(body, dirOff, "Root Entry", 5, 0xfffffffeL, 0)
     writeDirEntry(body, dirOff + 128, "WordDocument", 2, 0, wdLen)
+    if (si != null)
+      // declared size = the padded 4096: anything smaller than the
+      // mini-stream cutoff would (correctly) be looked up via the
+      // MiniFAT, which this simple writer does not emit
+      writeDirEntry(body, dirOff + 256, "\u0005SummaryInformation", 2, siStart, 4096)
     // FAT
     val fatOff = fatSector * sectorSize
     var i = 0
     while (i < wdSectors - 1) { putU32(body, fatOff + i * 4, i + 1); i += 1 }
     putU32Signed(body, fatOff + (wdSectors - 1) * 4, 0xfffffffeL) // end of WD chain
+    var j = 0
+    while (j < siSectors - 1) {
+      putU32(body, fatOff + (siStart + j) * 4, siStart + j + 1); j += 1
+    }
+    if (siSectors > 0)
+      putU32Signed(body, fatOff + (siStart + siSectors - 1) * 4, 0xfffffffeL)
     putU32Signed(body, fatOff + dirSector * 4, 0xfffffffeL)       // dir chain end
     putU32Signed(body, fatOff + fatSector * 4, 0xfffffffdL)       // FAT sector marker
 
@@ -269,6 +295,43 @@ object CfbWriter {
     val out = new ByteArrayOutputStream()
     out.write(header)
     out.write(body)
+    out.toByteArray
+  }
+
+  /** Minimal OLE SummaryInformation property set: VT_LPSTR title (pid 2)
+    * and author (pid 4).
+    */
+  private def summaryInfo(title: Option[String], author: Option[String]): Array[Byte] = {
+    val props = Seq(2L -> title, 4L -> author).collect { case (pid, Some(v)) => pid -> v }
+    val secBase = 48 // header(28) + fmtid(16) + offset(4)
+    val headLen = 8 + props.size * 8
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
+    u16(0xfffe); u16(0)            // byte order, version
+    u32(0)                         // system id
+    for (_ <- 0 until 16) out.write(0) // CLSID
+    u32(1)                         // one property set
+    for (_ <- 0 until 16) out.write(0) // FMTID (SummaryInformation)
+    u32(secBase)                   // section offset
+    // section: size, count, (pid, offset)*, then values
+    val values = props.map { case (pid, v) =>
+      val b = (v + "\u0000").getBytes(java.nio.charset.Charset.forName("windows-1252"))
+      val padded = b ++ new Array[Byte]((4 - b.length % 4) % 4)
+      (pid, padded)
+    }
+    val secSize = headLen + values.map(8 + _._2.length).sum
+    u32(secSize); u32(props.size)
+    var off = headLen
+    values.foreach { case (pid, b) =>
+      u32(pid); u32(off)
+      off += 8 + b.length
+    }
+    values.foreach { case (_, b) =>
+      u32(30) // VT_LPSTR
+      u32(b.length)
+      out.write(b)
+    }
     out.toByteArray
   }
 

@@ -269,7 +269,9 @@ object Gen {
       "\n\n" + TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))) + "\n"
     val bytes =
       if (rng.nextInt(3) == 0) CfbWriter.writeComplex(text)
-      else CfbWriter.write(text)
+      else CfbWriter.write(text,
+        title = TextGen.titleLine(rng, "en"),
+        author = TextGen.titleLine(rng, "en"))
     val ref = s"m-$docId-$k"
     Piece("doc", Span("doc", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),

@@ -11,7 +11,8 @@ package graft.kernel
   */
 object DocKernel {
 
-  final case class Result(text: String, isWord: Boolean)
+  final case class Result(text: String, isWord: Boolean,
+      metadata: Map[String, String] = Map.empty)
 
   private val FreeSect = 0xffffffffL
   private val EndChain = 0xfffffffeL
@@ -91,7 +92,9 @@ object DocKernel {
         val size = (dir(e + 120) & 0xffL) | ((dir(e + 121) & 0xffL) << 8) |
           ((dir(e + 122) & 0xffL) << 16) | ((dir(e + 123) & 0xffL) << 24)
         if ((dir(e + 66) & 0xff) == 5) { rootStart = start; rootSize = size }
-        else entries += (name -> Entry(start, size))
+        // property-set stream names carry a leading control char
+        // ("\x05SummaryInformation") — strip for lookup
+        else entries += (name.dropWhile(_ < ' ') -> Entry(start, size))
       }
       i += 1
     }
@@ -135,8 +138,68 @@ object DocKernel {
         val table =
           if (fibFlag(wd, 0x0200)) readStream("1Table").orElse(readStream("0Table"))
           else readStream("0Table").orElse(readStream("1Table"))
-        Result(docText(wd, table), isWord = true)
+        val meta = readStream("SummaryInformation")
+          .map(summaryInfo).getOrElse(Map.empty)
+        Result(docText(wd, table), isWord = true, meta)
     }
+  }
+
+  /** OLE property set (\x05-prefixed SummaryInformation): title/subject/author/
+    * last-author/appname as dc: and meta: keys — the metadata surface
+    * Tika exposes for .doc (the reference delegates to it, README.md:3-8).
+    */
+  private def summaryInfo(b: Array[Byte]): Map[String, String] = {
+    def u16(p: Int): Int =
+      if (p + 2 > b.length) -1 else (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long =
+      if (p + 4 > b.length) -1L
+      else (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    if (u16(0) != 0xfffe) return Map.empty // byte-order mark
+    val nSets = u32(24)
+    if (nSets < 1) return Map.empty
+    val secOff = u32(44) // first section offset (after 16-byte FMTID at 28)
+    if (secOff < 0 || secOff + 8 > b.length) return Map.empty
+    val base = secOff.toInt
+    val nProps = u32(base + 4)
+    if (nProps < 0 || nProps > 256) return Map.empty
+    val keys = Map(
+      2L -> "dc:title", 3L -> "dc:subject", 4L -> "dc:creator",
+      6L -> "dc:description", 8L -> "meta:last-author",
+      18L -> "extended-properties:Application")
+    var meta = Map.empty[String, String]
+    var i = 0
+    while (i < nProps) {
+      val pid = u32(base + 8 + i * 8)
+      val off = u32(base + 8 + i * 8 + 4)
+      keys.get(pid).foreach { key =>
+        val p = base + off.toInt
+        val typ = u32(p)
+        val v: Option[String] = typ match {
+          case 30 => // VT_LPSTR: length (incl. NUL) + ANSI bytes
+            val len = u32(p + 4).toInt
+            if (len > 0 && len <= (1 << 16) && p + 8 + len <= b.length)
+              Some(new String(b, p + 8, len,
+                java.nio.charset.Charset.forName("windows-1252"))
+                .takeWhile(_ != 0.toChar))
+            else None
+          case 31 => // VT_LPWSTR: length in chars (incl. NUL) + UTF-16LE
+            val len = u32(p + 4).toInt
+            if (len > 0 && len <= (1 << 16) && p + 8 + len * 2 <= b.length)
+              Some(new String(b, p + 8, len * 2,
+                java.nio.charset.StandardCharsets.UTF_16LE)
+                .takeWhile(_ != 0.toChar))
+            else None
+          case _ => None
+        }
+        v.filter(_.nonEmpty).foreach { s =>
+          meta += (key -> s)
+          if (key == "dc:creator") meta += ("meta:author" -> s)
+        }
+      }
+      i += 1
+    }
+    meta
   }
 
   private def fibFlag(wd: Array[Byte], mask: Int): Boolean =

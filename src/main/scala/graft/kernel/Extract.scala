@@ -183,7 +183,7 @@ object Extract {
     val r = DocKernel.extract(bytes)
     val ct = if (r.isWord) "application/msword" else "application/x-tika-msoffice"
     val content = truncate(r.text, opt)
-    Out(content, blocksOf(content), ct, Map.empty, isMedia = false, issue = None)
+    Out(content, blocksOf(content), ct, r.metadata, isMedia = false, issue = None)
   }
 
   private def jpeg(bytes: Array[Byte]): Out =

@@ -227,6 +227,21 @@ class KernelSpec extends AnyFunSuite {
     assert(!out.content.contains("DECOY"))
   }
 
+  test("E5: DOC SummaryInformation -> dc:title / dc:creator") {
+    import graft.corpus.CfbWriter
+    val bytes = CfbWriter.write("Body text here.\n",
+      title = "Doc Title", author = "Doc Author")
+    val out = Extract.extractBytes("doc", bytes, Extract.Options())
+    assert(out.contentType == "application/msword")
+    assert(out.content.startsWith("Body text here."))
+    assert(out.metadata("dc:title") == "Doc Title")
+    assert(out.metadata("dc:creator") == "Doc Author")
+    assert(out.metadata("meta:author") == "Doc Author")
+    // absent stream -> no metadata keys, not a failure
+    val plain = Extract.extractBytes("doc", CfbWriter.write("x\n"), Extract.Options())
+    assert(!plain.metadata.contains("dc:title"))
+  }
+
   test("E5: UTF-16LE text runs in DOC are decoded") {
     // build a CFB whose FIB text range holds UTF-16LE (Word unicode docs)
     val text = "Unicode Grüße Тест\n"
