@@ -86,6 +86,87 @@ class WritersSpec extends AnyFunSuite {
     }
   }
 
+  test("XlsxWriter -> XlsxKernel round-trip (30 seeds, all languages)") {
+    for (seed <- 0 until 30) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % 5)
+      val rows = Vector.tabulate(1 + rng.nextInt(8)) { r =>
+        Vector.tabulate(1 + rng.nextInt(5)) { c =>
+          if ((r + c) % 3 == 2) String.valueOf(rng.nextInt(100000))
+          else TextGen.titleLine(rng, lang)
+        }
+      }
+      val spec = XlsxWriter.Spec(TextGen.titleLine(rng, lang), "A", rows)
+      val out = Extract.extractBytes("xlsx", XlsxWriter.write(spec), opts)
+      assert(out.content == XlsxWriter.expectedText(spec), s"seed $seed lang $lang")
+      assert(out.metadata("dc:title") == spec.title)
+    }
+  }
+
+  test("PptxWriter -> PptxKernel round-trip (30 seeds, all languages)") {
+    for (seed <- 0 until 30) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % 5)
+      val slides = Vector.tabulate(1 + rng.nextInt(5)) { _ =>
+        Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.titleLine(rng, lang))
+      }
+      val spec = PptxWriter.Spec(TextGen.titleLine(rng, lang), "A", slides)
+      val out = Extract.extractBytes("pptx", PptxWriter.write(spec), opts)
+      assert(out.content == PptxWriter.expectedText(spec), s"seed $seed lang $lang")
+    }
+  }
+
+  test("RtfWriter -> RtfKernel round-trip (30 seeds, all languages)") {
+    for (seed <- 0 until 30) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % 5)
+      val spec = RtfWriter.Spec(TextGen.titleLine(rng, lang), "A",
+        Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))))
+      val out = Extract.extractBytes("rtf", RtfWriter.write(spec), opts)
+      assert(out.content == RtfWriter.expectedText(spec),
+        s"seed $seed lang $lang\nGOT:\n${out.content}\nWANT:\n${RtfWriter.expectedText(spec)}")
+      assert(out.metadata("dc:title") == spec.title)
+    }
+  }
+
+  test("OdtWriter -> OdtKernel round-trip (30 seeds, all languages)") {
+    for (seed <- 0 until 30) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % 5)
+      val spec = OdtWriter.Spec(TextGen.titleLine(rng, lang), "A",
+        Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))))
+      val out = Extract.extractBytes("odt", OdtWriter.write(spec), opts)
+      assert(out.content == OdtWriter.expectedText(spec), s"seed $seed lang $lang")
+      assert(out.metadata("dc:title") == spec.title)
+    }
+  }
+
+  test("EpubWriter -> EpubKernel round-trip (20 seeds, all languages)") {
+    for (seed <- 0 until 20) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % 5)
+      val spec = EpubWriter.Spec(TextGen.titleLine(rng, lang), "A",
+        Vector.tabulate(1 + rng.nextInt(4)) { _ =>
+          Vector.tabulate(1 + rng.nextInt(3))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(2)))
+        })
+      val out = Extract.extractBytes("epub", EpubWriter.write(spec), opts)
+      assert(out.content == EpubWriter.expectedText(spec), s"seed $seed lang $lang")
+    }
+  }
+
+  test("CfbWriter.writeComplex -> DocKernel round-trip (20 seeds, latin languages)") {
+    for (seed <- 0 until 20) {
+      val rng = new SplittableRandom(seed)
+      val lang = Vector("en", "de", "fr", "es")(seed % 4)
+      val text = (TextGen.titleLine(rng, lang) + "\n\n" +
+        TextGen.paragraph(rng, lang, 1 + rng.nextInt(4)) + "\n\n" +
+        TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))) + "\n"
+      val out = Extract.extractBytes("doc", CfbWriter.writeComplex(text), opts)
+      assert(out.contentType == "application/msword", s"seed $seed")
+      assert(out.content == text, s"seed $seed lang $lang")
+    }
+  }
+
   test("Gen.build is deterministic and golden offsets are dense") {
     for (i <- 0L until 200L) {
       val a = Gen.build(Gen.Seed, i)
