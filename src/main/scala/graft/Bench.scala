@@ -67,7 +67,7 @@ object Bench {
       "q1_agg", "q2_join_top", "q3_window", "q4_events_hourly",
       "q5_setops", "q6_rollup", "q7_sessions",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-      "dedup_jaccard", "dedup_embed_cosine", "dedup_clusters",
+      "dedup_jaccard", "dedup_embed_cosine", "dedup_clusters", "dedup_clusters_fix",
       "ann_topk", "ann_lsh", "ann_ivf",
       "curate_sample", "curate_filter",
       "text_quality", "text_tokens", "text_fingerprint", "text_langid")
@@ -85,9 +85,21 @@ object Bench {
     val docsPerSec = outDocs / extractSec
     val bytesPerSec = bytesIn / extractSec
     val passStr = passes.map(p => f"$p%.3f").mkString("[", ",", "]")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$outDocs,"docs_per_sec":$docsPerSec%.1f,"bytes_per_sec":$bytesPerSec%.0f,"cpus":$cpus,"corpus_docs":$nDocs,"extract_passes_sec":$passStr}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$outDocs,"docs_per_sec":$docsPerSec%.1f,"bytes_per_sec":$bytesPerSec%.0f,"cpus":$cpus,"corpus_docs":$nDocs,"extract_passes_sec":$passStr}"""
+    println(json)
+    writeJson(s"${SparkEntry.DataRoot}/bench.json", json)
     spark.stop()
+  }
+
+  /** The result JSON also lands in a clean file: stdout is interleaved
+    * with sbt/log4j noise, so log-regexing drivers get a first-class copy.
+    */
+  def writeJson(path: String, json: String): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.println(json) finally w.close()
   }
 
   def benchDocs(name: String): Long = name match {

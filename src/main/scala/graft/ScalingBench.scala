@@ -84,8 +84,10 @@ object ScalingBench {
     val tputN = docsN / secN
     val tput4N = docsN / sec4N
     val effStr = samples.map(s => f"${s._1}%.3f").mkString("[", ",", "]")
-    println(
-      f"""{"metric":"scaling_efficiency","value":$median%.3f,"unit":"ratio","stat":"median_of_$rounds","per_round":$effStr,"best":$best%.3f,"n_cpus":$n,"four_n_cpus":${4 * n},"docs":$docsN,"sec_n_median":$secN%.2f,"sec_4n_median":$sec4N%.2f,"docs_per_sec_n":$tputN%.1f,"docs_per_sec_4n":$tput4N%.1f,"bytes":$bytesN,"gate":0.8,"pass":${median >= 0.8}}""")
+    val json =
+      f"""{"metric":"scaling_efficiency","value":$median%.3f,"unit":"ratio","stat":"median_of_$rounds","per_round":$effStr,"best":$best%.3f,"n_cpus":$n,"four_n_cpus":${4 * n},"docs":$docsN,"sec_n_median":$secN%.2f,"sec_4n_median":$sec4N%.2f,"docs_per_sec_n":$tputN%.1f,"docs_per_sec_4n":$tput4N%.1f,"bytes":$bytesN,"gate":0.8,"pass":${median >= 0.8}}"""
+    println(json)
+    Bench.writeJson(s"${SparkEntry.DataRoot}/scaling.json", json)
   }
 
   private def session(cpus: Int): SparkSession =

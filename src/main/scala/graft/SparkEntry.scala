@@ -291,6 +291,10 @@ object SparkEntry {
       Curation.filterPipeline(docsWithDups(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
       Curation.dupClusters(Dedup.minhashLsh(docsWithDups(s, dir), 0.5))),
+    // fixpoint mode (connected components): converges for ANY diameter;
+    // oracled via a DuckDB recursive-CTE transitive closure
+    "dedup_clusters_fix" -> ((s, dir) =>
+      Curation.dupClustersFixpoint(Dedup.minhashLsh(docsWithDups(s, dir), 0.5))),
 
     // ---- text analysis (oracled except langid)
     "text_quality" -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
@@ -523,6 +527,21 @@ object SparkEntry {
        |SELECT id AS doc_id, lbl AS cluster_rep FROM lab3 ORDER BY doc_id""".stripMargin
   }
 
+  /** Connected components as a DuckDB recursive transitive closure: the
+    * label a node converges to under min-label propagation is exactly
+    * min(reachable ids) — engine-independent, no round-count mirroring.
+    */
+  private def dupClustersFixSql: String =
+    s"""WITH RECURSIVE pr AS (SELECT * FROM ($minhashLshSql)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pr),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+       |SELECT id AS doc_id, min(r) AS cluster_rep FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -637,6 +656,7 @@ object SparkEntry {
         |  (reason = '') AS keep, reason
         |FROM j ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> dupClustersSql,
+    "dedup_clusters_fix" -> dupClustersFixSql,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,

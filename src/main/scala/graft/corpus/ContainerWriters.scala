@@ -1,0 +1,218 @@
+package graft.corpus
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.SplittableRandom
+import java.util.zip.{GZIPOutputStream, ZipEntry, ZipOutputStream}
+
+/** Round-3 corpus writers: RFC-822 email, zip/tar.gz archive bundles, and
+  * refined-subtype text (CSV/TSV/Markdown/XML/Python) — each with
+  * analytically-known expected extraction output, like every other writer.
+  */
+
+object EmlWriter {
+
+  /** mode: 0 = 7bit utf-8, 1 = base64 utf-8, 2 = quoted-printable,
+    * 3 = multipart (text/plain part first, text/html decoy second).
+    */
+  final case class Spec(subject: String, from: String, to: String,
+      paragraphs: Vector[String], mode: Int)
+
+  /** Expected extracted content: the (first text/plain) body with
+    * paragraphs blank-line separated, trailing newline from the writer.
+    */
+  def expectedText(spec: Spec): String =
+    spec.paragraphs.mkString("", "\n\n", "\n")
+
+  def write(spec: Spec): Array[Byte] = {
+    val body = spec.paragraphs.mkString("", "\r\n\r\n", "\r\n")
+    val sb = new StringBuilder
+    def h(k: String, v: String): Unit = { sb.append(k).append(": ").append(v).append("\r\n") }
+    h("From", spec.from)
+    h("To", spec.to)
+    h("Subject", spec.subject)
+    h("Date", "Mon, 01 Jan 2024 10:00:00 +0000")
+    h("Message-ID", s"<${(spec.subject.hashCode & 0x7fffffff)}@graft.example>")
+    h("MIME-Version", "1.0")
+    spec.mode match {
+      case 1 =>
+        h("Content-Type", "text/plain; charset=utf-8")
+        h("Content-Transfer-Encoding", "base64")
+        sb.append("\r\n")
+        sb.append(java.util.Base64.getMimeEncoder(72, "\r\n".getBytes)
+          .encodeToString(body.getBytes(StandardCharsets.UTF_8)))
+        sb.append("\r\n")
+      case 2 =>
+        h("Content-Type", "text/plain; charset=utf-8")
+        h("Content-Transfer-Encoding", "quoted-printable")
+        sb.append("\r\n")
+        sb.append(qpEncode(body.getBytes(StandardCharsets.UTF_8)))
+      case 3 =>
+        val b = "----=_graft_boundary"
+        h("Content-Type", s"""multipart/alternative; boundary="$b"""")
+        sb.append("\r\n")
+        sb.append(s"--$b\r\n")
+        sb.append("Content-Type: text/plain; charset=utf-8\r\n\r\n")
+        sb.append(body)
+        sb.append(s"--$b\r\n")
+        sb.append("Content-Type: text/html; charset=utf-8\r\n\r\n")
+        sb.append("<html><body><p>decoy html alternative</p></body></html>\r\n")
+        sb.append(s"--$b--\r\n")
+      case _ =>
+        h("Content-Type", "text/plain; charset=utf-8")
+        h("Content-Transfer-Encoding", "8bit")
+        sb.append("\r\n")
+        sb.append(body)
+    }
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def qpEncode(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var lineLen = 0
+    bytes.foreach { b =>
+      val v = b & 0xff
+      val tok =
+        if (v == '\r'.toInt || v == '\n'.toInt) { lineLen = 0; v.toChar.toString }
+        else if (v >= 33 && v <= 126 && v != '='.toInt) v.toChar.toString
+        else if (v == ' '.toInt) " "
+        else f"=$v%02X"
+      if (lineLen + tok.length > 72 && v != '\r'.toInt && v != '\n'.toInt) {
+        sb.append("=\r\n"); lineLen = 0
+      }
+      sb.append(tok)
+      if (v != '\r'.toInt && v != '\n'.toInt) lineLen += tok.length
+    }
+    sb.toString
+  }
+}
+
+object ArchiveWriter {
+
+  /** Zip of binary members via ZipOutputStream — DELIBERATELY the
+    * streamed-writer shape (data-descriptor local headers), so routing
+    * must go through the EOCD/central-directory path, not the local walk.
+    */
+  def writeZip(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(out)
+    members.foreach { case (name, bytes) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(bytes)
+      zos.closeEntry()
+    }
+    zos.close()
+    out.toByteArray
+  }
+
+  /** ustar tar of regular-file members (deterministic mtime). */
+  def writeTar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    members.foreach { case (name, bytes) =>
+      val hdr = new Array[Byte](512)
+      def put(s: String, off: Int, len: Int): Unit = {
+        val b = s.getBytes(StandardCharsets.US_ASCII)
+        System.arraycopy(b, 0, hdr, off, math.min(b.length, len))
+      }
+      put(name, 0, 100)
+      put("0000644", 100, 8)
+      put("0000000", 108, 8)
+      put("0000000", 116, 8)
+      put(f"${bytes.length}%011o", 124, 12)
+      put("00000000000", 136, 12) // mtime: epoch (deterministic)
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte) // chksum as spaces
+      hdr(156) = '0'
+      put("ustar", 257, 6)
+      put("00", 263, 2)
+      var sum = 0
+      var i = 0
+      while (i < 512) { sum += hdr(i) & 0xff; i += 1 }
+      put(f"$sum%06o", 148, 7) // 6 octal digits + NUL, then the space stays
+      hdr(154) = 0
+      out.write(hdr)
+      out.write(bytes)
+      val pad = (512 - (bytes.length % 512)) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024)) // two zero blocks: end of archive
+    out.toByteArray
+  }
+
+  def writeTarGz(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(out)
+    gz.write(writeTar(members))
+    gz.close()
+    out.toByteArray
+  }
+}
+
+/** Refined-subtype text content (inline spans or text media bytes):
+  * deterministic CSV/TSV/Markdown/XML/Python with the expected extracted
+  * text computed alongside (XML extracts leaf text; others verbatim).
+  */
+object SubtextGen {
+
+  final case class Piece(content: String, expected: String, subtype: String)
+
+  def build(rng: SplittableRandom, lang: String): Piece = rng.nextInt(5) match {
+    case 0 => csv(rng, lang, '\t')
+    case 1 => csv(rng, lang, ',')
+    case 2 => markdown(rng, lang)
+    case 3 => xml(rng, lang)
+    case _ => python(rng, lang)
+  }
+
+  private def word(rng: SplittableRandom, lang: String): String =
+    TextGen.titleLine(rng, lang).split(" ")(0).toLowerCase
+
+  private def csv(rng: SplittableRandom, lang: String, sep: Char): Piece = {
+    val nCols = 2 + rng.nextInt(4)
+    val nRows = 3 + rng.nextInt(10)
+    val header = (0 until nCols).map(i => s"col_$i").mkString(sep.toString)
+    val rows = Vector.tabulate(nRows) { _ =>
+      (0 until nCols).map { c =>
+        if (c % 2 == 0) word(rng, lang) else String.valueOf(rng.nextInt(100000))
+      }.mkString(sep.toString)
+    }
+    val content = (header +: rows).mkString("\n")
+    Piece(content, content,
+      if (sep == '\t') "text/tab-separated-values" else "text/csv")
+  }
+
+  private def markdown(rng: SplittableRandom, lang: String): Piece = {
+    val sb = new StringBuilder
+    sb.append("# ").append(TextGen.titleLine(rng, lang)).append("\n\n")
+    sb.append(TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))).append("\n\n")
+    val items = 2 + rng.nextInt(4)
+    (0 until items).foreach(_ => sb.append("- ").append(TextGen.titleLine(rng, lang)).append("\n"))
+    sb.append("\n## ").append(TextGen.titleLine(rng, lang)).append("\n\n")
+    sb.append(TextGen.paragraph(rng, lang, 1 + rng.nextInt(2)))
+    val content = sb.toString
+    Piece(content, content, "text/x-web-markdown")
+  }
+
+  private def xml(rng: SplittableRandom, lang: String): Piece = {
+    val items = Vector.tabulate(2 + rng.nextInt(5))(_ => TextGen.titleLine(rng, lang))
+    val content = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<records>\n" +
+      items.map(v => s"  <record><name>${DocxWriter.xmlEsc(v)}</name></record>").mkString("\n") +
+      "\n</records>"
+    // XmlTextKernel emits leaf text content, one line per leaf
+    Piece(content, items.mkString("\n"), "application/xml")
+  }
+
+  private def python(rng: SplittableRandom, lang: String): Piece = {
+    val fn = word(rng, lang)
+    val content =
+      s"""#!/usr/bin/env python
+         |import sys
+         |
+         |def $fn(x):
+         |    return x * ${1 + rng.nextInt(9)}
+         |
+         |if __name__ == "__main__":
+         |    print($fn(${rng.nextInt(100)}))
+         |""".stripMargin
+    Piece(content, content, "text/x-python")
+  }
+}

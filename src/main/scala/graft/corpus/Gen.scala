@@ -43,26 +43,30 @@ object Gen {
     val lang = pickLang(rng)
 
     val pieces: Vector[Piece] =
-      if (roll < 22) Vector(txtPiece(rng, lang, giant = rng.nextInt(100) < 2))
-      else if (roll < 38) Vector(htmlPiece(rng, lang))
-      else if (roll < 52) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
-      else if (roll < 60) Vector(docxPiece(rng, lang, docId, 0))
-      else if (roll < 64) Vector(xlsxPiece(rng, lang, docId, 0))
-      else if (roll < 67) Vector(pptxPiece(rng, lang, docId, 0))
-      else if (roll < 71) Vector(rtfPiece(rng, lang, docId, 0))
-      else if (roll < 74) Vector(odtPiece(rng, lang, docId, 0))
-      else if (roll < 76) Vector(epubPiece(rng, lang, docId, 0))
-      else if (roll < 80) Vector(jpegPiece(rng, docId, 0))
-      else if (roll < 82) Vector(pngPiece(rng, docId, 0))
-      else if (roll < 83) Vector(tiffPiece(rng, docId, 0))
-      else if (roll < 84) Vector(mp3Piece(rng, lang, docId, 0))
-      else if (roll < 87) Vector(docPiece(rng, docId, 0))
-      else if (roll < 88) Vector(binPiece(rng, docId, 0))
+      if (roll < 20) Vector(txtPiece(rng, lang, giant = rng.nextInt(100) < 2))
+      else if (roll < 34) Vector(htmlPiece(rng, lang))
+      else if (roll < 48) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
+      else if (roll < 56) Vector(docxPiece(rng, lang, docId, 0))
+      else if (roll < 60) Vector(xlsxPiece(rng, lang, docId, 0))
+      else if (roll < 63) Vector(pptxPiece(rng, lang, docId, 0))
+      else if (roll < 67) Vector(rtfPiece(rng, lang, docId, 0))
+      else if (roll < 70) Vector(odtPiece(rng, lang, docId, 0))
+      else if (roll < 72) Vector(epubPiece(rng, lang, docId, 0))
+      else if (roll < 75) Vector(jpegPiece(rng, docId, 0))
+      else if (roll < 77) Vector(pngPiece(rng, docId, 0))
+      else if (roll < 78) Vector(tiffPiece(rng, docId, 0))
+      else if (roll < 79) Vector(mp3Piece(rng, lang, docId, 0))
+      else if (roll < 82) Vector(docPiece(rng, docId, 0))
+      else if (roll < 84) Vector(emlPiece(rng, lang, docId, 0))
+      else if (roll < 85) Vector(zipPiece(rng, lang, docId, 0))
+      else if (roll < 86) Vector(targzPiece(rng, lang, docId, 0))
+      else if (roll < 88) Vector(subtextPiece(rng, lang, docId, 0))
+      else if (roll < 89) Vector(binPiece(rng, docId, 0))
       else if (roll < 90) Vector(emptyPiece(rng, docId, 0))
       else { // interleaved multi-span doc
         val n = if (rng.nextInt(100) < 5) 16 + rng.nextInt(17) else 2 + rng.nextInt(7)
         Vector.tabulate(n) { k =>
-          rng.nextInt(12) match {
+          rng.nextInt(14) match {
             case 0     => txtPiece(rng, lang, giant = false)
             case 1     => htmlPiece(rng, lang)
             case 2     => pdfPiece(rng, lang, docId, k, giant = false)
@@ -74,6 +78,8 @@ object Gen {
             case 8     => rtfPiece(rng, lang, docId, k)
             case 9     => odtPiece(rng, lang, docId, k)
             case 10    => tiffPiece(rng, docId, k)
+            case 11    => emlPiece(rng, lang, docId, k)
+            case 12    => subtextPiece(rng, lang, docId, k)
             case _     => binPiece(rng, docId, k)
           }
         }
@@ -89,8 +95,8 @@ object Gen {
   }
 
   private def pickLang(rng: SplittableRandom): String = {
-    val r = rng.nextInt(8)
-    if (r < 4) "en" else TextGen.languages(r - 3) // en half, others equal
+    val r = rng.nextInt(13)
+    if (r < 4) "en" else TextGen.languages(r - 3) // en ~1/3, 9 others equal
   }
 
   /** One input span + its side-media + its expected output spans. */
@@ -209,7 +215,10 @@ object Gen {
       TextGen.titleLine(rng, "en"),
       Vector.tabulate(1 + rng.nextInt(4)) { _ =>
         Vector.tabulate(1 + rng.nextInt(3))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(2)))
-      })
+      },
+      // half the EPUBs store chapter files in REVERSE path order: reading
+      // order must come from the OPF spine (exercised across the 400k sweep)
+      reverseNames = rng.nextBoolean())
     val bytes = EpubWriter.write(spec)
     val ref = s"m-$docId-$k"
     Piece("epub", Span("epub", null, ref, -1),
@@ -276,6 +285,88 @@ object Gen {
     Piece("doc", Span("doc", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
       textGolden(text), bytes.length.toLong)
+  }
+
+  private def emlPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val user = TextGen.titleLine(rng, "en").split(" ")(0).toLowerCase
+    val spec = EmlWriter.Spec(
+      subject = TextGen.titleLine(rng, lang),
+      from = s"$user@example.org",
+      to = "docs@example.org",
+      paragraphs = Vector.tabulate(1 + rng.nextInt(4))(_ =>
+        TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))),
+      mode = rng.nextInt(4))
+    val golden = textGolden(EmlWriter.expectedText(spec))
+    if (rng.nextBoolean()) {
+      // inline RFC-822 text span (extractText -> EmlKernel.extractStr)
+      val content = new String(EmlWriter.write(spec), java.nio.charset.StandardCharsets.UTF_8)
+      Piece("eml", Span("eml", content, null, -1), Nil, golden, content.length.toLong)
+    } else {
+      val bytes = EmlWriter.write(spec)
+      val ref = s"m-$docId-$k"
+      Piece("eml", Span("eml", null, ref, -1),
+        Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+        golden, bytes.length.toLong)
+    }
+  }
+
+  /** Zip bundle of txt/html members — the reference's container breadth
+    * (Tika parses archives and their embedded documents). Member text
+    * concatenates in entry order.
+    */
+  private def zipPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val n = 2 + rng.nextInt(3)
+    val members = Vector.tabulate(n) { m =>
+      if (rng.nextBoolean()) {
+        val text = TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))
+        (s"member$m.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8), text)
+      } else {
+        val spec = HtmlWriter.Spec(TextGen.titleLine(rng, lang),
+          TextGen.titleLine(rng, lang),
+          Vector.tabulate(1 + rng.nextInt(3))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(2))))
+        (s"member$m.html",
+          HtmlWriter.write(spec, rng).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          HtmlWriter.expectedBlocks(spec).mkString("\n\n"))
+      }
+    }
+    val bytes = ArchiveWriter.writeZip(members.map(m => (m._1, m._2)))
+    val expected = members.map(_._3).filter(_.nonEmpty).mkString("\n\n")
+    val ref = s"m-$docId-$k"
+    Piece("zip", Span("zip", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(expected), bytes.length.toLong)
+  }
+
+  private def targzPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val n = 2 + rng.nextInt(3)
+    val members = Vector.tabulate(n) { m =>
+      val text = TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))
+      (s"docs/part$m.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8), text)
+    }
+    val bytes = ArchiveWriter.writeTarGz(members.map(m => (m._1, m._2)))
+    val expected = members.map(_._3).mkString("\n\n")
+    val ref = s"m-$docId-$k"
+    Piece("tgz", Span("tgz", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(expected), bytes.length.toLong)
+  }
+
+  /** Refined-subtype text (CSV/TSV/Markdown/XML/Python), half inline text
+    * spans, half text media bytes — exercises content-hint subtyping on
+    * both extraction paths.
+    */
+  private def subtextPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val p = SubtextGen.build(rng, lang)
+    val golden = textGolden(p.expected)
+    if (rng.nextBoolean())
+      Piece("sub", Span("txt", p.content, null, -1), Nil, golden, p.content.length.toLong)
+    else {
+      val bytes = p.content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val ref = s"m-$docId-$k"
+      Piece("sub", Span("bin", null, ref, -1),
+        Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+        golden, bytes.length.toLong)
+    }
   }
 
   private def binPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {

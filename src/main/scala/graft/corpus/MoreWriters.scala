@@ -25,13 +25,20 @@ object RtfWriter {
       case '{'  => "\\{"
       case '}'  => "\\}"
       case c if c < 128 => c.toString
-      case c    => s"\\u${c.toInt}?" // unicode escape with 1 fallback char
+      case c    => // unicode escape with 1 fallback char; \uN takes a
+        // SIGNED 16-bit value per spec (kernel accepts both forms)
+        val n = if (c.toInt > 32767) c.toInt - 65536 else c.toInt
+        s"\\u$n?"
     }
+    // \info statistics (Word always emits these): deterministic from the
+    // spec so KernelSpec can assert meta:word-count / meta:page-count
+    val nWords = spec.paragraphs.map(_.split("\\s+").count(_.nonEmpty)).sum
     val sb = new StringBuilder
     sb.append("{\\rtf1\\ansi\\ansicpg1252\\deff0")
     sb.append("{\\fonttbl{\\f0\\froman Times New Roman;}}")
     sb.append("{\\colortbl;\\red0\\green0\\blue0;}")
-    sb.append(s"{\\info{\\title ${esc(spec.title)}}{\\author ${esc(spec.author)}}}")
+    sb.append(s"{\\info{\\title ${esc(spec.title)}}{\\author ${esc(spec.author)}}")
+    sb.append(s"\\nofpages1\\nofwords$nWords}")
     sb.append("{\\stylesheet{\\s0 Normal;}}")
     sb.append("\\f0\\fs24 ")
     spec.paragraphs.zipWithIndex.foreach { case (p, i) =>
@@ -66,12 +73,16 @@ object OdtWriter {
       sb.append("</office:text></office:body></office:document-content>")
       sb.toString
     }
+    val nWords = spec.paragraphs.map(_.split("\\s+").count(_.nonEmpty)).sum
+    val nChars = spec.paragraphs.map(_.length).sum
     val metaXml =
       "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
       "<office:document-meta xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
+      "xmlns:meta=\"urn:oasis:names:tc:opendocument:xmlns:meta:1.0\" " +
       "xmlns:dc=\"http://purl.org/dc/elements/1.1/\"><office:meta>" +
       s"<dc:title>${DocxWriter.xmlEsc(spec.title)}</dc:title>" +
       s"<dc:creator>${DocxWriter.xmlEsc(spec.creator)}</dc:creator>" +
+      s"""<meta:document-statistic meta:page-count="1" meta:word-count="$nWords" meta:character-count="$nChars"/>""" +
       "</office:meta></office:document-meta>"
     // mimetype MUST be the first entry, STORED (ODF spec) — OoxmlZip
     // stores the first entry, so the magic head-window sees it verbatim
@@ -85,10 +96,15 @@ object OdtWriter {
 object EpubWriter {
 
   final case class Spec(title: String, creator: String,
-      chapters: Vector[Vector[String]]) // chapter -> paragraphs
+      chapters: Vector[Vector[String]], // chapter -> paragraphs
+      // reading order must come from the OPF spine, not file paths:
+      // when set, chapter at SPINE position i is stored as file
+      // ch{n-1-i}.xhtml, so path order is the REVERSE of reading order
+      reverseNames: Boolean = false)
 
   /** Expected extracted content: per chapter, paragraphs joined by blank
-    * lines; chapters joined by blank lines (HtmlKernel full-text blocks).
+    * lines; chapters joined by blank lines (HtmlKernel full-text blocks)
+    * in SPINE order — independent of reverseNames.
     */
   def expectedText(spec: Spec): String =
     spec.chapters.map(_.mkString("\n\n")).filter(_.nonEmpty).mkString("\n\n")
@@ -99,6 +115,8 @@ object EpubWriter {
       "<html xmlns=\"http://www.w3.org/1999/xhtml\"><head><title>c</title></head><body>" +
       paras.map(p => s"<p>${DocxWriter.xmlEsc(p)}</p>").mkString +
       "</body></html>"
+    val n = spec.chapters.size
+    def fileOf(i: Int): String = if (spec.reverseNames) s"ch${n - 1 - i}.xhtml" else s"ch$i.xhtml"
     val opf =
       "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
       "<package xmlns=\"http://www.idpf.org/2007/opf\" version=\"3.0\" unique-identifier=\"id\">" +
@@ -108,7 +126,7 @@ object EpubWriter {
       "<dc:identifier id=\"id\">graft-synth</dc:identifier>" +
       "<dc:language>en</dc:language></metadata>" +
       "<manifest>" + spec.chapters.indices.map(i =>
-        s"""<item id="c$i" href="ch$i.xhtml" media-type="application/xhtml+xml"/>""").mkString +
+        s"""<item id="c$i" href="${fileOf(i)}" media-type="application/xhtml+xml"/>""").mkString +
       "</manifest><spine>" + spec.chapters.indices.map(i =>
         s"""<itemref idref="c$i"/>""").mkString + "</spine></package>"
     val container =
@@ -121,7 +139,7 @@ object EpubWriter {
       "META-INF/container.xml" -> container,
       "OEBPS/content.opf" -> opf) ++
       spec.chapters.zipWithIndex.map { case (c, i) =>
-        s"OEBPS/ch$i.xhtml" -> chapterXhtml(c)
+        s"OEBPS/${fileOf(i)}" -> chapterXhtml(c)
       })
   }
 }

@@ -8,7 +8,8 @@ import java.util.SplittableRandom
   */
 object TextGen {
 
-  val languages: Vector[String] = Vector("en", "de", "fr", "es", "ru")
+  val languages: Vector[String] =
+    Vector("en", "de", "fr", "es", "ru", "pt", "it", "nl", "zh", "ja")
 
   private val pools: Map[String, (Vector[String], Vector[String])] = Map(
     // (function words — high frequency, content words — low frequency)
@@ -37,7 +38,33 @@ object TextGen {
       "что", "у", "но", "мой", "это", "по", "так"),
       Vector("лес", "село", "конь", "снег", "вечер", "бубенцы", "озеро",
         "ветер", "хлопья", "обещания", "дом", "путь", "сон", "зима",
-        "тень", "фонарь", "луг", "мороз", "звук", "тишина")))
+        "тень", "фонарь", "луг", "мороз", "звук", "тишина")),
+    "pt" -> (Vector("não", "um", "uma", "os", "as", "do", "da", "em", "no",
+      "na", "com", "mais", "como", "mas", "foi", "ele", "sua", "ser",
+      "muito", "já"),
+      Vector("floresta", "aldeia", "cavalo", "neve", "tarde", "sinos",
+        "lago", "vento", "floco", "promessas", "casa", "caminho", "sono",
+        "inverno", "sombra", "lanterna", "prado", "geada", "som", "calma")),
+    "it" -> (Vector("il", "lo", "gli", "che", "non", "per", "con", "più",
+      "come", "anche", "sono", "questo", "nel", "della", "di", "da",
+      "molto", "tutto", "dopo", "ogni"),
+      Vector("bosco", "villaggio", "cavallo", "neve", "sera", "campane",
+        "lago", "vento", "fiocco", "promesse", "casa", "strada", "sonno",
+        "inverno", "ombra", "lanterna", "prato", "gelo", "suono", "quiete")),
+    "nl" -> (Vector("de", "het", "een", "van", "ik", "je", "niet", "zijn",
+      "dat", "die", "aan", "met", "als", "voor", "maar", "dan", "ook",
+      "naar", "nog", "geen"),
+      Vector("bos", "dorp", "paard", "sneeuw", "avond", "bellen", "meer",
+        "wind", "vlok", "beloften", "huis", "weg", "slaap", "winter",
+        "schaduw", "lantaarn", "weide", "vorst", "geluid", "stilte")),
+    "zh" -> (Vector("的", "是", "了", "在", "和", "有", "不", "我", "他",
+      "这", "那", "就", "都", "也", "很", "与"),
+      Vector("森林", "村庄", "马", "雪", "傍晚", "湖", "风", "房子", "道路",
+        "冬天", "影子", "灯", "草地", "霜", "声音", "寂静")),
+    "ja" -> (Vector("は", "の", "に", "を", "が", "と", "で", "も", "から",
+      "まで", "です", "ます", "した", "ある", "いる", "この"),
+      Vector("森", "村", "馬", "雪", "夕方", "湖", "風", "家", "道",
+        "冬", "影", "灯り", "草原", "霜", "音", "静けさ")))
 
   /** One sentence: 6..14 words, ~55% function words, capitalized, period. */
   def sentence(rng: SplittableRandom, lang: String): String = {

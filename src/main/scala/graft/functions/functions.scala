@@ -40,7 +40,7 @@ package functions {
     */
   object Kernels {
     def sniffMime(bytes: Array[Byte]): UTF8String =
-      UTF8String.fromString(Magic.contentTypeOf(Magic.sniff(bytes), None))
+      UTF8String.fromString(Magic.refinedContentType(bytes))
     def detectCharset(bytes: Array[Byte]): UTF8String =
       UTF8String.fromString(graft.kernel.Charset.detect(bytes).name)
     def langOf(s: UTF8String): UTF8String =

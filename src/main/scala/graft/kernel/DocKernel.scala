@@ -172,7 +172,10 @@ object DocKernel {
     while (i < nProps) {
       val pid = u32(base + 8 + i * 8)
       val off = u32(base + 8 + i * 8 + 4)
-      keys.get(pid).foreach { key =>
+      // off is a raw u32: an OOB/sentinel value (e.g. 0xffffffff) must lose
+      // only this property, not throw past the property loop and degrade
+      // the whole document (incl. extractable body text) to parse_error
+      if (off >= 0 && base.toLong + off + 8 <= b.length) keys.get(pid).foreach { key =>
         val p = base + off.toInt
         val typ = u32(p)
         val v: Option[String] = typ match {
@@ -249,7 +252,7 @@ object DocKernel {
     if (pos >= end || (table(pos) & 0xff) != 0x02) return None
     val lcb = u32(table, pos + 1)
     val plc = pos + 5
-    if (lcb < 4 + 12 || plc + lcb > end + 1) return None
+    if (lcb < 4 + 12 || plc + lcb > end) return None
     val n = ((lcb - 4) / 12).toInt
     if (n <= 0 || n > (1 << 20)) return None
     val cps = Array.tabulate(n + 1)(k => u32(table, plc + k * 4))

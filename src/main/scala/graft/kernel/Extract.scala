@@ -30,6 +30,13 @@ object Extract {
   val IssueInvalidInput = "invalid_input"
   val IssueParseError   = "parse_error"
 
+  /** Top-level (depth 0) extractBytes invocations this JVM — observable
+    * kernel-work counter for tests (e.g. proving the resume semi-join gate
+    * extracts only missing media). Single increment per payload; local
+    * mode shares the JVM with the test.
+    */
+  val mediaCalls = new java.util.concurrent.atomic.AtomicLong
+
   /** Extract an inline text payload (kind html|txt as claimed; verified by
     * content sniffing).
     */
@@ -40,13 +47,24 @@ object Extract {
       val kind = Magic.sniffText(text)
       kind match {
         case Magic.Kind.Html => html(text, "UTF-8", opt)
+        case Magic.Kind.Eml  => eml(EmlKernel.extractStr(text), opt)
         case _               => plain(text, "UTF-8", opt)
       }
     } catch { case scala.util.control.NonFatal(_) => failure(IssueParseError) }
   }
 
-  /** Extract a binary payload (media side-table bytes). */
-  def extractBytes(claimedKind: String, bytes: Array[Byte], opt: Options): Out = {
+  /** Extract a binary payload (media side-table bytes). `depth` bounds
+    * archive recursion (members re-enter here at depth + 1; nested
+    * archives beyond ArchiveKernel.MaxDepth degrade to octet-stream).
+    */
+  def extractBytes(claimedKind: String, bytes: Array[Byte], opt: Options,
+      depth: Int = 0): Out = {
+    if (depth == 0) mediaCalls.incrementAndGet()
+    extractBytes0(claimedKind, bytes, opt, depth)
+  }
+
+  private def extractBytes0(claimedKind: String, bytes: Array[Byte],
+      opt: Options, depth: Int): Out = {
     if (bytes == null) return failure(IssueIoError)
     if (bytes.isEmpty) return failure(IssueEmptyFile)
     try {
@@ -75,15 +93,44 @@ object Extract {
         case Magic.Kind.Html =>
           val cs = Charset.detect(bytes)
           html(cs.decoded, cs.name, opt)
+        case Magic.Kind.Eml =>
+          eml(EmlKernel.extract(bytes), opt)
         case Magic.Kind.Text =>
           val cs = Charset.detect(bytes)
           plain(cs.decoded, cs.name, opt)
-        case Magic.Kind.Zip | Magic.Kind.Unknown =>
-          Out("", Vector.empty, "application/octet-stream", Map.empty,
-            isMedia = false, issue = None)
+        case Magic.Kind.Zip =>
+          if (depth >= ArchiveKernel.MaxDepth) octetStream
+          else archive(ArchiveKernel.zip(bytes, opt, depth), "application/zip", opt)
+        case Magic.Kind.Tar =>
+          if (depth >= ArchiveKernel.MaxDepth) octetStream
+          else archive(ArchiveKernel.tar(bytes, opt, depth), "application/x-tar", opt)
+        case Magic.Kind.Gzip =>
+          // compression wrapper, not a container: the inflated payload
+          // re-dispatches at the SAME depth (so .tar.gz opens at depth 0)
+          // but wrapper nesting itself is unwrapped iteratively with a
+          // hard bound of 2 — a 10k-deep gzip nest must not become 10k
+          // recursion frames (StackOverflowError escapes NonFatal)
+          var payload = ArchiveKernel.gunzip(bytes)
+          var unwraps = 1
+          def isGz(b: Array[Byte]) =
+            b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+          while (unwraps < 2 && isGz(payload)) {
+            payload = ArchiveKernel.gunzip(payload); unwraps += 1
+          }
+          if (isGz(payload))
+            Out("", Vector.empty, "application/gzip", Map.empty,
+              isMedia = false, issue = None)
+          else
+            extractBytes0(claimedKind, payload, opt, depth)
+              .copy(contentType = "application/gzip", isMedia = false)
+        case Magic.Kind.Unknown => octetStream
       }
     } catch { case scala.util.control.NonFatal(_) => failure(IssueParseError) }
   }
+
+  private def octetStream: Out =
+    Out("", Vector.empty, "application/octet-stream", Map.empty,
+      isMedia = false, issue = None)
 
   private def failure(issue: String): Out =
     Out("", Vector.empty, "application/octet-stream", Map.empty,
@@ -92,10 +139,40 @@ object Extract {
   // ------------------------------------------------------------- formats
 
   private def plain(text: String, charset: String, opt: Options): Out = {
-    val content = truncate(text, opt)
-    Out(content, blocksOf(content),
-      s"text/plain; charset=$charset",
-      Map("Content-Encoding" -> charset),
+    // D1 refinement: content-hint text subtyping (CSV/TSV/Markdown/XML/
+    // source), mirroring the reference's refined text types in its tally
+    // (reference: README.md:247). XML additionally extracts element text
+    // content (markup stripped), degrading to verbatim text when malformed.
+    Magic.textSubtype(text) match {
+      case Some("application/xml") =>
+        val extracted =
+          try XmlTextKernel.extract(text)
+          catch { case scala.util.control.NonFatal(_) => text }
+        val content = truncate(extracted, opt)
+        Out(content, blocksOf(content), s"application/xml; charset=$charset",
+          Map("Content-Encoding" -> charset), isMedia = false, issue = None)
+      case Some(sub) =>
+        val content = truncate(text, opt)
+        Out(content, blocksOf(content), s"$sub; charset=$charset",
+          Map("Content-Encoding" -> charset), isMedia = false, issue = None)
+      case None =>
+        val content = truncate(text, opt)
+        Out(content, blocksOf(content),
+          s"text/plain; charset=$charset",
+          Map("Content-Encoding" -> charset),
+          isMedia = false, issue = None)
+    }
+  }
+
+  private def eml(r: EmlKernel.Result, opt: Options): Out = {
+    val content = truncate(r.text, opt)
+    Out(content, blocksOf(content), "message/rfc822", r.metadata,
+      isMedia = false, issue = None)
+  }
+
+  private def archive(r: ArchiveKernel.Result, ct: String, opt: Options): Out = {
+    val content = truncate(r.text, opt)
+    Out(content, blocksOf(content), ct, r.metadata,
       isMedia = false, issue = None)
   }
 

@@ -31,7 +31,10 @@ object Magic {
     case object Mp3     extends Kind("mp3")
     case object Html    extends Kind("html")
     case object Text    extends Kind("txt")
+    case object Eml     extends Kind("eml")   // RFC-822 message
     case object Zip     extends Kind("zip")   // PK but not a known OOXML type
+    case object Gzip    extends Kind("gz")
+    case object Tar     extends Kind("tar")
     case object Unknown extends Kind("bin")
   }
 
@@ -67,7 +70,14 @@ object Magic {
         bytes(3) == 'G' && bytes(4) == 0x0d && bytes(5) == 0x0a &&
         bytes(6) == 0x1a && bytes(7) == 0x0a) return Kind.Png
     if (startsWith(bytes, "GIF87a") || startsWith(bytes, "GIF89a")) return Kind.Gif
+    if (bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) return Kind.Gzip
+    if (bytes.length >= 263 && bytes(257) == 'u' && bytes(258) == 's' &&
+        bytes(259) == 't' && bytes(260) == 'a' && bytes(261) == 'r') return Kind.Tar
     if (looksLikeText(bytes)) {
+      val prefix = new String(bytes, 0, math.min(bytes.length, 2048),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (looksLikeEml(prefix)) return Kind.Eml
       return if (looksLikeHtml(bytes)) Kind.Html else Kind.Text
     }
     Kind.Unknown
@@ -75,7 +85,77 @@ object Magic {
 
   /** Text-kind sniff for inline span payloads (String, no bytes). */
   def sniffText(text: String): Kind =
-    if (text != null && looksLikeHtmlStr(text.take(1024))) Kind.Html else Kind.Text
+    if (text == null) Kind.Text
+    else if (looksLikeEml(text.take(2048))) Kind.Eml
+    else if (looksLikeHtmlStr(text.take(1024))) Kind.Html
+    else Kind.Text
+
+  /** RFC-822 detection: >= 2 canonical message headers at line starts
+    * within the first lines (prose never opens lines with "Subject:" /
+    * "Message-ID:" etc., so this is precise without extension hints).
+    */
+  private val EmlHeaders = Set("from", "to", "subject", "date", "message-id",
+    "received", "return-path", "mime-version", "cc", "reply-to")
+
+  private def looksLikeEml(prefix: String): Boolean = {
+    var hits = 0
+    var checked = 0
+    val it = prefix.linesIterator
+    while (it.hasNext && checked < 12 && hits < 2) {
+      val line = it.next()
+      if (line.isEmpty) checked = 12 // header block ended
+      else {
+        val c = line.indexOf(':')
+        if (c > 0 && c <= 32 && EmlHeaders.contains(line.substring(0, c).toLowerCase))
+          hits += 1
+        checked += 1
+      }
+    }
+    hits >= 2
+  }
+
+  /** Content-hint text subtyping (D1 refinement): the reference's tally
+    * surfaces refined text types (`text/x-matlab; charset=ISO-8859-1`,
+    * reference: README.md:247) because Tika subtypes text/plain by
+    * name/content hints. Content-only here (media refs carry no names):
+    * XML prolog, delimiter-consistent CSV/TSV, Markdown markers, and a
+    * small source-code set. None = plain text.
+    */
+  def textSubtype(text: String): Option[String] = {
+    if (text == null || text.length < 4) return None
+    val head = text.take(4096)
+    val trimmed = head.dropWhile(_.isWhitespace)
+    if (trimmed.startsWith("<?xml")) return Some("application/xml")
+    if (trimmed.startsWith("#!")) {
+      val firstLine = trimmed.takeWhile(_ != '\n')
+      if (firstLine.contains("python")) return Some("text/x-python")
+      return Some("application/x-sh")
+    }
+    val lines = head.split("\n", -1).toVector.filter(_.nonEmpty)
+    if (lines.size >= 2) {
+      // delimiter-consistent tabular data: every sampled line has the
+      // same positive count of the delimiter
+      def consistent(sep: Char): Boolean = {
+        val counts = lines.take(16).map(_.count(_ == sep))
+        counts.head > 0 && counts.forall(_ == counts.head)
+      }
+      if (consistent('\t')) return Some("text/tab-separated-values")
+      if (consistent(',')) return Some("text/csv")
+    }
+    // Markdown markers: headings / fences / list items on line starts
+    val mdMarks = lines.count(l => l.startsWith("# ") || l.startsWith("## ") ||
+      l.startsWith("### ") || l.startsWith("```") || l.startsWith("- ") ||
+      l.startsWith("* ") || (l.contains("](") && l.contains("[")))
+    if (lines.nonEmpty && mdMarks >= 2 && mdMarks * 4 >= lines.size)
+      return Some("text/x-web-markdown")
+    // source-code hints (bounded set, line-start anchored)
+    val pyMarks = lines.count(l => l.startsWith("def ") || l.startsWith("import ") ||
+      l.startsWith("class ") || l.startsWith("from "))
+    if (pyMarks >= 2 && lines.exists(_.trim.endsWith(":"))) return Some("text/x-python")
+    if (lines.exists(_.startsWith("#include ")) &&
+        head.contains("int main")) return Some("text/x-csrc")
+    None
+  }
 
   def contentTypeOf(kind: Kind, charset: Option[String]): String = kind match {
     case Kind.Pdf  => "application/pdf"
@@ -96,8 +176,26 @@ object Magic {
     case Kind.Mp3  => "audio/mpeg"
     case Kind.Html => s"text/html; charset=${charset.getOrElse("UTF-8")}"
     case Kind.Text => s"text/plain; charset=${charset.getOrElse("UTF-8")}"
+    case Kind.Eml  => "message/rfc822"
     case Kind.Zip  => "application/zip"
+    case Kind.Gzip => "application/gzip"
+    case Kind.Tar  => "application/x-tar"
     case Kind.Unknown => "application/octet-stream"
+  }
+
+  /** Full content-type string with text refinement: charset-detected
+    * text/html plus the content-hint subtypes — the D1+D2 composition the
+    * sniff_mime expression exposes.
+    */
+  def refinedContentType(bytes: Array[Byte]): String = sniff(bytes) match {
+    case Kind.Text =>
+      val cs = Charset.detect(bytes)
+      textSubtype(cs.decoded) match {
+        case Some(sub) => s"$sub; charset=${cs.name}"
+        case None      => s"text/plain; charset=${cs.name}"
+      }
+    case Kind.Html => contentTypeOf(Kind.Html, Some(Charset.detect(bytes).name))
+    case k         => contentTypeOf(k, None)
   }
 
   private def startsWith(bytes: Array[Byte], ascii: String): Boolean = {
@@ -162,11 +260,19 @@ object Magic {
         // data-descriptor entries don't record sizes in the local header:
         // stop; the central directory below covers the rest
         if ((flags & 0x8) != 0 && comp == 0) ok = false
-        else p += 30 + nl + el + comp.toInt
+        else {
+          // Long advance: comp.toInt would go negative for >= 2 GiB entries
+          val next = p.toLong + 30 + nl + el + comp
+          if (next > bytes.length) ok = false else p = next.toInt
+        }
       }
     }
-    // central directory (complete name list for zips of any size)
-    var q = math.max(0, bytes.length - ZipScanWindow)
+    // central directory: locate the EOCD record from the tail (its offset
+    // field points at the CD start), so the FULL name list is walked even
+    // when the CD is larger than any fixed tail window (a DOCX with many
+    // image parts overflows 4 KiB easily). Fall back to a bounded tail
+    // scan when no EOCD parses (truncated/corrupt zips).
+    var q = eocdCdStart(bytes).getOrElse(math.max(0, bytes.length - ZipScanWindow))
     var m = 0
     while (q + 46 <= bytes.length && m < max) {
       if (bytes(q) == 'P' && bytes(q + 1) == 'K' && bytes(q + 2) == 1 && bytes(q + 3) == 2) {
@@ -181,6 +287,24 @@ object Magic {
       } else q += 1
     }
     out.result().distinct
+  }
+
+  /** Central-directory start offset via the EOCD record (PK\0x05\0x06 in
+    * the last 64 KiB + 22 bytes — the max zip-comment span). None when
+    * absent or out of range (e.g. zip64's 0xffffffff sentinel).
+    */
+  private def eocdCdStart(bytes: Array[Byte]): Option[Int] = {
+    val lo = math.max(0, bytes.length - (65536 + 22))
+    var q = bytes.length - 22
+    while (q >= lo) {
+      if (bytes(q) == 'P' && bytes(q + 1) == 'K' && bytes(q + 2) == 5 && bytes(q + 3) == 6) {
+        val cdOff = zu32(bytes, q + 16)
+        if (cdOff >= 0 && cdOff < q) return Some(cdOff.toInt)
+        return None
+      }
+      q -= 1
+    }
+    None
   }
 
   /** Content of the first entry when it is STORED (the ODF/EPUB

@@ -97,6 +97,10 @@ object RtfKernel {
               case "rdblquote" => emit('”')
               case "uc" if num >= 0 =>
                 stack = cur.copy(uc = num.toInt.min(8)) :: stack.tail
+              // \info statistics words (numeric params, no destination)
+              case "nofpages" if num >= 0 => meta += ("meta:page-count" -> num.toString)
+              case "nofwords" if num >= 0 => meta += ("meta:word-count" -> num.toString)
+              case "nofchars" if num >= 0 => meta += ("meta:character-count" -> num.toString)
               case "u" if num != -1 =>
                 val cp = if (num < 0) (num + 65536).toInt else num.toInt
                 if (cp >= 0 && cp <= 0xffff) emit(cp.toChar)
@@ -142,11 +146,41 @@ object OdtKernel {
     OoxmlUtil.walkZip(bytes) { (name, read) =>
       name match {
         case "content.xml" => paragraphs = contentParagraphs(read())
-        case "meta.xml"    => meta ++= metaProps(read())
+        case "meta.xml"    =>
+          val b = read()
+          meta ++= metaProps(b)
+          meta ++= statProps(b)
         case _             => ()
       }
     }
     Result(paragraphs, meta)
+  }
+
+  /** meta:document-statistic carries counts as ATTRIBUTES (page-count,
+    * word-count, character-count) — the ODT analog of OOXML app.xml's
+    * meta:* count keys.
+    */
+  private def statProps(xml: Array[Byte]): Map[String, String] = {
+    val r = OoxmlUtil.factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    var out = Map.empty[String, String]
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "document-statistic") {
+          var i = 0
+          while (i < r.getAttributeCount) {
+            r.getAttributeLocalName(i) match {
+              case "page-count"      => out += ("meta:page-count" -> r.getAttributeValue(i))
+              case "word-count"      => out += ("meta:word-count" -> r.getAttributeValue(i))
+              case "character-count" => out += ("meta:character-count" -> r.getAttributeValue(i))
+              case _                 => ()
+            }
+            i += 1
+          }
+        }
+      }
+    } finally r.close()
+    out
   }
 
   private def contentParagraphs(xml: Array[Byte]): Vector[String] = {
@@ -198,7 +232,9 @@ object OdtKernel {
 }
 
 /** EPUB: zip of XHTML chapters; text via the HTML kernel per chapter in
-  * path order, metadata from the OPF manifest's Dublin Core.
+  * OPF SPINE order (the reading order the package declares — path order
+  * would put 'ch10' before 'ch2'), falling back to numeric-aware path
+  * order when no spine parses. Metadata from the OPF's Dublin Core.
   */
 object EpubKernel {
 
@@ -209,19 +245,65 @@ object EpubKernel {
   def extract(bytes: Array[Byte]): Result = {
     var parts = Vector.empty[(String, Array[Byte])]
     var meta = Map.empty[String, String]
+    var opfPath = ""
+    var spineHrefs = Vector.empty[String]
     OoxmlUtil.walkZip(bytes) { (name, read) =>
       val lower = name.toLowerCase
       if (!lower.startsWith("meta-inf/") &&
           (lower.endsWith(".xhtml") || lower.endsWith(".html") || lower.endsWith(".htm")))
         parts :+= (name, read())
-      else if (lower.endsWith(".opf")) meta ++= opfProps(read())
+      else if (lower.endsWith(".opf")) {
+        val b = read()
+        opfPath = name
+        meta ++= opfProps(b)
+        spineHrefs = spineOrder(b)
+      }
     }
-    val chapters = parts.sortBy(_._1).map { case (_, b) =>
+    // spine hrefs are OPF-relative: resolve against the OPF's directory
+    val opfDir = opfPath.lastIndexOf('/') match {
+      case -1 => ""
+      case i  => opfPath.substring(0, i + 1)
+    }
+    val spinePaths = spineHrefs.map(h => opfDir + h)
+    def ord(name: String): (Int, Int, String) = {
+      val s = spinePaths.indexOf(name)
+      if (s >= 0) (0, s, name)
+      else { // not in spine: numeric-aware path order after spine items
+        val digits = name.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+        (1, if (digits.nonEmpty) digits.toInt else Int.MaxValue, name)
+      }
+    }
+    val chapters = parts.sortBy(p => ord(p._1)).map { case (_, b) =>
       // chapters are content, not web pages: full-text HTML semantics
       HtmlKernel.extractFullText(new String(b, java.nio.charset.StandardCharsets.UTF_8))
         .blocks.mkString("\n\n")
     }
     Result(chapters, meta)
+  }
+
+  /** Spine itemref order resolved through the manifest to hrefs. */
+  private def spineOrder(xml: Array[Byte]): Vector[String] = {
+    val r = OoxmlUtil.factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    var manifest = Map.empty[String, String] // id -> href
+    val idrefs = Vector.newBuilder[String]
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "item" =>
+              val id = r.getAttributeValue(null, "id")
+              val href = r.getAttributeValue(null, "href")
+              if (id != null && href != null) manifest += (id -> href)
+            case "itemref" =>
+              val idref = r.getAttributeValue(null, "idref")
+              if (idref != null) idrefs += idref
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    idrefs.result().flatMap(manifest.get)
   }
 
   private def opfProps(xml: Array[Byte]): Map[String, String] =
@@ -231,6 +313,9 @@ object EpubKernel {
       case ("language", v)    => Seq("dc:language" -> v)
       case ("identifier", v)  => Seq("dc:identifier" -> v)
       case ("publisher", v)   => Seq("dc:publisher" -> v)
+      case ("description", v) => Seq("dc:description" -> v)
+      case ("subject", v)     => Seq("dc:subject" -> v)
+      case ("date", v)        => Seq("dcterms:created" -> v)
       case _                  => Nil
     }.toMap
 }

@@ -58,23 +58,61 @@ object Curation {
 
   /** Near-dup clusters from verified pairs via K rounds of min-label
     * propagation (label = min over self + neighbors each round). K fixed
-    * and mirrored in the oracle => deterministic; components with
-    * diameter > K don't fully converge — at warehouse scale run rounds
-    * to fixpoint (each round is one shuffle; near-dup components are
-    * near-cliques, so 2-3 rounds suffice in practice).
+    * and mirrored in the oracle => deterministic. Components with
+    * diameter > K don't fully converge — [[dupClustersFixpoint]] is the
+    * warehouse-scale variant.
     * Output: (doc_id, cluster_rep).
     */
-  def dupClusters(pairs: DataFrame, iterations: Int = 3): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  def dupClusters(pairs: DataFrame, iterations: Int = 3): DataFrame =
+    propagate(pairs, iterations, toFixpoint = false)
+
+  /** Min-label propagation TO CONVERGENCE (connected components): rounds
+    * run until one changes zero labels, bounded by `maxIterations` as a
+    * runaway guard (rounds needed = max component diameter; near-dup
+    * components are near-cliques, so convergence is fast in practice but
+    * NOT guaranteed by any fixed K).
+    */
+  def dupClustersFixpoint(pairs: DataFrame, maxIterations: Int = 100): DataFrame =
+    propagate(pairs, maxIterations, toFixpoint = true)
+
+  /** Iterative core. The classic iterative-Spark failure mode is rebinding
+    * `labels = labels.join(...)` with the full upstream pipeline embedded:
+    * the logical plan ~doubles per round (labels appears on both sides of
+    * each round's join) and `edges` — often a whole minhash-LSH pipeline —
+    * is re-analyzed and re-executed inside every round. localCheckpoint
+    * materializes edges ONCE and truncates the label lineage each round,
+    * so round N's plan is one join + one aggregate regardless of N.
+    */
+  private def propagate(pairs: DataFrame, maxRounds: Int,
+      toFixpoint: Boolean): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-    for (_ <- 1 to iterations) {
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
       val nbr = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      labels = labels.join(nbr, labels("id") === nbr("src"), "left")
+      val next = labels.join(nbr, labels("id") === nbr("src"), "left")
         .select(labels("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      if (toFixpoint) {
+        // labels only ever decrease, so ANY difference vs the previous
+        // round means not converged; limit(1) short-circuits the scan
+        val changed = next.as("n")
+          .join(labels.withColumnRenamed("lbl", "prev"), "id")
+          .filter(col("lbl") =!= col("prev"))
+          .limit(1).count()
+        converged = changed == 0L
+      }
+      labels.unpersist()
+      labels = next
+      round += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
       .orderBy("doc_id")

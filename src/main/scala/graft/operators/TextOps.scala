@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.kernel.Lang
 
 /** Text-analysis operators for training-data pipelines: quality scoring,
   * token counting, language-ID, document fingerprinting. All but lang-ID
@@ -52,14 +51,15 @@ object TextOps {
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"))
       .orderBy("doc_id")
 
-  /** Language-ID over any text column via the Lang kernel. */
+  /** Language-ID over any text column via the codegen LangOf expression
+    * (null-safe native call inlined into whole-stage codegen — no ScalaUDF
+    * ser/deser per row; the Lang profile tables stay JVM-static).
+    */
   def langId(spark: SparkSession, docs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val langUdf = udf((s: String) => Lang.detect(s))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      langUdf(col(textCol)).as("lang_pred"))
+      graft.functions.lang_of(col(textCol)).as("lang_pred"))
       .orderBy("doc_id")
-  }
 
   /** Document fingerprint: min/max/count over hashed 4-word shingles —
     * a winnowing-style content signature that survives reordering-free

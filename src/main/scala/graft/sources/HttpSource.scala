@@ -32,12 +32,19 @@ object HttpSource {
   val IssueUnknownHost = "unknown_host"
   val IssueIoError     = "io_error"
 
+  /** Body-size cap: a multi-GB response must become an io_error taxonomy
+    * row, never an executor OOM (the "failures are rows" contract).
+    */
+  val MaxBodyBytes: Int = 64 << 20
+
   /** One fetch, following up to `maxRedirects` redirects (the reference
     * relies on OpenURI's redirect following). Pure function of the
-    * injected opener — tests pass loopback URLs.
+    * injected opener — tests pass loopback URLs. Only true redirect codes
+    * (301/302/303/307/308) are followed: 304 Not Modified and other 3xx
+    * have no Location and fall through to the error taxonomy.
     */
   def fetchOne(url: String, maxRedirects: Int = 5,
-      timeoutMs: Int = 10000): Fetched = {
+      timeoutMs: Int = 10000, maxBytes: Int = MaxBodyBytes): Fetched = {
     var cur = url
     var hops = 0
     while (hops <= maxRedirects) {
@@ -54,7 +61,7 @@ object HttpSource {
         conn.setConnectTimeout(timeoutMs)
         conn.setReadTimeout(timeoutMs)
         val code = conn.getResponseCode
-        if (code >= 300 && code < 400) {
+        if (code == 301 || code == 302 || code == 303 || code == 307 || code == 308) {
           val loc = Option(conn.getHeaderField("Location"))
           conn.disconnect()
           loc match {
@@ -65,11 +72,15 @@ object HttpSource {
           }
         } else if (code == 404) {
           return Fetched(url, IssueHttp404, code, "", cur)
-        } else if (code >= 400) {
+        } else if (code >= 300) {
           return Fetched(url, IssueHttpError, code, "", cur)
         } else {
-          val bytes = try conn.getInputStream.readAllBytes()
+          // bounded read: readNBytes(max+1) lets an oversized body be
+          // detected without buffering it all
+          val bytes = try conn.getInputStream.readNBytes(maxBytes + 1)
             finally conn.disconnect()
+          if (bytes.length > maxBytes)
+            return Fetched(url, IssueIoError, code, "", cur)
           return Fetched(url, "ok", code,
             java.util.Base64.getEncoder.encodeToString(bytes), cur)
         }

@@ -33,7 +33,17 @@ object Pipeline {
   final case class Config(
       maxContentLength: Int = -1,
       saltPartitions: Int = 0, // 0 = spark.sql.shuffle.partitions
-      broadcastMedia: Boolean = false)
+      broadcastMedia: Boolean = false,
+      /** Extract only media rows actually referenced by a doc span: a
+        * keys-only semi-join gates the media scan, so a RESUME run (99%
+        * of docs committed, anti-joined away upstream) runs kernels only
+        * on the missing 1%'s media instead of re-extracting everything.
+        * The referenced-keys side is broadcast (doc_id-sized keys; on a
+        * resume it is the small todo set by construction) so payload
+        * bytes still never cross an exchange. Full runs over
+        * fully-referenced corpora pay one extra pruned keys-only scan.
+        */
+      gateMediaByReference: Boolean = true)
 
   /** Full pipeline. `docs(doc_id, spans)`, `media(media_ref, bytes_b64)`. */
   def extract(spark: SparkSession, docs: DataFrame, media: DataFrame,
@@ -97,11 +107,16 @@ object Pipeline {
     // cost is invisible at 2 cores and ~20% of the pass at 8), and
     // deduplicates kernel work when several spans reference one media row.
     // Detection is content-first (D1 re-sniffs), so extraction needs
-    // nothing from the span row. Tradeoff: media rows never referenced by
-    // any doc (e.g. on resume) are extracted wastefully; at warehouse
-    // scale gate with a keys-only semi-join or bucket both tables.
+    // nothing from the span row. Unreferenced media (the resume case) is
+    // gated out by a broadcast semi-join on keys BEFORE payloads are
+    // decoded — see Config.gateMediaByReference.
     val mediaSpans = spanRows(withText = false).filter(col("media_ref").isNotNull)
-    val extractedMedia: Dataset[MediaExtract] = media
+    val gatedMedia =
+      if (cfg.gateMediaByReference)
+        media.join(broadcast(mediaSpans.select(col("media_ref")).distinct()),
+          Seq("media_ref"), "left_semi")
+      else media
+    val extractedMedia: Dataset[MediaExtract] = gatedMedia
       .select(col("media_ref"), unbase64(col("bytes_b64")).as("bytes"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (ref, bytes) =>

@@ -56,6 +56,24 @@ class KernelSpec extends AnyFunSuite {
     assert(Lang.detect("zzz qqq xxx") == "und")
   }
 
+  test("D3: breadth tier — pt/it/nl function words, zh/ja/ko/ar/ru script evidence") {
+    assert(Lang.detect(
+      "A floresta não é uma aldeia, mas foi muito já com ele no inverno.") == "pt")
+    assert(Lang.detect(
+      "Il bosco non è come il villaggio, ma è molto bello per ogni cavallo.") == "it")
+    assert(Lang.detect(
+      "Het paard en de sneeuw zijn niet voor het dorp, maar voor de winter.") == "nl")
+    assert(Lang.detect("森林的雪在冬天很安静我们都喜欢这个村庄") == "zh")
+    assert(Lang.detect("森の雪は冬にとても静かです私たちはこの村が好きです") == "ja")
+    assert(Lang.detect("겨울 숲의 눈은 마을에서 매우 조용하다") == "ko")
+    assert(Lang.detect("الثلج في الغابة هادئ جدا في الشتاء") == "ar")
+    // kana presence separates ja from zh even under kanji dominance
+    assert(Lang.detect("森林村馬雪冬です、これはとても静かです") == "ja")
+    // original 5 remain exact (regression guard against profile collisions)
+    assert(Lang.detect("El bosque y la nieve son de la aldea, sin su caballo.") == "es")
+    assert(Lang.detect("Le cheval et la neige sont dans le bois pour le village.") == "fr")
+  }
+
   // ----------------------------------------------------------------- txt
   test("E1: plain text first line + content type (spec/rika/parser_spec.rb:149-151,225-227)") {
     val out = Extract.extractBytes("txt", fixture("document.txt"), Extract.Options())
@@ -394,15 +412,115 @@ class KernelSpec extends AnyFunSuite {
     assert(out.metadata("xmpDM:album") == "An Album")
   }
 
-  test("E9/E10: plain zip (non-OOXML) still routes to application/zip") {
+  test("E17: plain zip (non-OOXML) routes to the archive kernel, members extracted in entry order") {
     val bos = new java.io.ByteArrayOutputStream()
     val zos = new java.util.zip.ZipOutputStream(bos)
     zos.putNextEntry(new java.util.zip.ZipEntry("some/file.txt"))
-    zos.write("hello".getBytes("UTF-8"))
+    zos.write("hello archive member one".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("other/second.txt"))
+    zos.write("second member text".getBytes("UTF-8"))
     zos.closeEntry(); zos.close()
     assert(Magic.sniff(bos.toByteArray) == Magic.Kind.Zip)
     val out = Extract.extractBytes("zip", bos.toByteArray, Extract.Options())
-    assert(out.contentType == "application/octet-stream")
+    assert(out.contentType == "application/zip")
+    assert(out.content == "hello archive member one\n\nsecond member text")
+    assert(out.metadata("archive:entry-count") == "2")
+    assert(out.metadata("archive:entry-names") == "some/file.txt,other/second.txt")
+  }
+
+  test("E17: nested archive beyond depth 1 degrades to opaque, never recurses") {
+    import graft.corpus.ArchiveWriter
+    val inner = ArchiveWriter.writeZip(Seq(
+      "deep.txt" -> "too deep to see".getBytes("UTF-8")))
+    val outer = ArchiveWriter.writeZip(Seq(
+      "visible.txt" -> "outer text".getBytes("UTF-8"),
+      "nested.zip" -> inner))
+    val out = Extract.extractBytes("zip", outer, Extract.Options())
+    assert(out.content == "outer text") // nested zip contributes nothing
+    assert(out.metadata("archive:entry-count") == "2")
+  }
+
+  test("E18: tar.gz opens through the gzip wrapper (gzip costs no depth level)") {
+    import graft.corpus.ArchiveWriter
+    val bytes = ArchiveWriter.writeTarGz(Seq(
+      "a.txt" -> "first tar member".getBytes("UTF-8"),
+      "b/c.txt" -> "second tar member".getBytes("UTF-8")))
+    assert(Magic.sniff(bytes) == Magic.Kind.Gzip)
+    val out = Extract.extractBytes("tgz", bytes, Extract.Options())
+    assert(out.contentType == "application/gzip")
+    assert(out.content == "first tar member\n\nsecond tar member")
+  }
+
+  test("E18: bare tar routes directly") {
+    import graft.corpus.ArchiveWriter
+    val bytes = ArchiveWriter.writeTar(Seq("x.txt" -> "tar body".getBytes("UTF-8")))
+    assert(Magic.sniff(bytes) == Magic.Kind.Tar)
+    val out = Extract.extractBytes("tar", bytes, Extract.Options())
+    assert(out.contentType == "application/x-tar")
+    assert(out.content == "tar body")
+  }
+
+  test("E19: .eml headers -> metadata, 8bit body (both byte and string paths)") {
+    import graft.corpus.EmlWriter
+    val spec = EmlWriter.Spec("Quarterly Report", "alice@example.org",
+      "docs@example.org", Vector("First paragraph of the mail.",
+        "Second paragraph follows."), mode = 0)
+    val bytes = EmlWriter.write(spec)
+    assert(Magic.sniff(bytes) == Magic.Kind.Eml)
+    val out = Extract.extractBytes("eml", bytes, Extract.Options())
+    assert(out.contentType == "message/rfc822")
+    assert(out.metadata("dc:title") == "Quarterly Report")
+    assert(out.metadata("dc:creator") == "alice@example.org")
+    assert(out.metadata("Message-To") == "docs@example.org")
+    assert(out.content == EmlWriter.expectedText(spec))
+    // inline string path (extractText)
+    val inline = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val out2 = Extract.extractText("txt", inline, Extract.Options())
+    assert(out2.contentType == "message/rfc822")
+    assert(out2.content == EmlWriter.expectedText(spec))
+  }
+
+  test("E19: .eml base64 / quoted-printable / multipart bodies decode") {
+    import graft.corpus.EmlWriter
+    for (mode <- 1 to 3) {
+      val spec = EmlWriter.Spec("Sübjéct läng", "bob@example.org", "x@example.org",
+        Vector("Björn käufte zwölf Äpfel.", "Ésta línea está en español."), mode)
+      val out = Extract.extractBytes("eml", EmlWriter.write(spec), Extract.Options())
+      assert(out.content == EmlWriter.expectedText(spec), s"mode $mode")
+    }
+  }
+
+  test("E12/E13: RTF and ODT carry word/page count metadata") {
+    import graft.corpus.{OdtWriter, RtfWriter}
+    val rtf = Extract.extractBytes("rtf", RtfWriter.write(RtfWriter.Spec(
+      "T", "A", Vector("one two three", "four five"))), Extract.Options())
+    assert(rtf.metadata("meta:word-count") == "5")
+    assert(rtf.metadata("meta:page-count") == "1")
+    val odt = Extract.extractBytes("odt", OdtWriter.write(OdtWriter.Spec(
+      "T", "A", Vector("alpha beta", "gamma"))), Extract.Options())
+    assert(odt.metadata("meta:word-count") == "3")
+    assert(odt.metadata("meta:page-count") == "1")
+  }
+
+  test("D1: text subtyping by content hints (CSV/TSV/Markdown/XML/Python)") {
+    def ct(s: String): String =
+      Extract.extractText("txt", s, Extract.Options()).contentType
+    assert(ct("col_a,col_b\n1,two\n3,four") == "text/csv; charset=UTF-8")
+    assert(ct("a\tb\tc\n1\t2\t3\n4\t5\t6") == "text/tab-separated-values; charset=UTF-8")
+    assert(ct("# Title\n\nSome prose here.\n\n- item one\n- item two\n")
+      == "text/x-web-markdown; charset=UTF-8")
+    assert(ct("#!/usr/bin/env python\nimport sys\nprint(1)")
+      == "text/x-python; charset=UTF-8")
+    // plain prose stays text/plain (no false positives)
+    assert(ct("Just an ordinary paragraph, with one comma.\nAnd a second line here.")
+      == "text/plain; charset=UTF-8")
+    // XML extracts leaf text content
+    val xml = Extract.extractText("txt",
+      "<?xml version=\"1.0\"?>\n<r>\n  <a>Alpha</a>\n  <b>Beta</b>\n</r>",
+      Extract.Options())
+    assert(xml.contentType == "application/xml; charset=UTF-8")
+    assert(xml.content == "Alpha\nBeta")
   }
 
   test("E7: unknown bytes -> empty content + octet-stream (spec/rika/parser_spec.rb:186-188,236-238)") {

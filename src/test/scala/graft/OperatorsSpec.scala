@@ -174,6 +174,26 @@ class OperatorsSpec extends AnyFunSuite {
     out.values.foreach(rep => assert(out.getOrElse(rep, rep) == rep))
   }
 
+  test("dupClustersFixpoint: diameter-5 chain fully converges (fixed K=3 cannot)") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    // the K=3 limitation is real: the chain's far end has not reached 1
+    val fixed = Curation.dupClusters(pairs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed(6L) != 1L, "if K=3 converges on a diameter-5 chain the test graph is wrong")
+    // the fixpoint mode converges for any diameter
+    val fp = Curation.dupClustersFixpoint(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 6L).foreach(i => assert(fp(i) == 1L, s"node $i -> ${fp(i)}"))
+    // and agrees with the K=3 variant on a clique (diameter 1)
+    val clique = Seq((10L, 11L), (10L, 12L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val a = Curation.dupClusters(clique, 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Curation.dupClustersFixpoint(clique).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("text_quality fields are consistent") {
     val out = SparkEntry.queries("text_quality")(spark, sf).collect()
     assert(out.nonEmpty)

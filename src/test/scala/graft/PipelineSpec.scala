@@ -118,6 +118,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.select("run_id").distinct().count() >= 2)
   }
 
+  test("resume semi-join gate: phase 2 extracts ONLY the missing docs' media") {
+    val outDir = freshOut()
+    val docs = Gen.readDocs(spark, corpusDir)
+    val media = Gen.readMedia(spark, corpusDir)
+    val half = docs.filter(abs(hash(col("doc_id"))) % 2 === 0)
+    Runner.run(spark, half, media, outDir, "run-1")
+
+    // media referenced by the docs NOT yet committed = what phase 2 may extract
+    val rest = docs.join(half.select("doc_id"), Seq("doc_id"), "left_anti")
+    val expected = rest
+      .select(explode(col("spans.media_ref")).as("r")).filter(col("r").isNotNull)
+      .select("r").distinct().count()
+    val totalMedia = media.count()
+    assert(expected < totalMedia, "test needs a proper split")
+
+    graft.kernel.Extract.mediaCalls.set(0L)
+    Runner.run(spark, docs, media, outDir, "run-2")
+    val calls = graft.kernel.Extract.mediaCalls.get()
+    assert(calls == expected,
+      s"gate leak: $calls kernel invocations for $expected referenced media ($totalMedia total)")
+
+    // span equality unchanged: the combined table matches the goldens
+    val all = IcebergLite.readAll(spark, Runner.extractedDir(outDir)).get
+    val diff = spanFingerprints(all).as("a")
+      .join(spanFingerprints(Gen.readGolden(spark, corpusDir)).as("b"), Seq("doc_id"), "full_outer")
+      .filter(col("a.fp").isNull || col("b.fp").isNull || col("a.fp") =!= col("b.fp")).count()
+    assert(diff == 0)
+  }
+
   test("missing media_ref -> io_error row (both join strategies)") {
     import spark.implicits._
     val docs = Seq(

@@ -44,7 +44,8 @@ object PropertySpec extends Properties("graft.kernel") {
     }
 
   property("language detector totality") = forAll { (s: String) =>
-    Set("en", "de", "fr", "es", "ru", "und").contains(Lang.detect(s))
+    Set("en", "de", "fr", "es", "ru", "pt", "it", "nl", "zh", "ja", "ko", "ar",
+      "und").contains(Lang.detect(s))
   }
 
   property("metadata key sort idempotent + case-insensitive") =

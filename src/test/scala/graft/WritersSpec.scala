@@ -16,7 +16,7 @@ class WritersSpec extends AnyFunSuite {
   test("PdfWriter -> PdfKernel round-trip (glyph remap, kerns, stanza gaps)") {
     for (seed <- 0 until 30) {
       val rng = new SplittableRandom(seed)
-      val lang = TextGen.languages(seed % 5)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
       val stanzas = Vector(Vector(TextGen.titleLine(rng, lang))) ++
         Vector.tabulate(2 + rng.nextInt(4))(_ => TextGen.stanza(rng, lang, 3 + rng.nextInt(3)))
       val spec = PdfWriter.Spec(stanzas.head.head, "Author X", stanzas,
@@ -32,7 +32,7 @@ class WritersSpec extends AnyFunSuite {
   test("DocxWriter -> DocxKernel round-trip") {
     for (seed <- 0 until 20) {
       val rng = new SplittableRandom(seed)
-      val lang = TextGen.languages(seed % 5)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
       val spec = DocxWriter.Spec(
         TextGen.titleLine(rng, lang), "Creator Y",
         Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))),
@@ -75,7 +75,7 @@ class WritersSpec extends AnyFunSuite {
   test("HtmlWriter -> HtmlKernel round-trip (boilerplate dropped exactly)") {
     for (seed <- 0 until 20) {
       val rng = new SplittableRandom(seed)
-      val lang = TextGen.languages(seed % 5)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
       val spec = HtmlWriter.Spec(
         TextGen.titleLine(rng, lang), TextGen.titleLine(rng, lang),
         Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.paragraph(rng, lang, 2 + rng.nextInt(2))))
@@ -89,7 +89,7 @@ class WritersSpec extends AnyFunSuite {
   test("XlsxWriter -> XlsxKernel round-trip (30 seeds, all languages)") {
     for (seed <- 0 until 30) {
       val rng = new SplittableRandom(seed)
-      val lang = TextGen.languages(seed % 5)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
       val rows = Vector.tabulate(1 + rng.nextInt(8)) { r =>
         Vector.tabulate(1 + rng.nextInt(5)) { c =>
           if ((r + c) % 3 == 2) String.valueOf(rng.nextInt(100000))
@@ -106,7 +106,7 @@ class WritersSpec extends AnyFunSuite {
   test("PptxWriter -> PptxKernel round-trip (30 seeds, all languages)") {
     for (seed <- 0 until 30) {
       val rng = new SplittableRandom(seed)
-      val lang = TextGen.languages(seed % 5)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
       val slides = Vector.tabulate(1 + rng.nextInt(5)) { _ =>
         Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.titleLine(rng, lang))
       }
@@ -119,7 +119,7 @@ class WritersSpec extends AnyFunSuite {
   test("RtfWriter -> RtfKernel round-trip (30 seeds, all languages)") {
     for (seed <- 0 until 30) {
       val rng = new SplittableRandom(seed)
-      val lang = TextGen.languages(seed % 5)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
       val spec = RtfWriter.Spec(TextGen.titleLine(rng, lang), "A",
         Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))))
       val out = Extract.extractBytes("rtf", RtfWriter.write(spec), opts)
@@ -132,7 +132,7 @@ class WritersSpec extends AnyFunSuite {
   test("OdtWriter -> OdtKernel round-trip (30 seeds, all languages)") {
     for (seed <- 0 until 30) {
       val rng = new SplittableRandom(seed)
-      val lang = TextGen.languages(seed % 5)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
       val spec = OdtWriter.Spec(TextGen.titleLine(rng, lang), "A",
         Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))))
       val out = Extract.extractBytes("odt", OdtWriter.write(spec), opts)
@@ -144,7 +144,7 @@ class WritersSpec extends AnyFunSuite {
   test("EpubWriter -> EpubKernel round-trip (20 seeds, all languages)") {
     for (seed <- 0 until 20) {
       val rng = new SplittableRandom(seed)
-      val lang = TextGen.languages(seed % 5)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
       val spec = EpubWriter.Spec(TextGen.titleLine(rng, lang), "A",
         Vector.tabulate(1 + rng.nextInt(4)) { _ =>
           Vector.tabulate(1 + rng.nextInt(3))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(2)))
@@ -164,6 +164,79 @@ class WritersSpec extends AnyFunSuite {
       val out = Extract.extractBytes("doc", CfbWriter.writeComplex(text), opts)
       assert(out.contentType == "application/msword", s"seed $seed")
       assert(out.content == text, s"seed $seed lang $lang")
+    }
+  }
+
+  test("EpubWriter reverseNames -> EpubKernel reads OPF spine order, not path order") {
+    for (seed <- 0 until 12) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
+      val spec = EpubWriter.Spec(TextGen.titleLine(rng, lang), "A",
+        Vector.tabulate(3 + rng.nextInt(3)) { i =>
+          Vector(s"chapter $i marker", TextGen.paragraph(rng, lang, 1))
+        },
+        reverseNames = true)
+      val out = Extract.extractBytes("epub", EpubWriter.write(spec), opts)
+      assert(out.content == EpubWriter.expectedText(spec),
+        s"seed $seed: spine order not honored\nGOT:\n${out.content}")
+    }
+  }
+
+  test("EmlWriter -> EmlKernel round-trip (all modes x languages)") {
+    import graft.corpus.EmlWriter
+    for (seed <- 0 until 24) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
+      val spec = EmlWriter.Spec(TextGen.titleLine(rng, "en"), "a@example.org",
+        "b@example.org",
+        Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))),
+        mode = seed % 4)
+      val out = Extract.extractBytes("eml", EmlWriter.write(spec), opts)
+      assert(out.contentType == "message/rfc822", s"seed $seed")
+      assert(out.content == EmlWriter.expectedText(spec), s"seed $seed mode ${seed % 4} lang $lang")
+      assert(out.metadata("dc:title") == spec.subject, s"seed $seed")
+      // inline string path must agree
+      val inline = Extract.extractText("txt",
+        new String(EmlWriter.write(spec), java.nio.charset.StandardCharsets.UTF_8), opts)
+      assert(inline.content == out.content, s"seed $seed inline/bytes divergence")
+    }
+  }
+
+  test("ArchiveWriter zip/tar/tar.gz -> ArchiveKernel round-trip") {
+    import graft.corpus.ArchiveWriter
+    for (seed <- 0 until 15) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
+      val members = Vector.tabulate(1 + rng.nextInt(4)) { m =>
+        val t = TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))
+        (s"m$m.txt", t.getBytes("UTF-8"), t)
+      }
+      val expected = members.map(_._3).mkString("\n\n")
+      val pairs = members.map(m => (m._1, m._2))
+      for ((bytes, ct) <- Seq(
+          (ArchiveWriter.writeZip(pairs), "application/zip"),
+          (ArchiveWriter.writeTar(pairs), "application/x-tar"),
+          (ArchiveWriter.writeTarGz(pairs), "application/gzip"))) {
+        val out = Extract.extractBytes("arc", bytes, opts)
+        assert(out.contentType == ct, s"seed $seed $ct")
+        assert(out.content == expected, s"seed $seed $ct lang $lang")
+      }
+    }
+  }
+
+  test("SubtextGen subtype content round-trips with the declared type") {
+    import graft.corpus.SubtextGen
+    for (seed <- 0 until 30) {
+      val rng = new SplittableRandom(seed)
+      val lang = Vector("en", "de", "fr", "es")(seed % 4)
+      val p = SubtextGen.build(rng, lang)
+      val out = Extract.extractText("txt", p.content, opts)
+      assert(out.contentType.startsWith(p.subtype), s"seed $seed: ${out.contentType} != ${p.subtype}")
+      assert(out.content == p.expected, s"seed $seed ${p.subtype}")
+      // media-bytes path agrees
+      val out2 = Extract.extractBytes("bin", p.content.getBytes("UTF-8"), opts)
+      assert(out2.contentType.startsWith(p.subtype), s"seed $seed bytes path")
+      assert(out2.content == p.expected, s"seed $seed bytes path")
     }
   }
 
