@@ -301,6 +301,63 @@ object CfbWriter {
   /** Minimal OLE SummaryInformation property set: VT_LPSTR title (pid 2)
     * and author (pid 4).
     */
+  /** Generic CFB container of named top-level streams, all in the regular
+    * FAT (header miniCutoff = 0, so readers never consult a MiniFAT).
+    * Used by MsgWriter; the .doc writers keep their specialized layouts.
+    */
+  def buildStreams(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val sectorSize = 512
+    val spans = streams.map { case (_, d) => math.max(1, (d.length + sectorSize - 1) / sectorSize) }
+    val starts = spans.scanLeft(0)(_ + _)
+    val dataSectors = starts.last
+    val nEntries = streams.size + 1
+    val dirSectors = math.max(1, (nEntries * 128 + sectorSize - 1) / sectorSize)
+    val dirStart = dataSectors
+    val fatStart = dirStart + dirSectors
+    var fatSectors = 1
+    while ((fatStart + fatSectors) * 4 > fatSectors * sectorSize) fatSectors += 1
+    val nSectors = fatStart + fatSectors
+    val body = new Array[Byte](nSectors * sectorSize)
+    val fatOff = fatStart * sectorSize
+    java.util.Arrays.fill(body, fatOff, nSectors * sectorSize, 0xff.toByte)
+    streams.zipWithIndex.foreach { case ((_, data), i) =>
+      val s0 = starts(i)
+      System.arraycopy(data, 0, body, s0 * sectorSize, data.length)
+      var s = s0
+      while (s < s0 + spans(i) - 1) { putU32(body, fatOff + s * 4, s + 1); s += 1 }
+      putU32Signed(body, fatOff + (s0 + spans(i) - 1) * 4, 0xfffffffeL)
+    }
+    var d = dirStart
+    while (d < fatStart - 1) { putU32(body, fatOff + d * 4, d + 1); d += 1 }
+    putU32Signed(body, fatOff + (fatStart - 1) * 4, 0xfffffffeL)
+    for (k <- 0 until fatSectors)
+      putU32Signed(body, fatOff + (fatStart + k) * 4, 0xfffffffdL)
+    val dirOff = dirStart * sectorSize
+    writeDirEntry(body, dirOff, "Root Entry", 5, 0xfffffffeL, 0)
+    streams.zipWithIndex.foreach { case ((name, data), i) =>
+      writeDirEntry(body, dirOff + (i + 1) * 128, name, 2, starts(i), data.length)
+    }
+    val header = new Array[Byte](512)
+    val sig = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+    sig.zipWithIndex.foreach { case (b, k) => header(k) = b.toByte }
+    header(24) = 0x3e; header(26) = 0x03
+    header(28) = 0xfe.toByte; header(29) = 0xff.toByte
+    header(30) = 9; header(32) = 6
+    putU32(header, 44, fatSectors)
+    putU32(header, 48, dirStart)
+    putU32(header, 56, 0) // mini cutoff 0: everything via the regular FAT
+    putU32Signed(header, 60, 0xfffffffeL)
+    putU32Signed(header, 68, 0xfffffffeL)
+    var k = 0
+    while (k < 109) { putU32Signed(header, 76 + k * 4, 0xffffffffL); k += 1 }
+    for (f <- 0 until math.min(fatSectors, 109))
+      putU32(header, 76 + f * 4, fatStart + f)
+    val out = new ByteArrayOutputStream()
+    out.write(header)
+    out.write(body)
+    out.toByteArray
+  }
+
   private def summaryInfo(title: Option[String], author: Option[String]): Array[Byte] = {
     val props = Seq(2L -> title, 4L -> author).collect { case (pid, Some(v)) => pid -> v }
     val secBase = 48 // header(28) + fmtid(16) + offset(4)

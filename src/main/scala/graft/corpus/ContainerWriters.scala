@@ -87,6 +87,30 @@ object EmlWriter {
   }
 }
 
+/** Outlook .msg: MAPI property streams in a CFB container (the kernel's
+  * PR_SUBJECT/PR_SENDER_NAME/PR_DISPLAY_TO/PR_BODY mapping, UTF-16LE).
+  */
+object MsgWriter {
+
+  final case class Spec(subject: String, sender: String, to: String,
+      bodyParagraphs: Vector[String])
+
+  def expectedText(spec: Spec): String =
+    spec.bodyParagraphs.mkString("", "\n\n", "\n")
+
+  def write(spec: Spec): Array[Byte] = {
+    def utf16(s: String): Array[Byte] =
+      s.getBytes(StandardCharsets.UTF_16LE)
+    val body = spec.bodyParagraphs.mkString("", "\r\n\r\n", "\r\n")
+    CfbWriter.buildStreams(Seq(
+      "__substg1.0_0037001F" -> utf16(spec.subject),
+      "__substg1.0_0C1A001F" -> utf16(spec.sender),
+      "__substg1.0_0E04001F" -> utf16(spec.to),
+      "__substg1.0_1000001F" -> utf16(body),
+      "__properties_version1.0" -> new Array[Byte](32)))
+  }
+}
+
 object ArchiveWriter {
 
   /** Zip of binary members via ZipOutputStream — DELIBERATELY the

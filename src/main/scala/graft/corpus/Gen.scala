@@ -60,7 +60,8 @@ object Gen {
       else if (roll < 84) Vector(emlPiece(rng, lang, docId, 0))
       else if (roll < 85) Vector(zipPiece(rng, lang, docId, 0))
       else if (roll < 86) Vector(targzPiece(rng, lang, docId, 0))
-      else if (roll < 88) Vector(subtextPiece(rng, lang, docId, 0))
+      else if (roll < 87) Vector(subtextPiece(rng, lang, docId, 0))
+      else if (roll < 88) Vector(msgPiece(rng, lang, docId, 0))
       else if (roll < 89) Vector(binPiece(rng, docId, 0))
       else if (roll < 90) Vector(emptyPiece(rng, docId, 0))
       else { // interleaved multi-span doc
@@ -310,6 +311,21 @@ object Gen {
     }
   }
 
+  private def msgPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val user = TextGen.titleLine(rng, "en").split(" ")(0).toLowerCase
+    val spec = MsgWriter.Spec(
+      subject = TextGen.titleLine(rng, lang),
+      sender = s"$user@example.org",
+      to = "docs@example.org",
+      bodyParagraphs = Vector.tabulate(1 + rng.nextInt(4))(_ =>
+        TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))))
+    val bytes = MsgWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("msg", Span("msg", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(MsgWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
   /** Zip bundle of txt/html members — the reference's container breadth
     * (Tika parses archives and their embedded documents). Member text
     * concatenates in entry order.
@@ -321,9 +337,12 @@ object Gen {
         val text = TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))
         (s"member$m.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8), text)
       } else {
+        // paragraphs must be main-content-sized (>= 2 sentences): the
+        // HtmlWriter.expectedBlocks contract assumes the boilerplate
+        // classifier keeps them, which 1-sentence paragraphs don't satisfy
         val spec = HtmlWriter.Spec(TextGen.titleLine(rng, lang),
           TextGen.titleLine(rng, lang),
-          Vector.tabulate(1 + rng.nextInt(3))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(2))))
+          Vector.tabulate(1 + rng.nextInt(3))(_ => TextGen.paragraph(rng, lang, 2 + rng.nextInt(3))))
         (s"member$m.html",
           HtmlWriter.write(spec, rng).getBytes(java.nio.charset.StandardCharsets.UTF_8),
           HtmlWriter.expectedBlocks(spec).mkString("\n\n"))

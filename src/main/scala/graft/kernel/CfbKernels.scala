@@ -1,0 +1,177 @@
+package graft.kernel
+
+/** Shared CFB/OLE2 container reader: header, FAT (from the header DIFAT),
+  * sector chains with cycle + amplification bounds, directory entries,
+  * and the MiniFAT/mini-stream for small objects. Extracted from the
+  * round-2 DocKernel so .doc (Word) and .msg (Outlook) share one walker.
+  *
+  * Names are a FLAT map over all directory entries (first entry wins,
+  * property-set control-char prefixes stripped) — nested storages are not
+  * modeled; the top-level streams both kernels need are unambiguous in
+  * practice, and a collision degrades to best-effort text, never a throw.
+  */
+private[kernel] object Cfb {
+
+  private val FreeSect = 0xffffffffL
+  private val EndChain = 0xfffffffeL
+
+  def parse(bytes: Array[Byte]): Option[Reader] = {
+    if (bytes.length < 512) return None
+    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    if ((bytes(0) & 0xff) != 0xd0 || (bytes(1) & 0xff) != 0xcf ||
+        (bytes(2) & 0xff) != 0x11 || (bytes(3) & 0xff) != 0xe0) return None
+    val sectorSize = 1 << u16(30)
+    if (sectorSize < 128 || sectorSize > 4096) return None
+    Some(new Reader(bytes, sectorSize, 1 << u16(32)))
+  }
+
+  final class Reader(bytes: Array[Byte], sectorSize: Int, miniSectorSize: Int) {
+
+    private def u32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+
+    private val firstDirSector = u32(48)
+    private val miniCutoff = u32(56)
+    private val firstMiniFat = u32(60)
+
+    // FAT from the header DIFAT (109 entries — covers files < ~6.8 MB at
+    // 512B sectors; larger CFBs chain extra DIFAT sectors).
+    private val fat: Array[Long] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      var ok = true
+      while (i < 109 && ok) {
+        val s = u32(76 + i * 4)
+        if (s == FreeSect) ok = false
+        else {
+          val off = 512 + s.toInt * sectorSize
+          if (off + sectorSize <= bytes.length)
+            out.write(bytes, off, sectorSize)
+          i += 1
+        }
+      }
+      val b = out.toByteArray
+      Array.tabulate(b.length / 4) { k =>
+        (b(4 * k) & 0xffL) | ((b(4 * k + 1) & 0xffL) << 8) |
+          ((b(4 * k + 2) & 0xffL) << 16) | ((b(4 * k + 3) & 0xffL) << 24)
+      }
+    }
+
+    // A valid (acyclic) chain can never emit more bytes than the file
+    // holds, so cap output by the input size: a crafted FAT cycle would
+    // otherwise amplify a tiny CFB up to maxSectors * sectorSize (~4 GiB).
+    // The visited bitmap stops the cycle itself.
+    private def chain(start: Long, maxSectors: Int = 1 << 20): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val visited = new java.util.BitSet(fat.length)
+      var s = start
+      var n = 0
+      while (s != EndChain && s != FreeSect && s >= 0 && s < fat.length &&
+          n < maxSectors && out.size() <= bytes.length && !visited.get(s.toInt)) {
+        visited.set(s.toInt)
+        val off = 512 + s.toInt * sectorSize
+        if (off + sectorSize <= bytes.length) out.write(bytes, off, sectorSize)
+        s = fat(s.toInt)
+        n += 1
+      }
+      out.toByteArray
+    }
+
+    // Directory entries: 128 bytes each, UTF-16LE names.
+    private val (entries, rootStart) = {
+      val dir = chain(firstDirSector)
+      var es = Map.empty[String, (Long, Long)]
+      var root = -1L
+      var i = 0
+      while (i * 128 + 128 <= dir.length) {
+        val e = i * 128
+        val nameLen = (dir(e + 64) & 0xff) | ((dir(e + 65) & 0xff) << 8)
+        if (nameLen >= 2 && nameLen <= 64) {
+          val name = new String(dir, e, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+          val start = (dir(e + 116) & 0xffL) | ((dir(e + 117) & 0xffL) << 8) |
+            ((dir(e + 118) & 0xffL) << 16) | ((dir(e + 119) & 0xffL) << 24)
+          val size = (dir(e + 120) & 0xffL) | ((dir(e + 121) & 0xffL) << 8) |
+            ((dir(e + 122) & 0xffL) << 16) | ((dir(e + 123) & 0xffL) << 24)
+          if ((dir(e + 66) & 0xff) == 5) root = start
+          // property-set stream names carry a leading control char
+          // ("\x05SummaryInformation") — strip for lookup
+          else if (!es.contains(name.dropWhile(_ < ' ')))
+            es += (name.dropWhile(_ < ' ') -> (start, size))
+        }
+        i += 1
+      }
+      (es, root)
+    }
+
+    // Mini stream: objects smaller than miniCutoff live in 64-byte mini
+    // sectors inside the root entry's own chain, addressed by the MiniFAT.
+    private lazy val miniStream: Array[Byte] =
+      if (rootStart < 0) Array.emptyByteArray else chain(rootStart)
+    private lazy val miniFat: Array[Long] = {
+      val b = chain(firstMiniFat)
+      Array.tabulate(b.length / 4) { k =>
+        (b(4 * k) & 0xffL) | ((b(4 * k + 1) & 0xffL) << 8) |
+          ((b(4 * k + 2) & 0xffL) << 16) | ((b(4 * k + 3) & 0xffL) << 24)
+      }
+    }
+    private def miniChain(start: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val visited = new java.util.BitSet(miniFat.length)
+      var s = start
+      while (s != EndChain && s != FreeSect && s >= 0 && s < miniFat.length &&
+          out.size() <= bytes.length && !visited.get(s.toInt)) {
+        visited.set(s.toInt)
+        val off = s.toInt * miniSectorSize
+        if (off + miniSectorSize <= miniStream.length)
+          out.write(miniStream, off, miniSectorSize)
+        s = miniFat(s.toInt)
+      }
+      out.toByteArray
+    }
+
+    def streamNames: Iterable[String] = entries.keys
+
+    def stream(name: String): Option[Array[Byte]] =
+      entries.get(name).map { case (start, size) =>
+        val raw = if (size < miniCutoff) miniChain(start) else chain(start)
+        if (size >= 0 && size <= raw.length) java.util.Arrays.copyOf(raw, size.toInt)
+        else raw
+      }
+  }
+}
+
+/** Outlook .msg (MAPI-over-CFB): top-level property streams
+  * `__substg1.0_TTTTEEEE` where TTTT is the property tag and EEEE the
+  * type (001F = UTF-16LE string, 001E = ANSI). Subject/sender/recipient
+  * map to the same dc:/Message-* keys the .eml kernel emits; the body is
+  * PR_BODY (1000).
+  */
+object MsgKernel {
+
+  final case class Result(text: String, metadata: Map[String, String])
+
+  def isMsg(c: Cfb.Reader): Boolean =
+    c.streamNames.exists(_.startsWith("__substg1.0_"))
+
+  def extract(c: Cfb.Reader): Result = {
+    def raw(tag: String): Option[String] =
+      c.stream(s"__substg1.0_${tag}001F")
+        .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_16LE))
+        .orElse(c.stream(s"__substg1.0_${tag}001E")
+          .map(b => new String(b, java.nio.charset.Charset.forName("windows-1252"))))
+        .map(_.takeWhile(_ != 0.toChar))
+    // headers trim; the body keeps its own line structure
+    def prop(tag: String): Option[String] = raw(tag).map(_.trim).filter(_.nonEmpty)
+
+    var meta = Map.empty[String, String]
+    prop("0037").foreach(v => meta += ("dc:title" -> v))           // PR_SUBJECT
+    prop("0C1A").foreach { v =>                                    // PR_SENDER_NAME
+      meta += ("dc:creator" -> v); meta += ("Message-From" -> v)
+    }
+    prop("0E04").foreach(v => meta += ("Message-To" -> v))         // PR_DISPLAY_TO
+    prop("0E03").foreach(v => meta += ("Message-Cc" -> v))         // PR_DISPLAY_CC
+    val body = raw("1000").getOrElse("")                           // PR_BODY
+    Result(body.replace("\r\n", "\n").replace('\r', '\n'), meta)
+  }
+}

@@ -14,135 +14,32 @@ object DocKernel {
   final case class Result(text: String, isWord: Boolean,
       metadata: Map[String, String] = Map.empty)
 
-  private val FreeSect = 0xffffffffL
-  private val EndChain = 0xfffffffeL
-  private val MaxTextChars = 64 << 20
+  private[kernel] val MaxTextChars = 64 << 20
 
-  def extract(bytes: Array[Byte]): Result = {
-    if (bytes.length < 512) return Result("", isWord = false)
-    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-    def u32(p: Int): Long =
-      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
-        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
-
-    val sectorSize = 1 << u16(30)
-    if (sectorSize < 128 || sectorSize > 4096) return Result("", isWord = false)
-    val miniSectorSize = 1 << u16(32)
-    val firstDirSector = u32(48)
-    val miniCutoff = u32(56)
-    val firstMiniFat = u32(60)
-
-    // FAT from the header DIFAT (109 entries — covers files < ~6.8 MB at
-    // 512B sectors; larger CFBs chain extra DIFAT sectors).
-    val fat = {
-      val out = new java.io.ByteArrayOutputStream()
-      var i = 0
-      var ok = true
-      while (i < 109 && ok) {
-        val s = u32(76 + i * 4)
-        if (s == FreeSect) ok = false
-        else {
-          val off = 512 + s.toInt * sectorSize
-          if (off + sectorSize <= bytes.length)
-            out.write(bytes, off, sectorSize)
-          i += 1
-        }
-      }
-      val b = out.toByteArray
-      Array.tabulate(b.length / 4) { k =>
-        (b(4 * k) & 0xffL) | ((b(4 * k + 1) & 0xffL) << 8) |
-          ((b(4 * k + 2) & 0xffL) << 16) | ((b(4 * k + 3) & 0xffL) << 24)
-      }
+  def extract(bytes: Array[Byte]): Result =
+    Cfb.parse(bytes) match {
+      case None    => Result("", isWord = false)
+      case Some(c) => extractFrom(c)
     }
 
-    // A valid (acyclic) chain can never emit more bytes than the file
-    // holds, so cap output by the input size: a crafted FAT cycle would
-    // otherwise amplify a tiny CFB up to maxSectors * sectorSize (~4 GiB).
-    // The visited bitmap stops the cycle itself.
-    def chain(start: Long, maxSectors: Int = 1 << 20): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      val visited = new java.util.BitSet(fat.length)
-      var s = start
-      var n = 0
-      while (s != EndChain && s != FreeSect && s >= 0 && s < fat.length &&
-          n < maxSectors && out.size() <= bytes.length && !visited.get(s.toInt)) {
-        visited.set(s.toInt)
-        val off = 512 + s.toInt * sectorSize
-        if (off + sectorSize <= bytes.length) out.write(bytes, off, sectorSize)
-        s = fat(s.toInt)
-        n += 1
-      }
-      out.toByteArray
-    }
-
-    // Directory entries: 128 bytes each, UTF-16LE names.
-    val dir = chain(firstDirSector)
-    final case class Entry(start: Long, size: Long)
-    var entries = Map.empty[String, Entry]
-    var rootStart = -1L
-    var rootSize = -1L
-    var i = 0
-    while (i * 128 + 128 <= dir.length) {
-      val e = i * 128
-      val nameLen = (dir(e + 64) & 0xff) | ((dir(e + 65) & 0xff) << 8)
-      if (nameLen >= 2 && nameLen <= 64) {
-        val name = new String(dir, e, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
-        val start = (dir(e + 116) & 0xffL) | ((dir(e + 117) & 0xffL) << 8) |
-          ((dir(e + 118) & 0xffL) << 16) | ((dir(e + 119) & 0xffL) << 24)
-        val size = (dir(e + 120) & 0xffL) | ((dir(e + 121) & 0xffL) << 8) |
-          ((dir(e + 122) & 0xffL) << 16) | ((dir(e + 123) & 0xffL) << 24)
-        if ((dir(e + 66) & 0xff) == 5) { rootStart = start; rootSize = size }
-        // property-set stream names carry a leading control char
-        // ("\x05SummaryInformation") — strip for lookup
-        else entries += (name.dropWhile(_ < ' ') -> Entry(start, size))
-      }
-      i += 1
-    }
-
-    // Mini stream: objects smaller than miniCutoff live in 64-byte mini
-    // sectors inside the root entry's own chain, addressed by the MiniFAT.
-    lazy val miniStream: Array[Byte] =
-      if (rootStart < 0) Array.emptyByteArray else chain(rootStart)
-    lazy val miniFat: Array[Long] = {
-      val b = chain(firstMiniFat)
-      Array.tabulate(b.length / 4) { k =>
-        (b(4 * k) & 0xffL) | ((b(4 * k + 1) & 0xffL) << 8) |
-          ((b(4 * k + 2) & 0xffL) << 16) | ((b(4 * k + 3) & 0xffL) << 24)
-      }
-    }
-    def miniChain(start: Long): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      val visited = new java.util.BitSet(miniFat.length)
-      var s = start
-      while (s != EndChain && s != FreeSect && s >= 0 && s < miniFat.length &&
-          out.size() <= bytes.length && !visited.get(s.toInt)) {
-        visited.set(s.toInt)
-        val off = s.toInt * miniSectorSize
-        if (off + miniSectorSize <= miniStream.length)
-          out.write(miniStream, off, miniSectorSize)
-        s = miniFat(s.toInt)
-      }
-      out.toByteArray
-    }
-
-    def readStream(name: String): Option[Array[Byte]] =
-      entries.get(name).map { e =>
-        val raw = if (e.size < miniCutoff) miniChain(e.start) else chain(e.start)
-        if (e.size >= 0 && e.size <= raw.length) java.util.Arrays.copyOf(raw, e.size.toInt)
-        else raw
-      }
-
-    readStream("WordDocument") match {
+  /** Word extraction over an already-parsed CFB (shared with the .msg
+    * dispatch in Extract, which parses the container once).
+    */
+  def extractFrom(c: Cfb.Reader): Result = {
+    c.stream("WordDocument") match {
       case None => Result("", isWord = false)
       case Some(wd) =>
         val table =
-          if (fibFlag(wd, 0x0200)) readStream("1Table").orElse(readStream("0Table"))
-          else readStream("0Table").orElse(readStream("1Table"))
-        val meta = readStream("SummaryInformation")
+          if (fibFlag(wd, 0x0200)) c.stream("1Table").orElse(c.stream("0Table"))
+          else c.stream("0Table").orElse(c.stream("1Table"))
+        val meta = c.stream("SummaryInformation")
           .map(summaryInfo).getOrElse(Map.empty)
         Result(docText(wd, table), isWord = true, meta)
     }
   }
+
+  // CFB plumbing (sector/FAT/mini-stream walk) lives in [[Cfb]] — shared
+  // with the .msg kernel.
 
   /** OLE property set (\x05-prefixed SummaryInformation): title/subject/author/
     * last-author/appname as dc: and meta: keys — the metadata surface

@@ -256,11 +256,28 @@ object Extract {
       r.metadata, isMedia = false, issue = None)
   }
 
-  private def doc(bytes: Array[Byte], opt: Options): Out = {
-    val r = DocKernel.extract(bytes)
-    val ct = if (r.isWord) "application/msword" else "application/x-tika-msoffice"
-    val content = truncate(r.text, opt)
-    Out(content, blocksOf(content), ct, r.metadata, isMedia = false, issue = None)
+  /** CFB dispatch: one container parse, then Word vs Outlook vs generic
+    * OLE2 by directory contents (the Tika-delegate split between
+    * application/msword and application/vnd.ms-outlook).
+    */
+  private def doc(bytes: Array[Byte], opt: Options): Out = Cfb.parse(bytes) match {
+    case None =>
+      Out("", Vector.empty, "application/x-tika-msoffice", Map.empty,
+        isMedia = false, issue = None)
+    case Some(c) =>
+      val word = DocKernel.extractFrom(c)
+      if (word.isWord) {
+        val content = truncate(word.text, opt)
+        Out(content, blocksOf(content), "application/msword", word.metadata,
+          isMedia = false, issue = None)
+      } else if (MsgKernel.isMsg(c)) {
+        val r = MsgKernel.extract(c)
+        val content = truncate(r.text, opt)
+        Out(content, blocksOf(content), "application/vnd.ms-outlook", r.metadata,
+          isMedia = false, issue = None)
+      } else
+        Out("", Vector.empty, "application/x-tika-msoffice", Map.empty,
+          isMedia = false, issue = None)
   }
 
   private def jpeg(bytes: Array[Byte]): Out =

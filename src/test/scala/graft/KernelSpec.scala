@@ -503,6 +503,26 @@ class KernelSpec extends AnyFunSuite {
     assert(odt.metadata("meta:page-count") == "1")
   }
 
+  test("E20: Outlook .msg — MAPI property streams over the shared CFB walker") {
+    import graft.corpus.MsgWriter
+    val spec = MsgWriter.Spec("Budget Review", "carol@example.org",
+      "team@example.org", Vector("First body paragraph.", "Second body paragraph."))
+    val bytes = MsgWriter.write(spec)
+    assert(Magic.sniff(bytes) == Magic.Kind.Doc) // CFB magic routes to the dispatch
+    val out = Extract.extractBytes("msg", bytes, Extract.Options())
+    assert(out.contentType == "application/vnd.ms-outlook")
+    assert(out.metadata("dc:title") == "Budget Review")
+    assert(out.metadata("dc:creator") == "carol@example.org")
+    assert(out.metadata("Message-To") == "team@example.org")
+    assert(out.content == MsgWriter.expectedText(spec))
+    // a CFB that is neither Word nor Outlook stays the generic OLE2 type
+    val generic = graft.corpus.CfbWriter.buildStreams(Seq(
+      "SomeStream" -> "data".getBytes("UTF-8")))
+    val g = Extract.extractBytes("doc", generic, Extract.Options())
+    assert(g.contentType == "application/x-tika-msoffice")
+    assert(g.content == "")
+  }
+
   test("D1: text subtyping by content hints (CSV/TSV/Markdown/XML/Python)") {
     def ct(s: String): String =
       Extract.extractText("txt", s, Extract.Options()).contentType

@@ -224,6 +224,21 @@ class WritersSpec extends AnyFunSuite {
     }
   }
 
+  test("MsgWriter -> MsgKernel round-trip (20 seeds, all languages incl. UTF-16 CJK)") {
+    import graft.corpus.MsgWriter
+    for (seed <- 0 until 20) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
+      val spec = MsgWriter.Spec(TextGen.titleLine(rng, lang), "s@example.org",
+        "t@example.org",
+        Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))))
+      val out = Extract.extractBytes("msg", MsgWriter.write(spec), opts)
+      assert(out.contentType == "application/vnd.ms-outlook", s"seed $seed")
+      assert(out.content == MsgWriter.expectedText(spec), s"seed $seed lang $lang")
+      assert(out.metadata("dc:title") == spec.subject, s"seed $seed")
+    }
+  }
+
   test("SubtextGen subtype content round-trips with the declared type") {
     import graft.corpus.SubtextGen
     for (seed <- 0 until 30) {
