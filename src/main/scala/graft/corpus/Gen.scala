@@ -427,9 +427,13 @@ object Gen {
     val done = new java.io.File(s"$dir/golden.parquet/_SUCCESS")
     if (done.exists() && !overwrite) return
     import spark.implicits._
-    // many generation partitions => many parquet files & row groups, so a
-    // reader at any parallelism gets enough scan splits (row groups are the
-    // split granularity; a handful of fat files would cap scan parallelism)
+    import org.apache.spark.sql.functions.col
+    // generation stays wide (build() cost parallelizes across all cores),
+    // but the WRITE coalesces into a bounded file count: r3 measured a
+    // 256-partition x 20-kind layout producing ~5k tiny (~11 KB) parquet
+    // files whose open/footer overhead dominated every scan (a pruned
+    // keys-only scan cost ~3.4 s at sf0.1). Real lakes carry MB-scale
+    // files; readers get their splits from files x row groups.
     val par = math.max(spark.sparkContext.defaultParallelism * 8, 64)
     def ids = spark.range(0, nDocs, 1, par)
     // Iceberg-style partition layout: kind_major is a physical partition
@@ -438,14 +442,17 @@ object Gen {
     ids.map { i => val b = build(seed, i)
         (b.doc_id, b.spans, b.size_class, b.kind_major) }
       .toDF("doc_id", "spans", "size_class", "kind_major")
+      .repartition(16, col("doc_id"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("kind_major")
       .parquet(s"$dir/docs.parquet")
     ids.flatMap(i => build(seed, i).media)
       .toDF("media_ref", "bytes_b64", "length")
+      .repartition(64, col("media_ref"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/media.parquet")
     ids.map { i => val b = build(seed, i); (b.doc_id, b.golden) }
       .toDF("doc_id", "spans")
+      .repartition(16, col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/golden.parquet")
   }
 
