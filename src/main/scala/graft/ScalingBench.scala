@@ -27,8 +27,11 @@ object ScalingBench {
     val name = new java.io.File(sfDir).getName
     // corpus multiple: larger corpora amortize fixed per-pass overhead
     // (scan setup, job scheduling, final agg) that otherwise caps measured
-    // efficiency; SCALING_MULT=16 gives ~100s N=2 passes
-    val mult = sys.env.getOrElse("SCALING_MULT", "8").toInt
+    // efficiency. 16 (~100 s N=2 passes on the round-3 file layout) is
+    // the default: at 8 the now-much-faster passes are short enough that
+    // fixed overhead on the 4N side costs ~0.05 efficiency (r3 measured
+    // medians 0.763 at x8 vs 0.808 at x16 in adjacent windows).
+    val mult = sys.env.getOrElse("SCALING_MULT", "16").toInt
     val corpusDir = s"${SparkEntry.DataRoot}/corpus/scaling-$name-x$mult"
     val nDocs = Bench.benchDocs(name) * mult
 

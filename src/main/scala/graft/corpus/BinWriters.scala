@@ -123,7 +123,8 @@ object CfbWriter {
     val dirOff = dirSector * sectorSize
     java.util.Arrays.fill(body, dirOff, dirOff + sectorSize, 0.toByte)
     writeDirEntry(body, dirOff, "Root Entry", 5, 0xfffffffeL, 0)
-    writeDirEntry(body, dirOff + 128, "WordDocument", 2, 0, wdLen)
+    writeDirEntry(body, dirOff + 128, "WordDocument", 2, 0, wdLen,
+      right = if (si != null) 2L else 0xffffffffL)
     if (si != null)
       // declared size = the padded 4096: anything smaller than the
       // mini-stream cutoff would (correctly) be looked up via the
@@ -252,7 +253,7 @@ object CfbWriter {
     val dirOff = dirSector * sectorSize
     java.util.Arrays.fill(body, dirOff, dirOff + sectorSize, 0.toByte)
     writeDirEntry(body, dirOff, "Root Entry", 5, msStart, msLen)
-    writeDirEntry(body, dirOff + 128, "WordDocument", 2, 0, wdLen)
+    writeDirEntry(body, dirOff + 128, "WordDocument", 2, 0, wdLen, right = 2L)
     writeDirEntry(body, dirOff + 256, "0Table", 2, 0, clx.length) // mini sector 0
     putU32(body, dirOff + 128 + 72, 2) // WordDocument right-sibling -> 0Table
     // MiniFAT: 0Table occupies mini sectors 0..msMini-1
@@ -335,7 +336,8 @@ object CfbWriter {
     val dirOff = dirStart * sectorSize
     writeDirEntry(body, dirOff, "Root Entry", 5, 0xfffffffeL, 0)
     streams.zipWithIndex.foreach { case ((name, data), i) =>
-      writeDirEntry(body, dirOff + (i + 1) * 128, name, 2, starts(i), data.length)
+      writeDirEntry(body, dirOff + (i + 1) * 128, name, 2, starts(i), data.length,
+        right = if (i + 1 < streams.size) (i + 2).toLong else 0xffffffffL)
     }
     val header = new Array[Byte](512)
     val sig = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
@@ -358,7 +360,7 @@ object CfbWriter {
     out.toByteArray
   }
 
-  private def summaryInfo(title: Option[String], author: Option[String]): Array[Byte] = {
+  private[corpus] def summaryInfo(title: Option[String], author: Option[String]): Array[Byte] = {
     val props = Seq(2L -> title, 4L -> author).collect { case (pid, Some(v)) => pid -> v }
     val secBase = 48 // header(28) + fmtid(16) + offset(4)
     val headLen = 8 + props.size * 8
@@ -397,8 +399,13 @@ object CfbWriter {
     b(off + 1) = ((v >> 8) & 0xff).toByte
   }
 
+  /** Directory entry with an explicit right-sibling link: the kernel's
+    * scoped lookup walks the root's child tree, so sibling streams must
+    * chain (a right-leaning chain is a valid, if unbalanced, RB tree).
+    */
   private def writeDirEntry(b: Array[Byte], off: Int, name: String,
-      typ: Int, start: Long, size: Int): Unit = {
+      typ: Int, start: Long, size: Int,
+      right: Long = 0xffffffffL): Unit = {
     val n16 = name.getBytes("UTF-16LE")
     System.arraycopy(n16, 0, b, off, math.min(n16.length, 62))
     putU32(b, off + 64, 0); b(off + 64) = ((n16.length + 2) & 0xff).toByte
@@ -406,7 +413,7 @@ object CfbWriter {
     b(off + 66) = typ.toByte
     b(off + 67) = 1 // black
     putU32Signed(b, off + 68, 0xffffffffL) // left sibling
-    putU32Signed(b, off + 72, 0xffffffffL) // right sibling
+    putU32Signed(b, off + 72, right)       // right sibling
     putU32Signed(b, off + 76, if (typ == 5) 1L else 0xffffffffL) // child
     putU32Signed(b, off + 116, start)
     putU32(b, off + 120, size)

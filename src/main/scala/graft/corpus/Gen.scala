@@ -43,26 +43,28 @@ object Gen {
     val lang = pickLang(rng)
 
     val pieces: Vector[Piece] =
-      if (roll < 20) Vector(txtPiece(rng, lang, giant = rng.nextInt(100) < 2))
-      else if (roll < 34) Vector(htmlPiece(rng, lang))
-      else if (roll < 48) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
-      else if (roll < 56) Vector(docxPiece(rng, lang, docId, 0))
-      else if (roll < 60) Vector(xlsxPiece(rng, lang, docId, 0))
-      else if (roll < 63) Vector(pptxPiece(rng, lang, docId, 0))
-      else if (roll < 67) Vector(rtfPiece(rng, lang, docId, 0))
-      else if (roll < 70) Vector(odtPiece(rng, lang, docId, 0))
-      else if (roll < 72) Vector(epubPiece(rng, lang, docId, 0))
-      else if (roll < 75) Vector(jpegPiece(rng, docId, 0))
-      else if (roll < 77) Vector(pngPiece(rng, docId, 0))
-      else if (roll < 78) Vector(tiffPiece(rng, docId, 0))
-      else if (roll < 79) Vector(mp3Piece(rng, lang, docId, 0))
-      else if (roll < 82) Vector(docPiece(rng, docId, 0))
-      else if (roll < 84) Vector(emlPiece(rng, lang, docId, 0))
-      else if (roll < 85) Vector(zipPiece(rng, lang, docId, 0))
-      else if (roll < 86) Vector(targzPiece(rng, lang, docId, 0))
-      else if (roll < 87) Vector(subtextPiece(rng, lang, docId, 0))
-      else if (roll < 88) Vector(msgPiece(rng, lang, docId, 0))
-      else if (roll < 89) Vector(binPiece(rng, docId, 0))
+      if (roll < 19) Vector(txtPiece(rng, lang, giant = rng.nextInt(100) < 2))
+      else if (roll < 32) Vector(htmlPiece(rng, lang))
+      else if (roll < 45) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
+      else if (roll < 52) Vector(docxPiece(rng, lang, docId, 0))
+      else if (roll < 56) Vector(xlsxPiece(rng, lang, docId, 0))
+      else if (roll < 59) Vector(pptxPiece(rng, lang, docId, 0))
+      else if (roll < 62) Vector(rtfPiece(rng, lang, docId, 0))
+      else if (roll < 65) Vector(odtPiece(rng, lang, docId, 0))
+      else if (roll < 67) Vector(epubPiece(rng, lang, docId, 0))
+      else if (roll < 70) Vector(jpegPiece(rng, docId, 0))
+      else if (roll < 72) Vector(pngPiece(rng, docId, 0))
+      else if (roll < 73) Vector(tiffPiece(rng, docId, 0))
+      else if (roll < 74) Vector(mp3Piece(rng, lang, docId, 0))
+      else if (roll < 77) Vector(docPiece(rng, docId, 0))
+      else if (roll < 79) Vector(xlsPiece(rng, lang, docId, 0))
+      else if (roll < 81) Vector(pptPiece(rng, lang, docId, 0))
+      else if (roll < 83) Vector(emlPiece(rng, lang, docId, 0))
+      else if (roll < 84) Vector(zipPiece(rng, lang, docId, 0))
+      else if (roll < 85) Vector(targzPiece(rng, lang, docId, 0))
+      else if (roll < 86) Vector(subtextPiece(rng, lang, docId, 0))
+      else if (roll < 87) Vector(msgPiece(rng, lang, docId, 0))
+      else if (roll < 88) Vector(binPiece(rng, docId, 0))
       else if (roll < 90) Vector(emptyPiece(rng, docId, 0))
       else { // interleaved multi-span doc
         val n = if (rng.nextInt(100) < 5) 16 + rng.nextInt(17) else 2 + rng.nextInt(7)
@@ -309,6 +311,40 @@ object Gen {
         Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
         golden, bytes.length.toLong)
     }
+  }
+
+  /** Legacy binary Excel: numeric cells become NUMBER records, text cells
+    * share the SST; half the workbooks split the SST mid-string across a
+    * Continue record (the BIFF8 corner real files hit constantly).
+    */
+  private def xlsPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val nSheets = 1 + rng.nextInt(2)
+    val sheets = Vector.tabulate(nSheets) { _ =>
+      Vector.tabulate(2 + rng.nextInt(6)) { r =>
+        Vector.tabulate(2 + rng.nextInt(3)) { c =>
+          if ((r + c) % 3 == 2) String.valueOf(rng.nextInt(100000))
+          else TextGen.titleLine(rng, lang)
+        }
+      }
+    }
+    val spec = XlsBinWriter.Spec(TextGen.titleLine(rng, lang),
+      TextGen.titleLine(rng, "en"), sheets, splitSst = rng.nextBoolean())
+    val bytes = XlsBinWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("xls", Span("xls", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(XlsBinWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def pptPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val spec = PptBinWriter.Spec(Vector.tabulate(1 + rng.nextInt(4)) { _ =>
+      Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.titleLine(rng, lang))
+    })
+    val bytes = PptBinWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("ppt", Span("ppt", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(PptBinWriter.expectedText(spec)), bytes.length.toLong)
   }
 
   private def msgPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {

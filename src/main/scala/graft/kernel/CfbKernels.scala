@@ -78,13 +78,25 @@ private[kernel] object Cfb {
       out.toByteArray
     }
 
-    // Directory entries: 128 bytes each, UTF-16LE names.
+    // Directory entries: 128 bytes each, UTF-16LE names, red-black-tree
+    // sibling pointers. Lookups are scoped to the ROOT storage's children
+    // (a .msg recipient sub-storage's __substg streams must not shadow
+    // the top-level ones); when the sibling tree is malformed (our fuzz
+    // corpus, legacy writers emitting zeroed pointers), fall back to a
+    // flat scan of all entries — bounded best-effort, never a throw.
+    private final case class DirEnt(name: String, typ: Int, start: Long,
+        size: Long, left: Int, right: Int, child: Int)
+
     private val (entries, rootStart) = {
       val dir = chain(firstDirSector)
-      var es = Map.empty[String, (Long, Long)]
-      var root = -1L
+      val n = dir.length / 128
+      def i32(p: Int): Int =
+        (dir(p) & 0xff) | ((dir(p + 1) & 0xff) << 8) |
+          ((dir(p + 2) & 0xff) << 16) | ((dir(p + 3) & 0xff) << 24)
+      val ents = new Array[DirEnt](n)
+      var root = -1
       var i = 0
-      while (i * 128 + 128 <= dir.length) {
+      while (i < n) {
         val e = i * 128
         val nameLen = (dir(e + 64) & 0xff) | ((dir(e + 65) & 0xff) << 8)
         if (nameLen >= 2 && nameLen <= 64) {
@@ -93,15 +105,41 @@ private[kernel] object Cfb {
             ((dir(e + 118) & 0xffL) << 16) | ((dir(e + 119) & 0xffL) << 24)
           val size = (dir(e + 120) & 0xffL) | ((dir(e + 121) & 0xffL) << 8) |
             ((dir(e + 122) & 0xffL) << 16) | ((dir(e + 123) & 0xffL) << 24)
-          if ((dir(e + 66) & 0xff) == 5) root = start
-          // property-set stream names carry a leading control char
-          // ("\x05SummaryInformation") — strip for lookup
-          else if (!es.contains(name.dropWhile(_ < ' ')))
-            es += (name.dropWhile(_ < ' ') -> (start, size))
+          val typ = dir(e + 66) & 0xff
+          ents(i) = DirEnt(name, typ, start, size, i32(e + 68), i32(e + 72), i32(e + 76))
+          if (typ == 5 && root < 0) root = i
         }
         i += 1
       }
-      (es, root)
+      // collect the root's children by walking the sibling binary tree
+      val topLevel = Vector.newBuilder[DirEnt]
+      var treeOk = root >= 0 && ents(root) != null
+      if (treeOk) {
+        val visited = new java.util.BitSet(n)
+        val stack = scala.collection.mutable.ArrayDeque[Int](ents(root).child)
+        var steps = 0
+        while (stack.nonEmpty && treeOk && steps < n * 2) {
+          val k = stack.removeLast()
+          steps += 1
+          if (k >= 0 && k < n && ents(k) != null && !visited.get(k)) {
+            visited.set(k)
+            topLevel += ents(k)
+            stack += ents(k).left
+            stack += ents(k).right
+          } else if (k >= 0 && k < n && visited.get(k)) treeOk = false // cycle
+        }
+      }
+      val scoped = topLevel.result()
+      val usable = if (treeOk && scoped.nonEmpty) scoped
+        else ents.toVector.filter(e => e != null && e.typ != 5) // flat fallback
+      var es = Map.empty[String, (Long, Long)]
+      usable.foreach { e =>
+        // property-set stream names carry a leading control char
+        // ("\x05SummaryInformation") — strip for lookup
+        val key = e.name.dropWhile(_ < ' ')
+        if (e.typ == 2 && !es.contains(key)) es += (key -> (e.start, e.size))
+      }
+      (es, if (root >= 0 && ents(root) != null) ents(root).start else -1L)
     }
 
     // Mini stream: objects smaller than miniCutoff live in 64-byte mini

@@ -45,7 +45,7 @@ object DocKernel {
     * last-author/appname as dc: and meta: keys — the metadata surface
     * Tika exposes for .doc (the reference delegates to it, README.md:3-8).
     */
-  private def summaryInfo(b: Array[Byte]): Map[String, String] = {
+  private[kernel] def summaryInfo(b: Array[Byte]): Map[String, String] = {
     def u16(p: Int): Int =
       if (p + 2 > b.length) -1 else (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
     def u32(p: Int): Long =

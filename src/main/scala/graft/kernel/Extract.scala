@@ -256,27 +256,39 @@ object Extract {
       r.metadata, isMedia = false, issue = None)
   }
 
-  /** CFB dispatch: one container parse, then Word vs Outlook vs generic
-    * OLE2 by directory contents (the Tika-delegate split between
-    * application/msword and application/vnd.ms-outlook).
+  /** CFB dispatch: one container parse, then Word / Excel / PowerPoint /
+    * Outlook / generic OLE2 by directory contents (the Tika-delegate
+    * content-type split for the legacy binary Office family).
     */
   private def doc(bytes: Array[Byte], opt: Options): Out = Cfb.parse(bytes) match {
     case None =>
       Out("", Vector.empty, "application/x-tika-msoffice", Map.empty,
         isMedia = false, issue = None)
     case Some(c) =>
+      // OLE property-set metadata is container-level (any of these types)
+      lazy val si = c.stream("SummaryInformation")
+        .map(DocKernel.summaryInfo).getOrElse(Map.empty)
       val word = DocKernel.extractFrom(c)
       if (word.isWord) {
         val content = truncate(word.text, opt)
         Out(content, blocksOf(content), "application/msword", word.metadata,
           isMedia = false, issue = None)
+      } else if (XlsKernel.isXls(c)) {
+        val r = XlsKernel.extract(c)
+        val content = truncate(r.text, opt)
+        Out(content, blocksOf(content), "application/vnd.ms-excel",
+          r.metadata ++ si, isMedia = false, issue = None)
+      } else if (PptKernel.isPpt(c)) {
+        val content = truncate(PptKernel.extract(c).text, opt)
+        Out(content, blocksOf(content), "application/vnd.ms-powerpoint",
+          si, isMedia = false, issue = None)
       } else if (MsgKernel.isMsg(c)) {
         val r = MsgKernel.extract(c)
         val content = truncate(r.text, opt)
         Out(content, blocksOf(content), "application/vnd.ms-outlook", r.metadata,
           isMedia = false, issue = None)
       } else
-        Out("", Vector.empty, "application/x-tika-msoffice", Map.empty,
+        Out("", Vector.empty, "application/x-tika-msoffice", si,
           isMedia = false, issue = None)
   }
 

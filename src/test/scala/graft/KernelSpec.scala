@@ -523,6 +523,58 @@ class KernelSpec extends AnyFunSuite {
     assert(g.content == "")
   }
 
+  test("E21: .xls BIFF8 — SST (incl. mid-string Continue split), LABELSST/NUMBER cells, SI metadata") {
+    import graft.corpus.XlsBinWriter
+    for (split <- Seq(false, true)) {
+      val spec = XlsBinWriter.Spec("Sheet Title", "An Author",
+        Vector(
+          Vector(Vector("alpha one", "42"), Vector("béta wide", "7")),
+          Vector(Vector("second sheet cell", "123456"))),
+        splitSst = split)
+      val out = Extract.extractBytes("xls", XlsBinWriter.write(spec), Extract.Options())
+      assert(out.contentType == "application/vnd.ms-excel", s"split=$split")
+      assert(out.content == XlsBinWriter.expectedText(spec), s"split=$split")
+      assert(out.metadata("dc:title") == "Sheet Title")
+      assert(out.metadata("dc:creator") == "An Author")
+    }
+  }
+
+  test("E22: .ppt — container-record walk, TextBytes + TextChars atoms") {
+    import graft.corpus.PptBinWriter
+    val spec = PptBinWriter.Spec(Vector(
+      Vector("ascii title line", "second paragraph"),
+      Vector("ünïcode slide text")))
+    val out = Extract.extractBytes("ppt", PptBinWriter.write(spec), Extract.Options())
+    assert(out.contentType == "application/vnd.ms-powerpoint")
+    assert(out.content == PptBinWriter.expectedText(spec))
+  }
+
+  test("CFB directory scoping: a nested storage's streams do not shadow top level") {
+    import graft.corpus.CfbWriter
+    // top level: one __substg subject + a storage whose CHILD is a
+    // WordDocument stream. Scoped lookup must classify as Outlook (the
+    // nested WordDocument is invisible); a flat scan would see it and
+    // misroute to msword.
+    val subject = "Scoped Subject".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    val bytes = CfbWriter.buildStreams(Seq(
+      "__substg1.0_0037001F" -> subject,
+      "Recip" -> "x".getBytes("UTF-8"),
+      "WordDocument" -> new Array[Byte](64)))
+    // patch entry 2 ("Recip", dir index 2) into a STORAGE with child = 3
+    def u32at(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    val dirOff = 512 + u32at(48).toInt * 512
+    val e2 = dirOff + 2 * 128
+    bytes(e2 + 66) = 1 // type: storage
+    // right sibling: none; child: entry 3
+    for (k <- 0 until 4) bytes(e2 + 72 + k) = 0xff.toByte
+    bytes(e2 + 76) = 3; bytes(e2 + 77) = 0; bytes(e2 + 78) = 0; bytes(e2 + 79) = 0
+    val out = Extract.extractBytes("doc", bytes, Extract.Options())
+    assert(out.contentType == "application/vnd.ms-outlook", out.contentType)
+    assert(out.metadata("dc:title") == "Scoped Subject")
+  }
+
   test("D1: text subtyping by content hints (CSV/TSV/Markdown/XML/Python)") {
     def ct(s: String): String =
       Extract.extractText("txt", s, Extract.Options()).contentType

@@ -239,6 +239,40 @@ class WritersSpec extends AnyFunSuite {
     }
   }
 
+  test("XlsBinWriter -> XlsKernel round-trip (24 seeds, all languages, both SST layouts)") {
+    import graft.corpus.XlsBinWriter
+    for (seed <- 0 until 24) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
+      val sheets = Vector.tabulate(1 + rng.nextInt(2)) { _ =>
+        Vector.tabulate(2 + rng.nextInt(6)) { r =>
+          Vector.tabulate(2 + rng.nextInt(3)) { c =>
+            if ((r + c) % 3 == 2) String.valueOf(rng.nextInt(100000))
+            else TextGen.titleLine(rng, lang)
+          }
+        }
+      }
+      val spec = XlsBinWriter.Spec("t", "a", sheets, splitSst = seed % 2 == 0)
+      val out = Extract.extractBytes("xls", XlsBinWriter.write(spec), opts)
+      assert(out.contentType == "application/vnd.ms-excel", s"seed $seed")
+      assert(out.content == XlsBinWriter.expectedText(spec), s"seed $seed lang $lang split=${seed % 2 == 0}")
+    }
+  }
+
+  test("PptBinWriter -> PptKernel round-trip (20 seeds, all languages)") {
+    import graft.corpus.PptBinWriter
+    for (seed <- 0 until 20) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
+      val spec = PptBinWriter.Spec(Vector.tabulate(1 + rng.nextInt(4)) { _ =>
+        Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.titleLine(rng, lang))
+      })
+      val out = Extract.extractBytes("ppt", PptBinWriter.write(spec), opts)
+      assert(out.contentType == "application/vnd.ms-powerpoint", s"seed $seed")
+      assert(out.content == PptBinWriter.expectedText(spec), s"seed $seed lang $lang")
+    }
+  }
+
   test("SubtextGen subtype content round-trips with the declared type") {
     import graft.corpus.SubtextGen
     for (seed <- 0 until 30) {
