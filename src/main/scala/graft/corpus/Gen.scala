@@ -43,28 +43,32 @@ object Gen {
     val lang = pickLang(rng)
 
     val pieces: Vector[Piece] =
-      if (roll < 19) Vector(txtPiece(rng, lang, giant = rng.nextInt(100) < 2))
-      else if (roll < 32) Vector(htmlPiece(rng, lang))
-      else if (roll < 45) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
-      else if (roll < 52) Vector(docxPiece(rng, lang, docId, 0))
-      else if (roll < 56) Vector(xlsxPiece(rng, lang, docId, 0))
-      else if (roll < 59) Vector(pptxPiece(rng, lang, docId, 0))
-      else if (roll < 62) Vector(rtfPiece(rng, lang, docId, 0))
-      else if (roll < 65) Vector(odtPiece(rng, lang, docId, 0))
-      else if (roll < 67) Vector(epubPiece(rng, lang, docId, 0))
-      else if (roll < 70) Vector(jpegPiece(rng, docId, 0))
-      else if (roll < 72) Vector(pngPiece(rng, docId, 0))
-      else if (roll < 73) Vector(tiffPiece(rng, docId, 0))
-      else if (roll < 74) Vector(mp3Piece(rng, lang, docId, 0))
+      if (roll < 18) Vector(txtPiece(rng, lang, giant = rng.nextInt(100) < 2))
+      else if (roll < 30) Vector(htmlPiece(rng, lang))
+      else if (roll < 42) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
+      else if (roll < 49) Vector(docxPiece(rng, lang, docId, 0))
+      else if (roll < 53) Vector(xlsxPiece(rng, lang, docId, 0))
+      else if (roll < 56) Vector(pptxPiece(rng, lang, docId, 0))
+      else if (roll < 59) Vector(rtfPiece(rng, lang, docId, 0))
+      else if (roll < 61) Vector(odtPiece(rng, lang, docId, 0))
+      else if (roll < 63) Vector(epubPiece(rng, lang, docId, 0))
+      else if (roll < 65) Vector(jpegPiece(rng, docId, 0))
+      else if (roll < 67) Vector(pngPiece(rng, docId, 0))
+      else if (roll < 68) Vector(tiffPiece(rng, docId, 0))
+      else if (roll < 69) Vector(mp3Piece(rng, lang, docId, 0))
+      else if (roll < 70) Vector(bmpPiece(rng, docId, 0))
+      else if (roll < 71) Vector(webpPiece(rng, docId, 0))
+      else if (roll < 72) Vector(wavPiece(rng, docId, 0))
+      else if (roll < 74) Vector(mp4Piece(rng, docId, 0))
       else if (roll < 77) Vector(docPiece(rng, docId, 0))
       else if (roll < 79) Vector(xlsPiece(rng, lang, docId, 0))
       else if (roll < 81) Vector(pptPiece(rng, lang, docId, 0))
       else if (roll < 83) Vector(emlPiece(rng, lang, docId, 0))
       else if (roll < 84) Vector(zipPiece(rng, lang, docId, 0))
       else if (roll < 85) Vector(targzPiece(rng, lang, docId, 0))
-      else if (roll < 86) Vector(subtextPiece(rng, lang, docId, 0))
-      else if (roll < 87) Vector(msgPiece(rng, lang, docId, 0))
-      else if (roll < 88) Vector(binPiece(rng, docId, 0))
+      else if (roll < 87) Vector(subtextPiece(rng, lang, docId, 0))
+      else if (roll < 88) Vector(msgPiece(rng, lang, docId, 0))
+      else if (roll < 89) Vector(binPiece(rng, docId, 0))
       else if (roll < 90) Vector(emptyPiece(rng, docId, 0))
       else { // interleaved multi-span doc
         val n = if (rng.nextInt(100) < 5) 16 + rng.nextInt(17) else 2 + rng.nextInt(7)
@@ -269,6 +273,33 @@ object Gen {
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
       Seq(Span("media", null, ref, -1)), bytes.length.toLong)
   }
+
+  private def mediaPiece(kind: String, bytes: Array[Byte], docId: String, k: Int): Piece = {
+    val ref = s"m-$docId-$k"
+    Piece(kind, Span(kind, null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      Seq(Span("media", null, ref, -1)), bytes.length.toLong)
+  }
+
+  private def bmpPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
+    mediaPiece("bmp", BmpWriter.write(BmpWriter.Spec(
+      8 + rng.nextInt(500), 8 + rng.nextInt(500))), docId, k)
+
+  private def webpPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
+    mediaPiece("webp", WebpWriter.write(WebpWriter.Spec(
+      8 + rng.nextInt(500), 8 + rng.nextInt(500))), docId, k)
+
+  private def wavPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
+    mediaPiece("wav", WavWriter.write(WavWriter.Spec(
+      8000 * (1 + rng.nextInt(6)), 1 + rng.nextInt(2), 100 + rng.nextInt(5000))),
+      docId, k)
+
+  private def mp4Piece(rng: SplittableRandom, docId: String, k: Int): Piece =
+    mediaPiece("mp4", Mp4Writer.write(Mp4Writer.Spec(
+      if (rng.nextBoolean()) "isom" else "mp42",
+      1000 * (1 + rng.nextInt(90)),
+      1000L + rng.nextInt(1 << 20),
+      16 * (1 + rng.nextInt(120)), 16 * (1 + rng.nextInt(68)))), docId, k)
 
   /** .doc stays latin (cp1252 round-trip is exact for en/de/fr/es);
     * ~1/3 are fComplex piece-table documents (out-of-order pieces,

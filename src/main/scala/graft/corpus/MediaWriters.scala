@@ -1,0 +1,160 @@
+package graft.corpus
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+/** Deterministic media-container writers (WAV / MP4 / BMP / WebP-VP8L)
+  * with analytically-known metadata, for the multimodal typed-metadata
+  * contract.
+  */
+
+object WavWriter {
+
+  final case class Spec(sampleRate: Int, channels: Int, millis: Int)
+
+  def write(spec: Spec): Array[Byte] = {
+    val bits = 16
+    val byteRate = spec.sampleRate * spec.channels * bits / 8
+    val dataLen = (byteRate.toLong * spec.millis / 1000).toInt
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
+    out.write("RIFF".getBytes(StandardCharsets.US_ASCII)); u32(36L + dataLen)
+    out.write("WAVE".getBytes(StandardCharsets.US_ASCII))
+    out.write("fmt ".getBytes(StandardCharsets.US_ASCII)); u32(16L)
+    u16(1); u16(spec.channels); u32(spec.sampleRate.toLong); u32(byteRate.toLong)
+    u16(spec.channels * bits / 8); u16(bits)
+    out.write("data".getBytes(StandardCharsets.US_ASCII)); u32(dataLen.toLong)
+    var x = (spec.sampleRate * 31L) ^ spec.millis
+    val emit = math.min(dataLen, 2048) // header metadata is what matters
+    for (_ <- 0 until emit) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out.write(((x >>> 33) & 0xff).toInt)
+    }
+    out.toByteArray
+  }
+}
+
+object BmpWriter {
+
+  final case class Spec(width: Int, height: Int)
+
+  def write(spec: Spec): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >> 16) & 0xffff) }
+    val pixels = math.min(256, spec.width * spec.height * 3)
+    out.write('B'); out.write('M')
+    u32(54 + pixels); u32(0); u32(54)
+    u32(40); u32(spec.width); u32(spec.height)
+    u16(1); u16(24); u32(0); u32(pixels); u32(2835); u32(2835); u32(0); u32(0)
+    var x = (spec.width * 17L) ^ (spec.height * 43L)
+    for (_ <- 0 until pixels) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out.write(((x >>> 33) & 0xff).toInt)
+    }
+    out.toByteArray
+  }
+}
+
+object WebpWriter {
+
+  final case class Spec(width: Int, height: Int) {
+    require(width >= 1 && width <= 0x4000 && height >= 1 && height <= 0x4000)
+  }
+
+  /** Lossless (VP8L) header: 0x2F signature + 14-bit w-1 / h-1 packing. */
+  def write(spec: Spec): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    val noise = 64
+    val chunkLen = 1 + 4 + noise
+    out.write("RIFF".getBytes(StandardCharsets.US_ASCII))
+    u32(4 + 8 + chunkLen + (chunkLen & 1))
+    out.write("WEBP".getBytes(StandardCharsets.US_ASCII))
+    out.write("VP8L".getBytes(StandardCharsets.US_ASCII))
+    u32(chunkLen)
+    out.write(0x2f)
+    val packed = (spec.width - 1) | ((spec.height - 1) << 14)
+    u32(packed) // top 4 bits: version 0
+    var x = (spec.width * 7L) ^ (spec.height * 11L)
+    for (_ <- 0 until noise) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out.write(((x >>> 33) & 0xff).toInt)
+    }
+    if ((chunkLen & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+}
+
+object Mp4Writer {
+
+  final case class Spec(brand: String, timescale: Int, durationUnits: Long,
+      width: Int, height: Int)
+
+  def write(spec: Spec): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val size = 8 + body.length
+      out.write((size >> 24) & 0xff); out.write((size >> 16) & 0xff)
+      out.write((size >> 8) & 0xff); out.write(size & 0xff)
+      out.write(typ.getBytes(StandardCharsets.US_ASCII))
+      out.write(body)
+      out.toByteArray
+    }
+    def u32be(out: ByteArrayOutputStream, v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    val ftyp = {
+      val b = new ByteArrayOutputStream()
+      b.write(spec.brand.take(4).padTo(4, ' ').getBytes(StandardCharsets.US_ASCII))
+      u32be(b, 0L)
+      box("ftyp", b.toByteArray)
+    }
+    val mvhd = {
+      val b = new ByteArrayOutputStream()
+      u32be(b, 0L)                       // version+flags
+      u32be(b, 0L); u32be(b, 0L)         // ctime, mtime
+      u32be(b, spec.timescale.toLong)
+      u32be(b, spec.durationUnits)
+      u32be(b, 0x00010000L)              // rate 1.0
+      b.write(1); b.write(0)             // volume 1.0
+      for (_ <- 0 until 10) b.write(0)   // reserved
+      val matrix = Array(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+      matrix.foreach(u32be(b, _))
+      for (_ <- 0 until 6) u32be(b, 0L)  // pre_defined
+      u32be(b, 2L)                       // next_track_ID
+      box("mvhd", b.toByteArray)
+    }
+    val tkhd = {
+      val b = new ByteArrayOutputStream()
+      u32be(b, 0L); u32be(b, 0L); u32be(b, 0L) // version+flags, ctime, mtime
+      u32be(b, 1L)                       // track id
+      u32be(b, 0L)                       // reserved
+      u32be(b, spec.durationUnits)
+      u32be(b, 0L); u32be(b, 0L)         // reserved
+      b.write(0); b.write(0); b.write(0); b.write(0) // layer, alt group
+      b.write(0); b.write(0); b.write(0); b.write(0) // volume, reserved
+      val matrix = Array(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+      matrix.foreach(u32be(b, _))
+      u32be(b, spec.width.toLong << 16)  // 16.16 fixed
+      u32be(b, spec.height.toLong << 16)
+      box("tkhd", b.toByteArray)
+    }
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val mdat = {
+      val b = new ByteArrayOutputStream()
+      var x = (spec.timescale * 13L) ^ spec.durationUnits
+      for (_ <- 0 until 512) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        b.write(((x >>> 33) & 0xff).toInt)
+      }
+      box("mdat", b.toByteArray)
+    }
+    ftyp ++ moov ++ mdat
+  }
+}

@@ -90,6 +90,18 @@ object Extract {
         case Magic.Kind.Mp3  =>
           Out("", Vector.empty, "audio/mpeg", Mp3Kernel.extract(bytes),
             isMedia = true, issue = None)
+        case Magic.Kind.Wav  =>
+          Out("", Vector.empty, "audio/vnd.wave", WavKernel.extract(bytes),
+            isMedia = true, issue = None)
+        case Magic.Kind.Mp4  =>
+          Out("", Vector.empty, "video/mp4", Mp4Kernel.extract(bytes),
+            isMedia = true, issue = None)
+        case Magic.Kind.Bmp  =>
+          Out("", Vector.empty, "image/bmp", BmpKernel.extract(bytes),
+            isMedia = true, issue = None)
+        case Magic.Kind.Webp =>
+          Out("", Vector.empty, "image/webp", WebpKernel.extract(bytes),
+            isMedia = true, issue = None)
         case Magic.Kind.Html =>
           val cs = Charset.detect(bytes)
           html(cs.decoded, cs.name, opt)

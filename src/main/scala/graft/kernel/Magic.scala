@@ -29,6 +29,10 @@ object Magic {
     case object Gif     extends Kind("gif")
     case object Tiff    extends Kind("tiff")
     case object Mp3     extends Kind("mp3")
+    case object Wav     extends Kind("wav")
+    case object Mp4     extends Kind("mp4")
+    case object Bmp     extends Kind("bmp")
+    case object Webp    extends Kind("webp")
     case object Html    extends Kind("html")
     case object Text    extends Kind("txt")
     case object Eml     extends Kind("eml")   // RFC-822 message
@@ -70,6 +74,18 @@ object Magic {
         bytes(3) == 'G' && bytes(4) == 0x0d && bytes(5) == 0x0a &&
         bytes(6) == 0x1a && bytes(7) == 0x0a) return Kind.Png
     if (startsWith(bytes, "GIF87a") || startsWith(bytes, "GIF89a")) return Kind.Gif
+    if (bytes.length >= 12 && startsWith(bytes, "RIFF")) {
+      val four = new String(bytes, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (four == "WAVE") return Kind.Wav
+      if (four == "WEBP") return Kind.Webp
+    }
+    if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p') return Kind.Mp4
+    if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val dib = (bytes(14) & 0xff) | ((bytes(15) & 0xff) << 8) |
+        ((bytes(16) & 0xff) << 16) | ((bytes(17) & 0xff) << 24)
+      if (dib == 12 || dib == 40 || dib == 108 || dib == 124) return Kind.Bmp
+    }
     if (bytes.length >= 2 &&
         (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) return Kind.Gzip
     if (bytes.length >= 263 && bytes(257) == 'u' && bytes(258) == 's' &&
@@ -174,6 +190,10 @@ object Magic {
     case Kind.Gif  => "image/gif"
     case Kind.Tiff => "image/tiff"
     case Kind.Mp3  => "audio/mpeg"
+    case Kind.Wav  => "audio/vnd.wave"
+    case Kind.Mp4  => "video/mp4"
+    case Kind.Bmp  => "image/bmp"
+    case Kind.Webp => "image/webp"
     case Kind.Html => s"text/html; charset=${charset.getOrElse("UTF-8")}"
     case Kind.Text => s"text/plain; charset=${charset.getOrElse("UTF-8")}"
     case Kind.Eml  => "message/rfc822"

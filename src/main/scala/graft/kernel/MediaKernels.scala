@@ -1,0 +1,156 @@
+package graft.kernel
+
+/** Round-3 media-container kernels: WAV (RIFF), MP4 (ISO BMFF), BMP and
+  * WebP — audio/video/image payloads stay opaque media spans, but their
+  * container metadata (dimensions, duration, sample rate) is REAL, the
+  * typed-metadata contract of the multimodal brief. Pixel/sample decode
+  * remains the declared stub boundary (no codec jars in this env).
+  */
+
+object WavKernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    if (bytes.length < 44) return Map.empty
+    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    var meta = Map.empty[String, String]
+    var byteRate = 0L
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(p + 4)
+      if (id == "fmt " && p + 24 <= bytes.length) {
+        val channels = u16(p + 10)
+        val sampleRate = u32(p + 12)
+        byteRate = u32(p + 16)
+        val bits = u16(p + 22)
+        meta += ("channels" -> channels.toString)
+        meta += ("xmpDM:audioSampleRate" -> sampleRate.toString)
+        meta += ("bits" -> bits.toString)
+      } else if (id == "data" && byteRate > 0) {
+        meta += ("xmpDM:duration" -> f"${size.toDouble / byteRate}%.3f")
+      }
+      val advance = size + (size & 1) // chunks are word-aligned
+      if (advance <= 0) p = bytes.length else p += 8 + advance.toInt
+    }
+    if (meta.nonEmpty) meta += ("xmpDM:audioCompressor" -> "PCM")
+    meta
+  }
+}
+
+object BmpKernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    if (bytes.length < 26) return Map.empty
+    def i32(p: Int): Int =
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+        ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+    val dib = i32(14)
+    if (dib >= 40 && bytes.length >= 14 + 12) {
+      val w = i32(18)
+      val h = math.abs(i32(22)) // negative height = top-down rows
+      Map("Image Width" -> s"$w pixels", "Image Height" -> s"$h pixels")
+    } else if (dib == 12 && bytes.length >= 22) { // BITMAPCOREHEADER: u16 dims
+      val w = (bytes(18) & 0xff) | ((bytes(19) & 0xff) << 8)
+      val h = (bytes(20) & 0xff) | ((bytes(21) & 0xff) << 8)
+      Map("Image Width" -> s"$w pixels", "Image Height" -> s"$h pixels")
+    } else Map.empty
+  }
+}
+
+object WebpKernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    if (bytes.length < 30) return Map.empty
+    val fourcc = new String(bytes, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def dims(w: Int, h: Int) =
+      Map("Image Width" -> s"$w pixels", "Image Height" -> s"$h pixels")
+    fourcc match {
+      case "VP8L" => // lossless: sig byte 0x2F + 14-bit w-1, 14-bit h-1
+        if ((bytes(20) & 0xff) != 0x2f) Map.empty
+        else {
+          val b = (k: Int) => bytes(21 + k) & 0xff
+          val w = 1 + (b(0) | ((b(1) & 0x3f) << 8))
+          val h = 1 + ((b(1) >> 6) | (b(2) << 2) | ((b(3) & 0x0f) << 10))
+          dims(w, h)
+        }
+      case "VP8 " => // lossy keyframe: 3-byte tag + 9d 01 2a + u14 dims
+        if (bytes.length < 30 ||
+            (bytes(23) & 0xff) != 0x9d || (bytes(24) & 0xff) != 0x01 ||
+            (bytes(25) & 0xff) != 0x2a) Map.empty
+        else {
+          val w = ((bytes(26) & 0xff) | ((bytes(27) & 0xff) << 8)) & 0x3fff
+          val h = ((bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)) & 0x3fff
+          dims(w, h)
+        }
+      case "VP8X" => // extended: 24-bit canvas minus-one at +24
+        val w = 1 + ((bytes(24) & 0xff) | ((bytes(25) & 0xff) << 8) | ((bytes(26) & 0xff) << 16))
+        val h = 1 + ((bytes(27) & 0xff) | ((bytes(28) & 0xff) << 8) | ((bytes(29) & 0xff) << 16))
+        dims(w, h)
+      case _ => Map.empty
+    }
+  }
+}
+
+/** ISO BMFF (MP4/MOV): big-endian box walk — ftyp major brand, moov/mvhd
+  * timescale+duration, trak/tkhd track dimensions (16.16 fixed point).
+  */
+object Mp4Kernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    var meta = Map.empty[String, String]
+    def u32(p: Int): Long =
+      ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
+
+    def walk(start: Long, limit: Long, depth: Int): Unit = {
+      if (depth > 8) return
+      var p = start
+      while (p + 8 <= limit) {
+        var size = u32(p.toInt)
+        val typ = new String(bytes, p.toInt + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        var hdr = 8L
+        if (size == 1 && p + 16 <= limit) { size = u64(p.toInt + 8); hdr = 16L }
+        else if (size == 0) size = limit - p // box extends to end
+        if (size < hdr || p + size > limit) return
+        val body = p + hdr
+        typ match {
+          case "ftyp" if size >= hdr + 4 =>
+            meta += ("major_brand" ->
+              new String(bytes, body.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1))
+          case "moov" | "trak" | "mdia" => walk(body, p + size, depth + 1)
+          case "mvhd" if size >= hdr + 20 =>
+            val version = bytes(body.toInt) & 0xff
+            val (timescale, duration) =
+              if (version == 1 && size >= hdr + 28)
+                (u32(body.toInt + 20), u64(body.toInt + 24))
+              else (u32(body.toInt + 12), u32(body.toInt + 16))
+            if (timescale > 0)
+              meta += ("xmpDM:duration" -> f"${duration.toDouble / timescale}%.3f")
+          case "tkhd" if size >= hdr + 84 =>
+            // v0 layout: width/height are the LAST 8 bytes, 16.16 fixed
+            val e = (p + size).toInt
+            val w = u32(e - 8) >> 16
+            val h = u32(e - 4) >> 16
+            if (w > 0 && h > 0) {
+              meta += ("Image Width" -> s"$w pixels")
+              meta += ("Image Height" -> s"$h pixels")
+            }
+          case _ => ()
+        }
+        p += size
+      }
+    }
+    try walk(0L, bytes.length.toLong, 0)
+    catch { case _: ArrayIndexOutOfBoundsException => () }
+    meta
+  }
+
+  /** Duration in milliseconds, for time-based frame sampling. */
+  def durationMs(bytes: Array[Byte]): Long =
+    extract(bytes).get("xmpDM:duration")
+      .flatMap(_.toDoubleOption).map(d => (d * 1000).toLong).getOrElse(-1L)
+}

@@ -42,6 +42,9 @@ object Multimodal {
             case Magic.Kind.Jpeg => JpegKernel.extract(bytes)
             case Magic.Kind.Png  => graft.kernel.PngKernel.extract(bytes)
             case Magic.Kind.Gif  => graft.kernel.GifKernel.extract(bytes)
+            case Magic.Kind.Bmp  => graft.kernel.BmpKernel.extract(bytes)
+            case Magic.Kind.Webp => graft.kernel.WebpKernel.extract(bytes)
+            case Magic.Kind.Mp4  => graft.kernel.Mp4Kernel.extract(bytes)
             case _               => Map.empty
           }
           if (meta.nonEmpty) {
@@ -77,6 +80,9 @@ object Multimodal {
   /** Frame-sample stub for video-like payloads: emits every `stride`-th
     * 1KB block's checksum as a "frame" row — the real shape of a frame
     * sampler (one input row -> many frame rows) with a stubbed decoder.
+    * For REAL MP4 containers the mvhd duration is parsed, so each frame
+    * row carries a genuine timestamp (ts_ms = frame position scaled into
+    * the container's duration); non-video payloads get ts_ms = -1.
     */
   def frameSample(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
     import spark.implicits._
@@ -85,14 +91,20 @@ object Multimodal {
         val bytes =
           if (b64 == null || b64.isEmpty) Array.emptyByteArray
           else java.util.Base64.getDecoder.decode(b64)
+        val durMs =
+          if (Magic.sniff(bytes) == Magic.Kind.Mp4)
+            graft.kernel.Mp4Kernel.durationMs(bytes)
+          else -1L
         val nBlocks = bytes.length / 1024
-        (0 until nBlocks by stride).map { f =>
+        val picked = (0 until nBlocks by stride)
+        picked.zipWithIndex.map { case (f, k) =>
           var s = 0L
           var i = f * 1024
           while (i < (f + 1) * 1024 && i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
-          (ref, f, s)
+          val ts = if (durMs >= 0 && picked.size > 0) durMs * k / picked.size else -1L
+          (ref, f, s, ts)
         }
       }
-      .toDF("media_ref", "frame_idx", "frame_checksum")
+      .toDF("media_ref", "frame_idx", "frame_checksum", "ts_ms")
   }
 }

@@ -575,6 +575,36 @@ class KernelSpec extends AnyFunSuite {
     assert(out.metadata("dc:title") == "Scoped Subject")
   }
 
+  test("E23: WAV/BMP/WebP/MP4 container metadata (typed-metadata multimodal contract)") {
+    import graft.corpus.{BmpWriter, Mp4Writer, WavWriter, WebpWriter}
+    val wav = Extract.extractBytes("wav",
+      WavWriter.write(WavWriter.Spec(16000, 2, 2500)), Extract.Options())
+    assert(wav.contentType == "audio/vnd.wave" && wav.isMedia)
+    assert(wav.metadata("xmpDM:audioSampleRate") == "16000")
+    assert(wav.metadata("channels") == "2")
+    assert(wav.metadata("xmpDM:duration") == "2.500")
+
+    val bmp = Extract.extractBytes("bmp",
+      BmpWriter.write(BmpWriter.Spec(320, 200)), Extract.Options())
+    assert(bmp.contentType == "image/bmp" && bmp.isMedia)
+    assert(bmp.metadata("Image Width") == "320 pixels")
+    assert(bmp.metadata("Image Height") == "200 pixels")
+
+    val webp = Extract.extractBytes("webp",
+      WebpWriter.write(WebpWriter.Spec(1024, 777)), Extract.Options())
+    assert(webp.contentType == "image/webp" && webp.isMedia)
+    assert(webp.metadata("Image Width") == "1024 pixels")
+    assert(webp.metadata("Image Height") == "777 pixels")
+
+    val mp4 = Extract.extractBytes("mp4",
+      Mp4Writer.write(Mp4Writer.Spec("isom", 1000, 125500L, 640, 360)), Extract.Options())
+    assert(mp4.contentType == "video/mp4" && mp4.isMedia)
+    assert(mp4.metadata("major_brand") == "isom")
+    assert(mp4.metadata("xmpDM:duration") == "125.500")
+    assert(mp4.metadata("Image Width") == "640 pixels")
+    assert(mp4.metadata("Image Height") == "360 pixels")
+  }
+
   test("D1: text subtyping by content hints (CSV/TSV/Markdown/XML/Python)") {
     def ct(s: String): String =
       Extract.extractText("txt", s, Extract.Options()).contentType
