@@ -179,11 +179,13 @@ object SubtextGen {
 
   final case class Piece(content: String, expected: String, subtype: String)
 
-  def build(rng: SplittableRandom, lang: String): Piece = rng.nextInt(5) match {
+  def build(rng: SplittableRandom, lang: String): Piece = rng.nextInt(7) match {
     case 0 => csv(rng, lang, '\t')
     case 1 => csv(rng, lang, ',')
     case 2 => markdown(rng, lang)
     case 3 => xml(rng, lang)
+    case 4 => json(rng, lang)
+    case 5 => svg(rng, lang)
     case _ => python(rng, lang)
   }
 
@@ -223,6 +225,29 @@ object SubtextGen {
       "\n</records>"
     // XmlTextKernel emits leaf text content, one line per leaf
     Piece(content, items.mkString("\n"), "application/xml")
+  }
+
+  private def json(rng: SplittableRandom, lang: String): Piece = {
+    val tags = Vector.tabulate(2 + rng.nextInt(4))(_ => word(rng, lang))
+    val content =
+      s"""{
+         |  "title": "${TextGen.titleLine(rng, lang)}",
+         |  "count": ${rng.nextInt(1000)},
+         |  "tags": [${tags.map(t => "\"" + t + "\"").mkString(", ")}]
+         |}""".stripMargin
+    Piece(content, content, "application/json")
+  }
+
+  private def svg(rng: SplittableRandom, lang: String): Piece = {
+    val title = TextGen.titleLine(rng, lang)
+    val label = TextGen.titleLine(rng, lang)
+    val content =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      s"""<svg xmlns="http://www.w3.org/2000/svg" width="${8 + rng.nextInt(500)}" height="${8 + rng.nextInt(500)}">""" +
+      s"<title>${DocxWriter.xmlEsc(title)}</title>" +
+      s"""<text x="10" y="20">${DocxWriter.xmlEsc(label)}</text></svg>"""
+    // XmlTextKernel emits leaf text content, one line per leaf
+    Piece(content, s"$title\n$label", "image/svg+xml")
   }
 
   private def python(rng: SplittableRandom, lang: String): Piece = {

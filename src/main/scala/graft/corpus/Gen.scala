@@ -46,19 +46,21 @@ object Gen {
       if (roll < 18) Vector(txtPiece(rng, lang, giant = rng.nextInt(100) < 2))
       else if (roll < 30) Vector(htmlPiece(rng, lang))
       else if (roll < 42) Vector(pdfPiece(rng, lang, docId, 0, giant = rng.nextInt(100) < 3))
-      else if (roll < 49) Vector(docxPiece(rng, lang, docId, 0))
-      else if (roll < 53) Vector(xlsxPiece(rng, lang, docId, 0))
-      else if (roll < 56) Vector(pptxPiece(rng, lang, docId, 0))
-      else if (roll < 59) Vector(rtfPiece(rng, lang, docId, 0))
-      else if (roll < 61) Vector(odtPiece(rng, lang, docId, 0))
-      else if (roll < 63) Vector(epubPiece(rng, lang, docId, 0))
-      else if (roll < 65) Vector(jpegPiece(rng, docId, 0))
-      else if (roll < 67) Vector(pngPiece(rng, docId, 0))
-      else if (roll < 68) Vector(tiffPiece(rng, docId, 0))
-      else if (roll < 69) Vector(mp3Piece(rng, lang, docId, 0))
-      else if (roll < 70) Vector(bmpPiece(rng, docId, 0))
-      else if (roll < 71) Vector(webpPiece(rng, docId, 0))
-      else if (roll < 72) Vector(wavPiece(rng, docId, 0))
+      else if (roll < 48) Vector(docxPiece(rng, lang, docId, 0))
+      else if (roll < 52) Vector(xlsxPiece(rng, lang, docId, 0))
+      else if (roll < 55) Vector(pptxPiece(rng, lang, docId, 0))
+      else if (roll < 58) Vector(rtfPiece(rng, lang, docId, 0))
+      else if (roll < 60) Vector(odtPiece(rng, lang, docId, 0))
+      else if (roll < 61) Vector(odsPiece(rng, lang, docId, 0))
+      else if (roll < 62) Vector(odpPiece(rng, lang, docId, 0))
+      else if (roll < 64) Vector(epubPiece(rng, lang, docId, 0))
+      else if (roll < 66) Vector(jpegPiece(rng, docId, 0))
+      else if (roll < 68) Vector(pngPiece(rng, docId, 0))
+      else if (roll < 69) Vector(tiffPiece(rng, docId, 0))
+      else if (roll < 70) Vector(mp3Piece(rng, lang, docId, 0))
+      else if (roll < 71) Vector(bmpPiece(rng, docId, 0))
+      else if (roll < 72) Vector(webpPiece(rng, docId, 0))
+      else if (roll < 73) Vector(wavPiece(rng, docId, 0))
       else if (roll < 74) Vector(mp4Piece(rng, docId, 0))
       else if (roll < 77) Vector(docPiece(rng, docId, 0))
       else if (roll < 79) Vector(xlsPiece(rng, lang, docId, 0))
@@ -215,6 +217,34 @@ object Gen {
     Piece("odt", Span("odt", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
       textGolden(OdtWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def odsPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val tables = Vector.tabulate(1 + rng.nextInt(2)) { _ =>
+      Vector.tabulate(2 + rng.nextInt(6)) { _ =>
+        Vector.tabulate(2 + rng.nextInt(3))(_ => TextGen.titleLine(rng, lang))
+      }
+    }
+    val spec = OdsWriter.Spec(TextGen.titleLine(rng, lang),
+      TextGen.titleLine(rng, "en"), tables)
+    val bytes = OdsWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("ods", Span("ods", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(OdsWriter.expectedText(spec)), bytes.length.toLong)
+  }
+
+  private def odpPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val spec = OdpWriter.Spec(TextGen.titleLine(rng, lang),
+      TextGen.titleLine(rng, "en"),
+      Vector.tabulate(1 + rng.nextInt(4)) { _ =>
+        Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.titleLine(rng, lang))
+      })
+    val bytes = OdpWriter.write(spec)
+    val ref = s"m-$docId-$k"
+    Piece("odp", Span("odp", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(OdpWriter.expectedText(spec)), bytes.length.toLong)
   }
 
   private def epubPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {

@@ -73,23 +73,93 @@ object OdtWriter {
       sb.append("</office:text></office:body></office:document-content>")
       sb.toString
     }
-    val nWords = spec.paragraphs.map(_.split("\\s+").count(_.nonEmpty)).sum
-    val nChars = spec.paragraphs.map(_.length).sum
-    val metaXml =
-      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
-      "<office:document-meta xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
-      "xmlns:meta=\"urn:oasis:names:tc:opendocument:xmlns:meta:1.0\" " +
-      "xmlns:dc=\"http://purl.org/dc/elements/1.1/\"><office:meta>" +
-      s"<dc:title>${DocxWriter.xmlEsc(spec.title)}</dc:title>" +
-      s"<dc:creator>${DocxWriter.xmlEsc(spec.creator)}</dc:creator>" +
-      s"""<meta:document-statistic meta:page-count="1" meta:word-count="$nWords" meta:character-count="$nChars"/>""" +
-      "</office:meta></office:document-meta>"
     // mimetype MUST be the first entry, STORED (ODF spec) — OoxmlZip
     // stores the first entry, so the magic head-window sees it verbatim
     OoxmlZip.build(Seq(
       "mimetype" -> "application/vnd.oasis.opendocument.text",
       "content.xml" -> contentXml,
-      "meta.xml" -> metaXml))
+      "meta.xml" -> metaXml(spec.title, spec.creator, spec.paragraphs)))
+  }
+
+  /** Shared ODF meta.xml (DC + document-statistic) — ODS/ODP reuse it. */
+  private[corpus] def metaXml(title: String, creator: String,
+      paragraphs: Vector[String]): String = {
+    val nWords = paragraphs.map(_.split("\\s+").count(_.nonEmpty)).sum
+    val nChars = paragraphs.map(_.length).sum
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+    "<office:document-meta xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
+    "xmlns:meta=\"urn:oasis:names:tc:opendocument:xmlns:meta:1.0\" " +
+    "xmlns:dc=\"http://purl.org/dc/elements/1.1/\"><office:meta>" +
+    s"<dc:title>${DocxWriter.xmlEsc(title)}</dc:title>" +
+    s"<dc:creator>${DocxWriter.xmlEsc(creator)}</dc:creator>" +
+    s"""<meta:document-statistic meta:page-count="1" meta:word-count="$nWords" meta:character-count="$nChars"/>""" +
+    "</office:meta></office:document-meta>"
+  }
+}
+
+object OdsWriter {
+
+  final case class Spec(title: String, creator: String,
+      tables: Vector[Vector[Vector[String]]]) // table -> rows -> cells
+
+  def expectedText(spec: Spec): String =
+    spec.tables.map(_.map(_.mkString("\t")).mkString("\n"))
+      .filter(_.nonEmpty).mkString("\n\n")
+
+  def write(spec: Spec): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<office:document-content xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" ")
+    sb.append("xmlns:table=\"urn:oasis:names:tc:opendocument:xmlns:table:1.0\" ")
+    sb.append("xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">")
+    sb.append("<office:body><office:spreadsheet>")
+    spec.tables.zipWithIndex.foreach { case (rows, t) =>
+      sb.append(s"""<table:table table:name="Sheet${t + 1}">""")
+      rows.foreach { cells =>
+        sb.append("<table:table-row>")
+        cells.foreach { c =>
+          sb.append("<table:table-cell office:value-type=\"string\"><text:p>")
+          sb.append(DocxWriter.xmlEsc(c))
+          sb.append("</text:p></table:table-cell>")
+        }
+        sb.append("</table:table-row>")
+      }
+      sb.append("</table:table>")
+    }
+    sb.append("</office:spreadsheet></office:body></office:document-content>")
+    OoxmlZip.build(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.spreadsheet",
+      "content.xml" -> sb.toString,
+      "meta.xml" -> OdtWriter.metaXml(spec.title, spec.creator, Vector.empty)))
+  }
+}
+
+object OdpWriter {
+
+  final case class Spec(title: String, creator: String,
+      pages: Vector[Vector[String]]) // page -> paragraphs
+
+  def expectedText(spec: Spec): String =
+    spec.pages.map(_.filter(_.nonEmpty).mkString("\n"))
+      .filter(_.nonEmpty).mkString("\n\n")
+
+  def write(spec: Spec): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<office:document-content xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" ")
+    sb.append("xmlns:draw=\"urn:oasis:names:tc:opendocument:xmlns:drawing:1.0\" ")
+    sb.append("xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">")
+    sb.append("<office:body><office:presentation>")
+    spec.pages.zipWithIndex.foreach { case (paras, i) =>
+      sb.append(s"""<draw:page draw:name="page${i + 1}"><draw:frame><draw:text-box>""")
+      paras.foreach(p => sb.append("<text:p>").append(DocxWriter.xmlEsc(p)).append("</text:p>"))
+      sb.append("</draw:text-box></draw:frame></draw:page>")
+    }
+    sb.append("</office:presentation></office:body></office:document-content>")
+    OoxmlZip.build(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.presentation",
+      "content.xml" -> sb.toString,
+      "meta.xml" -> OdtWriter.metaXml(spec.title, spec.creator, Vector.empty)))
   }
 }
 

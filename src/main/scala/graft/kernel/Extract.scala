@@ -76,6 +76,18 @@ object Extract {
         case Magic.Kind.Doc  => doc(bytes, opt)
         case Magic.Kind.Rtf  => rtf(bytes, opt)
         case Magic.Kind.Odt  => odt(bytes, opt)
+        case Magic.Kind.Ods  =>
+          val r = OdsKernel.extract(bytes)
+          val content = truncate(r.text, opt)
+          Out(content, blocksOf(content),
+            "application/vnd.oasis.opendocument.spreadsheet", r.metadata,
+            isMedia = false, issue = None)
+        case Magic.Kind.Odp  =>
+          val r = OdpKernel.extract(bytes)
+          val content = truncate(r.text, opt)
+          Out(content, blocksOf(content),
+            "application/vnd.oasis.opendocument.presentation", r.metadata,
+            isMedia = false, issue = None)
         case Magic.Kind.Epub => epub(bytes, opt)
         case Magic.Kind.Jpeg => jpeg(bytes)
         case Magic.Kind.Png  =>
@@ -156,12 +168,12 @@ object Extract {
     // (reference: README.md:247). XML additionally extracts element text
     // content (markup stripped), degrading to verbatim text when malformed.
     Magic.textSubtype(text) match {
-      case Some("application/xml") =>
+      case Some(sub @ ("application/xml" | "image/svg+xml")) =>
         val extracted =
           try XmlTextKernel.extract(text)
           catch { case scala.util.control.NonFatal(_) => text }
         val content = truncate(extracted, opt)
-        Out(content, blocksOf(content), s"application/xml; charset=$charset",
+        Out(content, blocksOf(content), s"$sub; charset=$charset",
           Map("Content-Encoding" -> charset), isMedia = false, issue = None)
       case Some(sub) =>
         val content = truncate(text, opt)

@@ -23,6 +23,8 @@ object Magic {
     case object Doc     extends Kind("doc")   // OLE2/CFB container
     case object Rtf     extends Kind("rtf")
     case object Odt     extends Kind("odt")
+    case object Ods     extends Kind("ods")
+    case object Odp     extends Kind("odp")
     case object Epub    extends Kind("epub")
     case object Jpeg    extends Kind("jpeg")
     case object Png     extends Kind("png")
@@ -141,7 +143,24 @@ object Magic {
     if (text == null || text.length < 4) return None
     val head = text.take(4096)
     val trimmed = head.dropWhile(_.isWhitespace)
-    if (trimmed.startsWith("<?xml")) return Some("application/xml")
+    if (trimmed.startsWith("<?xml")) {
+      // XML root-element refinement: SVG is its own type
+      val afterProlog = trimmed.indexOf("?>") match {
+        case -1 => trimmed
+        case i  => trimmed.substring(i + 2).dropWhile(_.isWhitespace)
+      }
+      if (afterProlog.startsWith("<svg")) return Some("image/svg+xml")
+      return Some("application/xml")
+    }
+    if (trimmed.startsWith("<svg")) return Some("image/svg+xml")
+    // JSON: bracketed document with quoted members; text ends on the
+    // matching bracket class (cheap structural check, not a full parse)
+    if ((trimmed.startsWith("{") || trimmed.startsWith("[")) && trimmed.contains("\"")) {
+      // bounded: only the tail window is inspected (text can be huge)
+      val tail = text.takeRight(64).reverse.dropWhile(_.isWhitespace)
+      if (tail.nonEmpty && (tail.head == '}' || tail.head == ']'))
+        return Some("application/json")
+    }
     if (trimmed.startsWith("#!")) {
       val firstLine = trimmed.takeWhile(_ != '\n')
       if (firstLine.contains("python")) return Some("text/x-python")
@@ -184,6 +203,8 @@ object Magic {
     case Kind.Doc  => "application/msword"
     case Kind.Rtf  => "application/rtf"
     case Kind.Odt  => "application/vnd.oasis.opendocument.text"
+    case Kind.Ods  => "application/vnd.oasis.opendocument.spreadsheet"
+    case Kind.Odp  => "application/vnd.oasis.opendocument.presentation"
     case Kind.Epub => "application/epub+zip"
     case Kind.Jpeg => "image/jpeg"
     case Kind.Png  => "image/png"
@@ -242,6 +263,10 @@ object Magic {
       storedFirstEntryContent(bytes) match {
         case Some(m) if m.startsWith("application/vnd.oasis.opendocument.text") =>
           return Kind.Odt
+        case Some(m) if m.startsWith("application/vnd.oasis.opendocument.spreadsheet") =>
+          return Kind.Ods
+        case Some(m) if m.startsWith("application/vnd.oasis.opendocument.presentation") =>
+          return Kind.Odp
         case Some(m) if m.startsWith("application/epub+zip") => return Kind.Epub
         case _ => ()
       }

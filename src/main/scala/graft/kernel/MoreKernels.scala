@@ -146,15 +146,18 @@ object OdtKernel {
     OoxmlUtil.walkZip(bytes) { (name, read) =>
       name match {
         case "content.xml" => paragraphs = contentParagraphs(read())
-        case "meta.xml"    =>
-          val b = read()
-          meta ++= metaProps(b)
-          meta ++= statProps(b)
+        case "meta.xml"    => meta ++= metaOf(read())
         case _             => ()
       }
     }
     Result(paragraphs, meta)
   }
+
+  /** meta.xml -> Dublin Core + document-statistic keys (shared with the
+    * ODS/ODP kernels — the ODF metadata part is format-independent).
+    */
+  private[kernel] def metaOf(xml: Array[Byte]): Map[String, String] =
+    metaProps(xml) ++ statProps(xml)
 
   /** meta:document-statistic carries counts as ATTRIBUTES (page-count,
     * word-count, character-count) — the ODT analog of OOXML app.xml's
@@ -229,6 +232,125 @@ object OdtKernel {
       case ("generator", v)     => Seq("generator" -> v)
       case _                    => Nil
     }.toMap
+}
+
+/** ODS (OpenDocument spreadsheet): table rows/cells from content.xml in
+  * XlsxKernel's text convention (tab-separated cells, one line per row,
+  * tables blank-line separated); meta.xml Dublin Core + statistics.
+  */
+object OdsKernel {
+
+  final case class Result(tables: Vector[String], metadata: Map[String, String]) {
+    def text: String = tables.filter(_.nonEmpty).mkString("\n\n")
+  }
+
+  def extract(bytes: Array[Byte]): Result = {
+    var tables = Vector.empty[String]
+    var meta = Map.empty[String, String]
+    OoxmlUtil.walkZip(bytes) { (name, read) =>
+      name match {
+        case "content.xml" => tables = contentTables(read())
+        case "meta.xml"    => meta ++= OdtKernel.metaOf(read())
+        case _             => ()
+      }
+    }
+    Result(tables, meta)
+  }
+
+  private def contentTables(xml: Array[Byte]): Vector[String] = {
+    val r = OoxmlUtil.factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val tables = Vector.newBuilder[String]
+    val rows = Vector.newBuilder[String]
+    val cells = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inCell = false
+    var nCells = 0
+    var nRows = 0
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "table"      => rows.clear(); nRows = 0
+            case "table-row"  => cells.clear(); nCells = 0
+            case "table-cell" => inCell = true; cur.setLength(0)
+            case _            => ()
+          }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inCell) cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+            case "table-cell" =>
+              cells += cur.toString; nCells += 1; inCell = false
+            case "table-row" =>
+              if (nCells > 0) { rows += cells.result().mkString("\t"); nRows += 1 }
+            case "table" =>
+              if (nRows > 0) tables += rows.result().mkString("\n")
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    tables.result()
+  }
+}
+
+/** ODP (OpenDocument presentation): draw:page paragraphs, pages
+  * blank-line separated (PptxKernel's convention).
+  */
+object OdpKernel {
+
+  final case class Result(pages: Vector[String], metadata: Map[String, String]) {
+    def text: String = pages.filter(_.nonEmpty).mkString("\n\n")
+  }
+
+  def extract(bytes: Array[Byte]): Result = {
+    var pages = Vector.empty[String]
+    var meta = Map.empty[String, String]
+    OoxmlUtil.walkZip(bytes) { (name, read) =>
+      name match {
+        case "content.xml" => pages = contentPages(read())
+        case "meta.xml"    => meta ++= OdtKernel.metaOf(read())
+        case _             => ()
+      }
+    }
+    Result(pages, meta)
+  }
+
+  private def contentPages(xml: Array[Byte]): Vector[String] = {
+    val r = OoxmlUtil.factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val pages = Vector.newBuilder[String]
+    val paras = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inPage = false
+    var pDepth = 0
+    var nParas = 0
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "page" => inPage = true; paras.clear(); nParas = 0
+            case "p" if inPage =>
+              if (pDepth == 0) cur.setLength(0)
+              pDepth += 1
+            case _ => ()
+          }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (pDepth > 0) cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+            case "p" if inPage =>
+              pDepth -= 1
+              if (pDepth == 0 && cur.nonEmpty) { paras += cur.toString; nParas += 1 }
+            case "page" =>
+              if (nParas > 0) pages += paras.result().mkString("\n")
+              inPage = false
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    pages.result()
+  }
 }
 
 /** EPUB: zip of XHTML chapters; text via the HTML kernel per chapter in

@@ -623,6 +623,13 @@ class KernelSpec extends AnyFunSuite {
       Extract.Options())
     assert(xml.contentType == "application/xml; charset=UTF-8")
     assert(xml.content == "Alpha\nBeta")
+    // JSON and SVG refinements
+    assert(ct("""{"a": 1, "b": ["x", "y"]}""") == "application/json; charset=UTF-8")
+    val svg = Extract.extractText("txt",
+      "<?xml version=\"1.0\"?><svg xmlns=\"x\"><title>T</title><text>Label Here</text></svg>",
+      Extract.Options())
+    assert(svg.contentType == "image/svg+xml; charset=UTF-8")
+    assert(svg.content == "T\nLabel Here")
   }
 
   test("E7: unknown bytes -> empty content + octet-stream (spec/rika/parser_spec.rb:186-188,236-238)") {

@@ -224,6 +224,30 @@ class WritersSpec extends AnyFunSuite {
     }
   }
 
+  test("OdsWriter/OdpWriter -> Ods/OdpKernel round-trips (16 seeds, all languages)") {
+    import graft.corpus.{OdpWriter, OdsWriter}
+    for (seed <- 0 until 16) {
+      val rng = new SplittableRandom(seed)
+      val lang = TextGen.languages(seed % TextGen.languages.size)
+      val ods = OdsWriter.Spec("t", "a", Vector.tabulate(1 + rng.nextInt(2)) { _ =>
+        Vector.tabulate(2 + rng.nextInt(5)) { _ =>
+          Vector.tabulate(2 + rng.nextInt(3))(_ => TextGen.titleLine(rng, lang))
+        }
+      })
+      val o1 = Extract.extractBytes("ods", OdsWriter.write(ods), opts)
+      assert(o1.contentType == "application/vnd.oasis.opendocument.spreadsheet", s"seed $seed")
+      assert(o1.content == OdsWriter.expectedText(ods), s"seed $seed lang $lang")
+      assert(o1.metadata("dc:title") == "t")
+
+      val odp = OdpWriter.Spec("t", "a", Vector.tabulate(1 + rng.nextInt(3)) { _ =>
+        Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.titleLine(rng, lang))
+      })
+      val o2 = Extract.extractBytes("odp", OdpWriter.write(odp), opts)
+      assert(o2.contentType == "application/vnd.oasis.opendocument.presentation", s"seed $seed")
+      assert(o2.content == OdpWriter.expectedText(odp), s"seed $seed lang $lang")
+    }
+  }
+
   test("MsgWriter -> MsgKernel round-trip (20 seeds, all languages incl. UTF-16 CJK)") {
     import graft.corpus.MsgWriter
     for (seed <- 0 until 20) {
