@@ -70,7 +70,8 @@ object Bench {
       "dedup_jaccard", "dedup_embed_cosine", "dedup_clusters", "dedup_clusters_fix",
       "ann_topk", "ann_lsh", "ann_ivf",
       "curate_sample", "curate_filter",
-      "text_quality", "text_tokens", "text_fingerprint", "text_langid")
+      "text_quality", "text_tokens", "text_fingerprint", "text_langid",
+      "x_media_features", "x_image_dups", "x_audio_features", "x_frames")
     val results = benchQueries.map { q =>
       val s0 = System.nanoTime()
       try { SparkEntry.queries(q)(spark, sfDir).count() }

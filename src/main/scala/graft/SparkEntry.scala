@@ -179,6 +179,21 @@ object SparkEntry {
     "x_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, corpusMedia(s, dir))
         .orderBy("media_ref", "frame_idx")),
+    "x_image_dups" -> ((s, dir) =>
+      // content-level near-dup images: real pixel decode -> aHash ->
+      // banded Hamming join; catches the corpus's planted re-encodes
+      // (same plane, different PNG filters) that byte dedup misses
+      graft.operators.ImageOps.dupImages(s, corpusMedia(s, dir))),
+    "x_audio_features" -> ((s, dir) =>
+      // real PCM decode (kernel/PixelDecode.WavDecoder): round floats so
+      // driver canonicalization is platform-stable
+      Multimodal.audioFeatures(s, corpusMedia(s, dir)).toDF()
+        .filter(col("decode_ok"))
+        .select(col("media_ref"), col("sample_rate"), col("channels"),
+          col("n_samples"), round(col("duration_s"), 3).as("duration_s"),
+          round(col("rms"), 4).as("rms"),
+          round(col("zero_cross_rate"), 4).as("zero_cross_rate"))
+        .orderBy("media_ref")),
 
     // ---- relational coverage (oracled)
     "q1_agg" -> ((s, dir) =>

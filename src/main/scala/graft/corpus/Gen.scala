@@ -72,10 +72,11 @@ object Gen {
       else if (roll < 88) Vector(msgPiece(rng, lang, docId, 0))
       else if (roll < 89) Vector(binPiece(rng, docId, 0))
       else if (roll < 90) Vector(emptyPiece(rng, docId, 0))
+      else if (roll < 91) Vector(gifPiece(rng, docId, 0))
       else { // interleaved multi-span doc
         val n = if (rng.nextInt(100) < 5) 16 + rng.nextInt(17) else 2 + rng.nextInt(7)
         Vector.tabulate(n) { k =>
-          rng.nextInt(14) match {
+          rng.nextInt(15) match {
             case 0     => txtPiece(rng, lang, giant = false)
             case 1     => htmlPiece(rng, lang)
             case 2     => pdfPiece(rng, lang, docId, k, giant = false)
@@ -89,6 +90,7 @@ object Gen {
             case 10    => tiffPiece(rng, docId, k)
             case 11    => emlPiece(rng, lang, docId, k)
             case 12    => subtextPiece(rng, lang, docId, k)
+            case 13    => gifPiece(rng, docId, k)
             case _     => binPiece(rng, docId, k)
           }
         }
@@ -264,8 +266,9 @@ object Gen {
   }
 
   private def tiffPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
+    // decode-grade: full gray plane (dims tempered so payloads stay ~10-60KB)
     val bytes = TiffWriter.write(TiffWriter.Spec(
-      width = 16 + rng.nextInt(400), height = 16 + rng.nextInt(400),
+      width = 16 + rng.nextInt(224), height = 16 + rng.nextInt(224),
       software = s"graft-scan-${rng.nextInt(10)}"))
     val ref = s"m-$docId-$k"
     Piece("tiff", Span("tiff", null, ref, -1),
@@ -283,10 +286,22 @@ object Gen {
       Seq(Span("media", null, ref, -1)), bytes.length.toLong)
   }
 
+  /** Decode-grade PNG across all five color types with filter cycling.
+    * 1-in-5 draw from an 8-plane shared pool: re-encodes of the same
+    * pixel plane under different scanline filters — byte-distinct files
+    * that are content-level duplicates (the x_image_dups planted truth).
+    */
   private def pngPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
-    val bytes = PngWriter.write(PngWriter.Spec(
-      width = 8 + rng.nextInt(120), height = 8 + rng.nextInt(120),
-      seed = rng.nextLong()))
+    val spec =
+      if (rng.nextInt(5) == 0) {
+        val pool = rng.nextInt(8)
+        PngWriterEx.Spec(64 + pool * 4, 48 + pool * 4, seed = 0x5EED0000L + pool,
+          colorType = Vector(0, 2, 6)(pool % 3), cycleFilters = rng.nextBoolean())
+      } else
+        PngWriterEx.Spec(8 + rng.nextInt(120), 8 + rng.nextInt(120),
+          seed = rng.nextLong(), colorType = Vector(0, 2, 3, 4, 6)(rng.nextInt(5)),
+          cycleFilters = rng.nextBoolean())
+    val bytes = PngWriterEx.write(spec)
     val ref = s"m-$docId-$k"
     Piece("png", Span("png", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
@@ -311,17 +326,40 @@ object Gen {
       Seq(Span("media", null, ref, -1)), bytes.length.toLong)
   }
 
+  /** Decode-grade BMP: full BI_RGB plane (both row orders) so the real
+    * BmpDecoder pixel path is exercised corpus-wide, not just in specs.
+    */
   private def bmpPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
-    mediaPiece("bmp", BmpWriter.write(BmpWriter.Spec(
-      8 + rng.nextInt(500), 8 + rng.nextInt(500))), docId, k)
+    mediaPiece("bmp", BmpWriterEx.write(BmpWriterEx.Spec(
+      8 + rng.nextInt(120), 8 + rng.nextInt(120), seed = rng.nextLong(),
+      topDown = rng.nextBoolean())), docId, k)
+
+  /** Decode-grade GIF: real LZW stream (interlaced 1-in-4); 1-in-3 are
+    * animated (2-6 frames, partial rects, transparency) so frameSample's
+    * real video-ish path is exercised corpus-wide.
+    */
+  private def gifPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
+    mediaPiece("gif",
+      if (rng.nextInt(3) == 0)
+        GifWriter.writeAnim(GifWriter.AnimSpec(
+          8 + rng.nextInt(80), 8 + rng.nextInt(80), seed = rng.nextLong(),
+          nFrames = 2 + rng.nextInt(5), transparency = rng.nextBoolean()))
+      else GifWriter.write(GifWriter.Spec(
+        8 + rng.nextInt(120), 8 + rng.nextInt(120), seed = rng.nextLong(),
+        interlaced = rng.nextInt(4) == 0)), docId, k)
 
   private def webpPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
     mediaPiece("webp", WebpWriter.write(WebpWriter.Spec(
       8 + rng.nextInt(500), 8 + rng.nextInt(500))), docId, k)
 
+  /** Decode-grade WAV: complete PCM-16 sample stream (mono/stereo) so
+    * audioFeatures decodes real audio; duration metadata stays header-
+    * consistent because WavWriterEx writes the true data-chunk size.
+    */
   private def wavPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
-    mediaPiece("wav", WavWriter.write(WavWriter.Spec(
-      8000 * (1 + rng.nextInt(6)), 1 + rng.nextInt(2), 100 + rng.nextInt(5000))),
+    mediaPiece("wav", WavWriterEx.write(WavWriterEx.Spec(
+      8000 * (1 + rng.nextInt(6)), 1 + rng.nextInt(2),
+      nFrames = 1000 + rng.nextInt(8000), seed = rng.nextLong())),
       docId, k)
 
   private def mp4Piece(rng: SplittableRandom, docId: String, k: Int): Piece =

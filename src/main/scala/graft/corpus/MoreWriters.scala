@@ -218,15 +218,30 @@ object TiffWriter {
 
   final case class Spec(width: Int, height: Int, software: String)
 
-  /** Minimal little-endian TIFF: header + one IFD carrying dims, a
-    * software tag and a tiny 8-bit gray strip.
+  /** The full 8-bit gray plane this spec encodes (decode-grade: the real
+    * TiffDecoder must reproduce it exactly).
+    */
+  def plane(spec: Spec): Array[Byte] = {
+    val out = new Array[Byte](spec.width * spec.height)
+    var x = (spec.width * 31L) ^ (spec.height * 17L)
+    var i = 0
+    while (i < out.length) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out(i) = ((x >>> 33) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Little-endian baseline TIFF: one IFD carrying dims, compression=none,
+    * a software tag and a complete single-strip 8-bit gray plane.
     */
   def write(spec: Spec): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >> 16) & 0xffff) }
     val sw = spec.software + "\u0000"
-    val nTags = 6
+    val nTags = 10
     val ifdOff = 8
     val swOff = ifdOff + 2 + nTags * 12 + 4
     val dataOff = swOff + sw.length
@@ -236,17 +251,16 @@ object TiffWriter {
     tag(0x0100, 3, 1, spec.width)   // ImageWidth SHORT
     tag(0x0101, 3, 1, spec.height)  // ImageLength SHORT
     tag(0x0102, 3, 1, 8)            // BitsPerSample
-    tag(0x0106, 3, 1, 1)            // PhotometricInterpretation: gray
+    tag(0x0103, 3, 1, 1)            // Compression: none
+    tag(0x0106, 3, 1, 1)            // PhotometricInterpretation: BlackIsZero
     tag(0x0111, 4, 1, dataOff)      // StripOffsets
+    tag(0x0115, 3, 1, 1)            // SamplesPerPixel
+    tag(0x0116, 4, 1, spec.height)  // RowsPerStrip
+    tag(0x0117, 4, 1, spec.width * spec.height) // StripByteCounts
     tag(0x0131, 2, sw.length, swOff) // Software ASCII
     u32(0) // next IFD
     out.write(sw.getBytes(StandardCharsets.US_ASCII))
-    // deterministic tiny strip (content need not be decodable)
-    var x = (spec.width * 31L) ^ (spec.height * 17L)
-    for (_ <- 0 until math.min(256, spec.width * spec.height)) {
-      x = x * 6364136223846793005L + 1442695040888963407L
-      out.write(((x >>> 33) & 0xff).toInt)
-    }
+    out.write(plane(spec))
     out.toByteArray
   }
 }

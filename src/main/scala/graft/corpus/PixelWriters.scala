@@ -1,0 +1,485 @@
+package graft.corpus
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+/** Decode-grade image/audio writers: full pixel planes with analytically
+  * known contents, used to round-trip the real decoders in
+  * kernel/PixelDecode.scala. PngWriterEx exercises all five PNG scanline
+  * filters and the 0/2/3/4/6 color types; GifWriter carries a real
+  * variable-width LZW encoder (the decoder's exact inverse); BmpWriterEx
+  * and WavWriterEx emit complete planes/sample streams (the legacy
+  * MediaWriters byte-capped variants remain for the metadata tier).
+  */
+
+object PixelGen {
+  /** Deterministic pixel stream shared by writers and round-trip tests. */
+  def bytes(seed: Long, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var x = seed
+    var i = 0
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out(i) = ((x >>> 33) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+object PngWriterEx {
+
+  /** colorType: 0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA.
+    * cycleFilters=true applies filter (y % 5) to row y — the encoder-side
+    * inverse of the decoder's unfilter — so every filter path is hit.
+    */
+  final case class Spec(width: Int, height: Int, seed: Long, colorType: Int = 0,
+      cycleFilters: Boolean = false)
+
+  def channels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    case other => throw new IllegalArgumentException(s"colorType $other")
+  }
+
+  /** The raw (unfiltered) pixel plane this spec encodes — tests compare
+    * the decoder's output against exactly this.
+    */
+  def plane(spec: Spec): Array[Byte] =
+    PixelGen.bytes(spec.seed, spec.width * spec.height * channels(spec.colorType))
+
+  def palette(spec: Spec): Array[Byte] = PixelGen.bytes(spec.seed ^ 0x9e3779b9L, 256 * 3)
+
+  def write(spec: Spec): Array[Byte] = {
+    val ch = channels(spec.colorType)
+    val stride = spec.width * ch
+    val plane0 = plane(spec)
+    val raw = new Array[Byte]((stride + 1) * spec.height)
+    var y = 0
+    while (y < spec.height) {
+      val f = if (spec.cycleFilters) y % 5 else 0
+      raw(y * (stride + 1)) = f.toByte
+      val o = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = plane0(o + x) & 0xff
+        val a = if (x >= ch) plane0(o + x - ch) & 0xff else 0
+        val b = if (y > 0) plane0(o - stride + x) & 0xff else 0
+        val c = if (y > 0 && x >= ch) plane0(o - stride + x - ch) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => (cur - a) & 0xff
+          case 2 => (cur - b) & 0xff
+          case 3 => (cur - ((a + b) >> 1)) & 0xff
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (cur - pred) & 0xff
+        }
+        raw(y * (stride + 1) + 1 + x) = enc.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(be32(data.length))
+      val tb = typ.getBytes(StandardCharsets.US_ASCII)
+      out.write(tb); out.write(data)
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = new ByteArrayOutputStream()
+    def be32b(v: Int): Unit = { ihdr.write(v >> 24); ihdr.write((v >> 16) & 0xff)
+      ihdr.write((v >> 8) & 0xff); ihdr.write(v & 0xff) }
+    be32b(spec.width); be32b(spec.height)
+    ihdr.write(8); ihdr.write(spec.colorType)
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    if (spec.colorType == 3) chunk("PLTE", palette(spec))
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val packed = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) packed.write(buf, 0, d.deflate(buf))
+    d.end()
+    // split IDAT in two chunks when possible: exercises multi-IDAT concat
+    val pb = packed.toByteArray
+    if (pb.length > 2) {
+      chunk("IDAT", java.util.Arrays.copyOfRange(pb, 0, pb.length / 2))
+      chunk("IDAT", java.util.Arrays.copyOfRange(pb, pb.length / 2, pb.length))
+    } else chunk("IDAT", pb)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+}
+
+object GifWriter {
+
+  final case class Spec(width: Int, height: Int, seed: Long,
+      interlaced: Boolean = false)
+
+  /** Index plane (256-entry palette) this spec encodes, in natural row
+    * order (the writer reorders rows itself when interlaced).
+    */
+  def plane(spec: Spec): Array[Byte] = PixelGen.bytes(spec.seed, spec.width * spec.height)
+
+  def palette(spec: Spec): Array[Byte] = PixelGen.bytes(spec.seed ^ 0x517cc1b7L, 256 * 3)
+
+  def write(spec: Spec): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(spec.width); u16(spec.height)
+    out.write(0x80 | (7 << 4) | 7) // GCT present, 8-bit color res, 256 entries
+    out.write(0); out.write(0)     // background, aspect
+    out.write(palette(spec))
+    out.write(0x2c)                // image descriptor
+    u16(0); u16(0); u16(spec.width); u16(spec.height)
+    out.write(if (spec.interlaced) 0x40 else 0x00)
+    val idx0 = plane(spec)
+    val idx =
+      if (spec.interlaced) interlaceRows(idx0, spec.width, spec.height) else idx0
+    val minCode = 8
+    out.write(minCode)
+    val packed = lzwEncode(idx, minCode)
+    var off = 0
+    while (off < packed.length) {
+      val n = math.min(255, packed.length - off)
+      out.write(n)
+      out.write(packed, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Animated GIF: frame 0 covers the full screen, frames 1..n-1 are
+    * partial rects at deterministic positions; every frame carries a GCE
+    * with a distinct delay, and (when `transparency` is set) even frames
+    * mark index 0 transparent so compositing is exercised. Disposal is 0
+    * (leave) so each composite builds on the previous one.
+    */
+  final case class AnimSpec(width: Int, height: Int, seed: Long, nFrames: Int,
+      transparency: Boolean = false)
+
+  def animDelaysMs(spec: AnimSpec): Vector[Int] =
+    Vector.tabulate(spec.nFrames)(k => (4 + k) * 10) // GCE units are 10 ms
+
+  /** The rect of frame k (frame 0 is the full screen). */
+  def animRect(spec: AnimSpec, k: Int): (Int, Int, Int, Int) =
+    if (k == 0) (0, 0, spec.width, spec.height)
+    else {
+      var x = spec.seed ^ (k * 0x9e3779b97f4a7c15L)
+      def nxt(bound: Int): Int = {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (((x >>> 33) % bound).toInt + bound) % bound
+      }
+      val w = 1 + nxt(spec.width)
+      val h = 1 + nxt(spec.height)
+      val left = nxt(spec.width - w + 1)
+      val top = nxt(spec.height - h + 1)
+      (left, top, w, h)
+    }
+
+  def animFrameIndices(spec: AnimSpec, k: Int): Array[Byte] = {
+    val (_, _, w, h) = animRect(spec, k)
+    PixelGen.bytes(spec.seed * 31 + k, w * h)
+  }
+
+  /** Expected composited RGB canvases, frame by frame — the decoder's
+    * GifFrame images must equal these exactly.
+    */
+  def animComposites(spec: AnimSpec): Vector[Array[Byte]] = {
+    val pal = palette(Spec(spec.width, spec.height, spec.seed))
+    val canvas = new Array[Byte](spec.width * spec.height * 3)
+    // decoder initializes the canvas to the background color (index 0)
+    for (i <- 0 until spec.width * spec.height; c <- 0 until 3)
+      canvas(i * 3 + c) = pal(c)
+    Vector.tabulate(spec.nFrames) { k =>
+      val (left, top, w, h) = animRect(spec, k)
+      val idx = animFrameIndices(spec, k)
+      val transparent = if (spec.transparency && k % 2 == 0 && k > 0) 0 else -1
+      for (y <- 0 until h; x <- 0 until w) {
+        val ci = idx(y * w + x) & 0xff
+        if (ci != transparent) {
+          val o = ((top + y) * spec.width + left + x) * 3
+          canvas(o) = pal(ci * 3); canvas(o + 1) = pal(ci * 3 + 1)
+          canvas(o + 2) = pal(ci * 3 + 2)
+        }
+      }
+      canvas.clone()
+    }
+  }
+
+  def writeAnim(spec: AnimSpec): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(spec.width); u16(spec.height)
+    out.write(0x80 | (7 << 4) | 7) // GCT, 256 entries
+    out.write(0)                   // background = index 0
+    out.write(0)                   // aspect
+    out.write(palette(Spec(spec.width, spec.height, spec.seed)))
+    // NETSCAPE looping extension (real-world animated GIFs carry it)
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes(StandardCharsets.US_ASCII))
+    out.write(3); out.write(1); u16(0); out.write(0)
+    val delays = animDelaysMs(spec)
+    for (k <- 0 until spec.nFrames) {
+      val transparent = spec.transparency && k % 2 == 0 && k > 0
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((0 << 2) | (if (transparent) 1 else 0)) // disposal 0 + tflag
+      u16(delays(k) / 10)
+      out.write(0) // transparent index = 0
+      out.write(0) // terminator
+      val (left, top, w, h) = animRect(spec, k)
+      out.write(0x2c)
+      u16(left); u16(top); u16(w); u16(h)
+      out.write(0x00) // no local table, not interlaced
+      out.write(8)    // min code size
+      val packed = lzwEncode(animFrameIndices(spec, k), 8)
+      var off = 0
+      while (off < packed.length) {
+        val n = math.min(255, packed.length - off)
+        out.write(n); out.write(packed, off, n)
+        off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Rows in GIF interlace transmission order (passes 0,4,2,1 / steps
+    * 8,8,4,2) — the inverse of GifDecoder.deinterlace.
+    */
+  private def interlaceRows(idx: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](idx.length)
+    val passes = Array((0, 8), (4, 8), (2, 4), (1, 2))
+    var dst = 0
+    for ((start, step) <- passes) {
+      var y = start
+      while (y < h) {
+        System.arraycopy(idx, y * w, out, dst * w, w)
+        dst += 1
+        y += step
+      }
+    }
+    out
+  }
+
+  /** Variable-width LZW, LSB-first bit packing; mirrors GifDecoder.lzw's
+    * width-growth rule (widen when the table reaches 2^width; stop adding
+    * at 4096 without a reset — both sides freeze symmetrically).
+    */
+  private def lzwEncode(data: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val maxTable = 4096
+    var tableSize = eoi + 1
+    var codeWidth = minCode + 1
+    val dict = new java.util.HashMap[Long, Integer](1 << 14)
+    val out = new ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeWidth
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    put(clear)
+    if (data.isEmpty) { put(eoi); if (bitCnt > 0) out.write((bitBuf & 0xff).toInt); return out.toByteArray }
+    var prev: Int = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      val key = (prev.toLong << 8) | c
+      val hit = dict.get(key)
+      if (hit != null) prev = hit.intValue()
+      else {
+        put(prev)
+        // Widen on the PRE-add table size (the canonical compress-lineage
+        // rule): the decoder makes its k-th add only after reading code
+        // k+1, so its width grows exactly here, one code later than a
+        // post-add check would.
+        if (tableSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        if (tableSize < maxTable) {
+          dict.put(key, Integer.valueOf(tableSize))
+          tableSize += 1
+        }
+        prev = c
+      }
+      i += 1
+    }
+    put(prev)
+    // the decoder adds one last entry after the final data code and may
+    // widen before reading EOI — mirror that
+    if (tableSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+    put(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+}
+
+object TiffWriterEx {
+
+  /** TIFF decoder-coverage variants the corpus writer doesn't emit:
+    * big-endian (MM), RGB (photometric 2, 3 samples), WhiteIsZero
+    * inversion, and multi-strip layouts with RowsPerStrip +
+    * per-strip StripByteCounts.
+    */
+  final case class Spec(width: Int, height: Int, seed: Long,
+      bigEndian: Boolean = false, rgb: Boolean = false,
+      whiteIsZero: Boolean = false, rowsPerStrip: Int = 0)
+
+  def channels(spec: Spec): Int = if (spec.rgb) 3 else 1
+
+  /** The plane the decoder must return (post-inversion for WhiteIsZero). */
+  def plane(spec: Spec): Array[Byte] =
+    PixelGen.bytes(spec.seed, spec.width * spec.height * channels(spec))
+
+  def write(spec: Spec): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val be = spec.bigEndian
+    def u16(v: Int): Unit =
+      if (be) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit =
+      if (be) { u16((v >>> 16) & 0xffff); u16(v & 0xffff) }
+      else { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    val ch = channels(spec)
+    val rps = if (spec.rowsPerStrip <= 0) spec.height else spec.rowsPerStrip
+    val nStrips = (spec.height + rps - 1) / rps
+    val bytesPerRow = spec.width * ch
+    // tags: w, h, bits, compression, photometric, stripOffsets, samples,
+    // rowsPerStrip, stripByteCounts  (9)
+    val nTags = 9
+    val ifdOff = 8
+    // strip offset/count arrays (LONG) go right after the IFD when >1
+    val arraysOff = ifdOff + 2 + nTags * 12 + 4
+    val arrayBytes = if (nStrips > 1) nStrips * 4 * 2 else 0
+    val dataOff = arraysOff + arrayBytes
+    val stripLens = Array.tabulate(nStrips)(s =>
+      (math.min(rps * (s + 1), spec.height) - rps * s) * bytesPerRow)
+    val stripOffs = stripLens.scanLeft(dataOff)(_ + _).init
+    out.write(if (be) 'M' else 'I'); out.write(if (be) 'M' else 'I')
+    u16(42); u32(ifdOff)
+    u16(nTags)
+    def tag(id: Int, typ: Int, cnt: Int, v: Int): Unit = {
+      u16(id); u16(typ); u32(cnt)
+      // single SHORT values are left-justified in file byte order
+      if (typ == 3 && cnt == 1) { u16(v); u16(0) } else u32(v)
+    }
+    tag(0x0100, 3, 1, spec.width)
+    tag(0x0101, 3, 1, spec.height)
+    tag(0x0102, 3, 1, 8)
+    tag(0x0103, 3, 1, 1)
+    tag(0x0106, 3, 1, if (spec.whiteIsZero) 0 else if (spec.rgb) 2 else 1)
+    if (nStrips > 1) tag(0x0111, 4, nStrips, arraysOff)
+    else tag(0x0111, 4, 1, dataOff)
+    tag(0x0115, 3, 1, ch)
+    tag(0x0116, 4, 1, rps)
+    if (nStrips > 1) tag(0x0117, 4, nStrips, arraysOff + nStrips * 4)
+    else tag(0x0117, 4, 1, stripLens(0))
+    u32(0)
+    if (nStrips > 1) {
+      stripOffs.foreach(u32)
+      stripLens.foreach(u32)
+    }
+    val p = plane(spec)
+    if (spec.whiteIsZero) p.foreach(b => out.write(~b & 0xff))
+    else out.write(p)
+    out.toByteArray
+  }
+}
+
+object BmpWriterEx {
+
+  /** Complete BI_RGB plane: 24bpp, padded rows, bottom-up (or top-down
+    * via negative height). plane() returns the RGB row-major pixels the
+    * decoder must reproduce.
+    */
+  final case class Spec(width: Int, height: Int, seed: Long, topDown: Boolean = false)
+
+  def plane(spec: Spec): Array[Byte] = PixelGen.bytes(spec.seed, spec.width * spec.height * 3)
+
+  def write(spec: Spec): Array[Byte] = {
+    val rowSize = ((spec.width * 3 + 3) / 4) * 4
+    val dataLen = rowSize * spec.height
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    out.write('B'); out.write('M')
+    u32(54 + dataLen); u32(0); u32(54)
+    u32(40); u32(spec.width); u32(if (spec.topDown) -spec.height else spec.height)
+    u16(1); u16(24); u32(0); u32(dataLen); u32(2835); u32(2835); u32(0); u32(0)
+    val px = plane(spec)
+    val rows = 0 until spec.height
+    for (y <- if (spec.topDown) rows else rows.reverse) {
+      var x = 0
+      while (x < spec.width) {
+        val o = (y * spec.width + x) * 3
+        out.write(px(o + 2) & 0xff); out.write(px(o + 1) & 0xff); out.write(px(o) & 0xff)
+        x += 1
+      }
+      var pad = rowSize - spec.width * 3
+      while (pad > 0) { out.write(0); pad -= 1 }
+    }
+    out.toByteArray
+  }
+}
+
+object WavWriterEx {
+
+  /** Complete PCM-16 stream; samples() returns the per-frame mono floats
+    * the decoder must reproduce (for channels=2 both channels carry the
+    * same sample, so the decoder's channel-average is exact).
+    */
+  final case class Spec(sampleRate: Int, channels: Int, nFrames: Int, seed: Long)
+
+  def rawSamples(spec: Spec): Array[Short] = {
+    val out = new Array[Short](spec.nFrames)
+    var x = spec.seed
+    var i = 0
+    while (i < spec.nFrames) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out(i) = ((x >>> 33) & 0xffff).toShort
+      i += 1
+    }
+    out
+  }
+
+  def write(spec: Spec): Array[Byte] = {
+    val bits = 16
+    val byteRate = spec.sampleRate * spec.channels * bits / 8
+    val dataLen = spec.nFrames * spec.channels * 2
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
+    out.write("RIFF".getBytes(StandardCharsets.US_ASCII)); u32(36L + dataLen)
+    out.write("WAVE".getBytes(StandardCharsets.US_ASCII))
+    out.write("fmt ".getBytes(StandardCharsets.US_ASCII)); u32(16L)
+    u16(1); u16(spec.channels); u32(spec.sampleRate.toLong); u32(byteRate.toLong)
+    u16(spec.channels * bits / 8); u16(bits)
+    out.write("data".getBytes(StandardCharsets.US_ASCII)); u32(dataLen.toLong)
+    val s = rawSamples(spec)
+    var i = 0
+    while (i < spec.nFrames) {
+      var c = 0
+      while (c < spec.channels) { u16(s(i) & 0xffff); c += 1 }
+      i += 1
+    }
+    out.toByteArray
+  }
+}

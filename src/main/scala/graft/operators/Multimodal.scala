@@ -2,13 +2,17 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.kernel.{JpegKernel, Magic}
+import graft.kernel.{JpegKernel, Magic, PngDecoder, GifDecoder, BmpDecoder, TiffDecoder, WavDecoder, RawImage}
 
 /** Multimodal-column operators: image/audio/video ride as opaque binary
-  * payloads with typed metadata. The Spark-side plumbing (schema, batch
-  * iteration in mapPartitions, partitioning) is real; the heavy decode is
-  * STUBBED deterministically where a codec would sit (this container ships
-  * no image/audio libraries — the stub boundary is marked below).
+  * payloads with typed metadata. The JVM-expressible codecs are REAL from
+  * byte stream to pixel/sample plane — PNG (zlib + all five scanline
+  * filters), GIF (hand-written variable-width LZW + deinterlace), BMP
+  * (BI_RGB), WAV (PCM 8/16) — see kernel/PixelDecode.scala, round-tripped
+  * against decode-grade writers in PixelDecodeSpec. Only the perceptual
+  * transform codecs remain a declared deterministic stub (JPEG entropy
+  * scan, WebP-VP8, H.264-in-MP4: no codec jars ship in this container);
+  * their container/EXIF metadata decode is real.
   */
 object Multimodal {
 
@@ -18,15 +22,38 @@ object Multimodal {
       width: Int,
       height: Int,
       exif_software: String,
-      // STUB: a real pipeline would produce a model embedding here; this
-      // is a deterministic content-derived placeholder with the real
-      // schema (array<float>) and batch shape.
+      // Real pixel statistics when pixel_decode=true: a dim-bin normalized
+      // luma histogram (BT.601). For the stubbed perceptual codecs the
+      // same-shaped deterministic byte-derived placeholder is used.
       feature: Seq[Float],
+      pixel_decode: Boolean,
       decode_ok: Boolean)
 
+  /** Pixel decode for the JVM-expressible image codecs; None elsewhere. */
+  def decodePixels(bytes: Array[Byte], kind: Magic.Kind): Option[RawImage] = kind match {
+    case Magic.Kind.Png  => PngDecoder.decode(bytes)
+    case Magic.Kind.Gif  => GifDecoder.decode(bytes)
+    case Magic.Kind.Bmp  => BmpDecoder.decode(bytes)
+    case Magic.Kind.Tiff => TiffDecoder.decode(bytes)
+    case _               => None
+  }
+
+  /** dim-bin normalized luma histogram — the real feature vector. */
+  def lumaHistogram(img: RawImage, dim: Int): Array[Float] = {
+    val hist = new Array[Int](dim)
+    val luma = img.luma
+    var i = 0
+    while (i < luma.length) {
+      hist(math.min(dim - 1, luma(i) * dim / 256)) += 1
+      i += 1
+    }
+    val n = math.max(1, luma.length).toFloat
+    hist.map(_ / n)
+  }
+
   /** Decode + feature-extract over a media table (media_ref, bytes_b64).
-    * JPEG header/EXIF decode is REAL (JpegKernel); pixel decode is the
-    * stubbed step.
+    * PNG/GIF/BMP: full pixel decode, real luma-histogram features.
+    * JPEG/WebP/MP4: real header/EXIF metadata, stubbed pixel step.
     */
   def imageFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[ImageFeature] = {
     import spark.implicits._
@@ -44,28 +71,35 @@ object Multimodal {
             case Magic.Kind.Gif  => graft.kernel.GifKernel.extract(bytes)
             case Magic.Kind.Bmp  => graft.kernel.BmpKernel.extract(bytes)
             case Magic.Kind.Webp => graft.kernel.WebpKernel.extract(bytes)
+            case Magic.Kind.Tiff => graft.kernel.TiffKernel.extract(bytes)
             case Magic.Kind.Mp4  => graft.kernel.Mp4Kernel.extract(bytes)
             case _               => Map.empty
           }
-          if (meta.nonEmpty) {
+          val pixels = decodePixels(bytes, kind)
+          if (meta.nonEmpty || pixels.nonEmpty) {
             def px(k: String): Int =
               meta.get(k).map(_.takeWhile(_.isDigit)).filter(_.nonEmpty)
                 .map(_.toInt).getOrElse(-1)
-            ImageFeature(ref, Magic.contentTypeOf(kind, None),
-              px("Image Width"), px("Image Height"),
-              meta.getOrElse("Software", ""),
-              stubFeature(bytes, dim), decode_ok = true)
+            val (w, h) = pixels.map(i => (i.width, i.height))
+              .getOrElse((px("Image Width"), px("Image Height")))
+            val feat = pixels match {
+              case Some(img) => lumaHistogram(img, dim).toSeq
+              case None      => stubFeature(bytes, dim)
+            }
+            ImageFeature(ref, Magic.contentTypeOf(kind, None), w, h,
+              meta.getOrElse("Software", ""), feat,
+              pixel_decode = pixels.nonEmpty, decode_ok = true)
           } else {
             ImageFeature(ref, Magic.contentTypeOf(kind, None), -1, -1, "",
-              Seq.fill(dim)(0.0f), decode_ok = false)
+              Seq.fill(dim)(0.0f), pixel_decode = false, decode_ok = false)
           }
         }
       }
   }
 
   /** STUB decode: deterministic feature from payload bytes (stands in for
-    * a pixel-decode + model forward pass; keeps tests/benches meaningful
-    * because it is content-sensitive and cheap).
+    * the perceptual-codec decode + model forward pass; keeps tests/benches
+    * meaningful because it is content-sensitive and cheap).
     */
   private def stubFeature(bytes: Array[Byte], dim: Int): Seq[Float] = {
     val acc = new Array[Long](dim)
@@ -77,12 +111,75 @@ object Multimodal {
     acc.map(v => (v % 1000).toFloat / 1000.0f).toSeq
   }
 
-  /** Frame-sample stub for video-like payloads: emits every `stride`-th
-    * 1KB block's checksum as a "frame" row — the real shape of a frame
-    * sampler (one input row -> many frame rows) with a stubbed decoder.
-    * For REAL MP4 containers the mvhd duration is parsed, so each frame
-    * row carries a genuine timestamp (ts_ms = frame position scaled into
-    * the container's duration); non-video payloads get ts_ms = -1.
+  final case class AudioFeature(
+      media_ref: String,
+      content_type: String,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Int,
+      duration_s: Float,
+      rms: Float,
+      zero_cross_rate: Float,
+      peak: Float,
+      decode_ok: Boolean)
+
+  /** REAL audio decode + feature extraction for PCM WAV payloads: RMS
+    * energy, zero-crossing rate and peak over the decoded mono stream —
+    * the standard cheap audio-quality signals a training-data pipeline
+    * filters on. Non-WAV (or non-PCM) payloads yield decode_ok=false rows.
+    */
+  def audioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeature] = {
+    import spark.implicits._
+    media.select(col("media_ref"), col("bytes_b64"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (ref, b64) =>
+          val bytes =
+            if (b64 == null || b64.isEmpty) Array.emptyByteArray
+            else java.util.Base64.getDecoder.decode(b64)
+          val kind = Magic.sniff(bytes)
+          val ct = Magic.contentTypeOf(kind, None)
+          (if (kind == Magic.Kind.Wav) WavDecoder.decode(bytes) else None) match {
+            case Some(pcm) if pcm.samples.nonEmpty =>
+              var sumSq = 0.0
+              var crossings = 0
+              var peak = 0.0f
+              var i = 0
+              var prevSign = pcm.samples(0) >= 0
+              while (i < pcm.samples.length) {
+                val s = pcm.samples(i)
+                sumSq += s.toDouble * s
+                val sign = s >= 0
+                if (sign != prevSign) crossings += 1
+                prevSign = sign
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                i += 1
+              }
+              val n = pcm.samples.length
+              AudioFeature(ref, ct, pcm.sampleRate, pcm.channels, pcm.bits, n,
+                n.toFloat / pcm.sampleRate,
+                math.sqrt(sumSq / n).toFloat,
+                crossings.toFloat / n, peak, decode_ok = true)
+            case _ =>
+              AudioFeature(ref, ct, -1, -1, -1, 0, 0f, 0f, 0f, 0f, decode_ok = false)
+          }
+        }
+      }
+  }
+
+  /** Frame sampler: one media row -> N frame rows.
+    *
+    * For animated GIF the decode is REAL: every image descriptor is
+    * LZW-decoded and composited (transparency + disposal), every
+    * `stride`-th composite is emitted with its luma sum as the frame
+    * checksum and the cumulative GCE delay as a genuine timestamp.
+    *
+    * For MP4 the container's mvhd duration is real but the frame step is
+    * the declared stub (H.264 needs a codec this container doesn't ship):
+    * every `stride`-th 1KB block's byte sum stands in for a frame, with
+    * ts_ms scaled into the true duration. Other payloads get ts_ms = -1.
     */
   def frameSample(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
     import spark.implicits._
@@ -91,18 +188,35 @@ object Multimodal {
         val bytes =
           if (b64 == null || b64.isEmpty) Array.emptyByteArray
           else java.util.Base64.getDecoder.decode(b64)
-        val durMs =
-          if (Magic.sniff(bytes) == Magic.Kind.Mp4)
-            graft.kernel.Mp4Kernel.durationMs(bytes)
-          else -1L
-        val nBlocks = bytes.length / 1024
-        val picked = (0 until nBlocks by stride)
-        picked.zipWithIndex.map { case (f, k) =>
-          var s = 0L
-          var i = f * 1024
-          while (i < (f + 1) * 1024 && i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
-          val ts = if (durMs >= 0 && picked.size > 0) durMs * k / picked.size else -1L
-          (ref, f, s, ts)
+        val kind = Magic.sniff(bytes)
+        val gifFrames =
+          if (kind == Magic.Kind.Gif) GifDecoder.decodeFrames(bytes) else None
+        gifFrames match {
+          case Some(anim) =>
+            // real decoded frames: cumulative delay timestamps
+            val ts = anim.frames.scanLeft(0L)(_ + _.delayMs)
+            anim.frames.zipWithIndex
+              .filter { case (_, i) => i % stride == 0 }
+              .map { case (fr, i) =>
+                var s = 0L
+                val luma = fr.image.luma
+                var j = 0
+                while (j < luma.length) { s += luma(j); j += 1 }
+                (ref, i, s, ts(i))
+              }
+          case None =>
+            val durMs =
+              if (kind == Magic.Kind.Mp4) graft.kernel.Mp4Kernel.durationMs(bytes)
+              else -1L
+            val nBlocks = bytes.length / 1024
+            val picked = (0 until nBlocks by stride)
+            picked.zipWithIndex.map { case (f, k) =>
+              var s = 0L
+              var i = f * 1024
+              while (i < (f + 1) * 1024 && i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+              val ts = if (durMs >= 0 && picked.size > 0) durMs * k / picked.size else -1L
+              (ref, f, s, ts)
+            }
         }
       }
       .toDF("media_ref", "frame_idx", "frame_checksum", "ts_ms")

@@ -1,0 +1,268 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernel._
+import graft.corpus._
+
+/** Round-trips the real pixel/sample decoders against the decode-grade
+  * writers: the writer's analytically-known plane must come back exactly.
+  * Every PNG color type and scanline filter, GIF LZW width growth +
+  * interlace, BMP row orders, WAV channel averaging — plus never-throws
+  * fuzz over mutated bytes (taxonomy contract: failures are Nones).
+  */
+class PixelDecodeSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------ PNG
+  for (ct <- Seq(0, 2, 3, 4, 6); cyc <- Seq(false, true)) {
+    test(s"PNG round-trip colorType=$ct cycleFilters=$cyc") {
+      val spec = PngWriterEx.Spec(37, 23, seed = 0xC0FFEE + ct * 31 + (if (cyc) 7 else 0),
+        colorType = ct, cycleFilters = cyc)
+      val img = PngDecoder.decode(PngWriterEx.write(spec))
+        .getOrElse(fail(s"decode failed for $spec"))
+      if (ct == 3) {
+        // palette expands to RGB: expected plane is palette[idx]
+        assert(img.channels == 3 && img.width == 37 && img.height == 23)
+        val idx = PngWriterEx.plane(spec)
+        val pal = PngWriterEx.palette(spec)
+        val expect = new Array[Byte](37 * 23 * 3)
+        for (i <- 0 until 37 * 23; c <- 0 until 3)
+          expect(i * 3 + c) = pal((idx(i) & 0xff) * 3 + c)
+        assert(java.util.Arrays.equals(img.data, expect))
+      } else {
+        assert(img.channels == PngWriterEx.channels(ct))
+        assert(java.util.Arrays.equals(img.data, PngWriterEx.plane(spec)))
+      }
+    }
+  }
+
+  test("PNG: corpus writer (OoxmlWriters.PngWriter grayscale) decodes to its LCG plane") {
+    val w = 18; val h = 11; val seed = 99L
+    val bytes = PngWriter.write(PngWriter.Spec(w, h, seed))
+    val img = PngDecoder.decode(bytes).getOrElse(fail("corpus png decode"))
+    assert(img.width == w && img.height == h && img.channels == 1)
+    assert(java.util.Arrays.equals(img.data, PixelGen.bytes(seed, w * h)))
+  }
+
+  test("PNG: 1x1 and single-row/column edge sizes") {
+    for ((w, h) <- Seq((1, 1), (1, 9), (9, 1))) {
+      val spec = PngWriterEx.Spec(w, h, seed = w * 100 + h, colorType = 2, cycleFilters = true)
+      val img = PngDecoder.decode(PngWriterEx.write(spec)).getOrElse(fail(s"${w}x$h"))
+      assert(java.util.Arrays.equals(img.data, PngWriterEx.plane(spec)))
+    }
+  }
+
+  test("PNG: luma of an RGB image matches BT.601 integer formula") {
+    val spec = PngWriterEx.Spec(8, 8, seed = 5, colorType = 2)
+    val img = PngDecoder.decode(PngWriterEx.write(spec)).get
+    val p = PngWriterEx.plane(spec)
+    val l = img.luma
+    for (i <- 0 until 64) {
+      val r = p(i * 3) & 0xff; val g = p(i * 3 + 1) & 0xff; val b = p(i * 3 + 2) & 0xff
+      assert(l(i) == ((77 * r + 150 * g + 29 * b) >> 8))
+    }
+  }
+
+  // ------------------------------------------------------------ GIF
+  for (inter <- Seq(false, true)) {
+    test(s"GIF round-trip interlaced=$inter (256-color LZW, width growth past 511)") {
+      // 64x48 = 3072 px of 8-bit noise: the LZW table passes 512, 1024 and
+      // 2048 entries, exercising every width bump on both sides.
+      val spec = GifWriter.Spec(64, 48, seed = 0xBADF00D + (if (inter) 1 else 0),
+        interlaced = inter)
+      val img = GifDecoder.decode(GifWriter.write(spec))
+        .getOrElse(fail("gif decode"))
+      assert(img.width == 64 && img.height == 48 && img.channels == 3)
+      val idx = GifWriter.plane(spec)
+      val pal = GifWriter.palette(spec)
+      val expect = new Array[Byte](64 * 48 * 3)
+      for (i <- 0 until 64 * 48; c <- 0 until 3)
+        expect(i * 3 + c) = pal((idx(i) & 0xff) * 3 + c)
+      assert(java.util.Arrays.equals(img.data, expect))
+    }
+  }
+
+  test("GIF: dictionary freeze past 4096 entries (large plane, no clear codes)") {
+    val spec = GifWriter.Spec(128, 96, seed = 77)
+    val img = GifDecoder.decode(GifWriter.write(spec)).getOrElse(fail("gif 4096"))
+    val idx = GifWriter.plane(spec)
+    val pal = GifWriter.palette(spec)
+    var ok = true
+    for (i <- 0 until 128 * 96 if ok; c <- 0 until 3)
+      ok = img.data(i * 3 + c) == pal((idx(i) & 0xff) * 3 + c)
+    assert(ok)
+  }
+
+  test("GIF: KwKwK repetitive input (constant plane)") {
+    // A constant-color image forces the code==tableSize (KwKwK) path
+    // immediately and repeatedly.
+    val w = 40; val h = 30
+    val idx = new Array[Byte](w * h) // all index 0
+    val pal = PixelGen.bytes(123L ^ 0x517cc1b7L, 256 * 3)
+    // hand-assemble using GifWriter internals by writing a spec whose plane
+    // is constant: easiest is to build bytes directly via the public writer
+    // for a 1-color plane — patch through a tiny local writer instead.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(w); u16(h); out.write(0x80 | 0x70 | 7); out.write(0); out.write(0)
+    out.write(pal)
+    out.write(0x2c); u16(0); u16(0); u16(w); u16(h); out.write(0)
+    out.write(8) // min code size
+    // LZW-encode the constant plane with the same convention as GifWriter:
+    // reuse GifWriter by constructing a Spec then overriding is not
+    // possible; encode by calling the decoder's inverse through a
+    // spec-free path: emit with java-side re-implementation is overkill —
+    // instead, verify via GifWriter on a *nearly* constant plane whose
+    // seed produces long runs: skip and rely on decode of a tiny
+    // hand-rolled stream: clear, 0, 256(=KwKwK), eoi encodes "0,0,0".
+    val codes = Seq(256, 0, 258, 259, 257) // clear, lit0, KwKwK chain, eoi
+    var bitBuf = 0L; var bitCnt = 0; val packed = new java.io.ByteArrayOutputStream()
+    var width = 9
+    for (cd <- codes) {
+      bitBuf |= cd.toLong << bitCnt; bitCnt += width
+      while (bitCnt >= 8) { packed.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    if (bitCnt > 0) packed.write((bitBuf & 0xff).toInt)
+    val pb = packed.toByteArray
+    out.write(pb.length); out.write(pb); out.write(0); out.write(0x3b)
+    // codes decode to: 0; then 258 = KwKwK of [0] -> "00"; then 259 = KwKwK
+    // of "00" -> "000" — total 6 pixels. Use a 6-pixel image instead.
+    val bytes6 = {
+      val o2 = new java.io.ByteArrayOutputStream()
+      o2.write("GIF89a".getBytes("US-ASCII"))
+      def v16(v: Int): Unit = { o2.write(v & 0xff); o2.write((v >> 8) & 0xff) }
+      v16(6); v16(1); o2.write(0x80 | 0x70 | 7); o2.write(0); o2.write(0)
+      o2.write(pal)
+      o2.write(0x2c); v16(0); v16(0); v16(6); v16(1); o2.write(0)
+      o2.write(8)
+      o2.write(pb.length); o2.write(pb); o2.write(0); o2.write(0x3b)
+      o2.toByteArray
+    }
+    val img = GifDecoder.decode(bytes6).getOrElse(fail("KwKwK decode"))
+    assert(img.width == 6 && img.height == 1)
+    for (i <- 0 until 6; c <- 0 until 3)
+      assert(img.data(i * 3 + c) == pal(c))
+  }
+
+  // ------------------------------------------------------------ animated GIF
+  for (tr <- Seq(false, true)) {
+    test(s"GIF animation round-trip transparency=$tr (compositing, delays)") {
+      val spec = GifWriter.AnimSpec(40, 30, seed = 0xA111 + (if (tr) 1 else 0),
+        nFrames = 5, transparency = tr)
+      val anim = GifDecoder.decodeFrames(GifWriter.writeAnim(spec))
+        .getOrElse(fail("anim decode"))
+      assert(anim.width == 40 && anim.height == 30)
+      assert(anim.frames.length == 5)
+      assert(anim.frames.map(_.delayMs) == GifWriter.animDelaysMs(spec))
+      val expect = GifWriter.animComposites(spec)
+      for (k <- 0 until 5)
+        assert(java.util.Arrays.equals(anim.frames(k).image.data, expect(k)),
+          s"frame $k composite mismatch")
+    }
+  }
+
+  test("GIF animation: single-frame decode still returns the first frame plane") {
+    val spec = GifWriter.AnimSpec(24, 18, seed = 3, nFrames = 3)
+    val anim = GifDecoder.decodeFrames(GifWriter.writeAnim(spec), maxFrames = 1).get
+    assert(anim.frames.length == 1)
+    assert(java.util.Arrays.equals(anim.frames.head.image.data,
+      GifWriter.animComposites(spec).head))
+  }
+
+  test("GIF animation: plain single-frame file decodes as a 1-frame animation") {
+    val spec = GifWriter.Spec(20, 14, seed = 11)
+    val anim = GifDecoder.decodeFrames(GifWriter.write(spec)).get
+    assert(anim.frames.length == 1 && anim.frames.head.delayMs == 0)
+    assert(java.util.Arrays.equals(anim.frames.head.image.data,
+      GifDecoder.decode(GifWriter.write(spec)).get.data))
+  }
+
+  // ------------------------------------------------------------ BMP
+  for (td <- Seq(false, true)) {
+    test(s"BMP round-trip topDown=$td (24bpp, padded rows)") {
+      val spec = BmpWriterEx.Spec(33, 17, seed = 0xB0 + (if (td) 1 else 0), topDown = td)
+      val img = BmpDecoder.decode(BmpWriterEx.write(spec)).getOrElse(fail("bmp"))
+      assert(img.width == 33 && img.height == 17 && img.channels == 3)
+      assert(java.util.Arrays.equals(img.data, BmpWriterEx.plane(spec)))
+    }
+  }
+
+  test("BMP: corpus MediaWriters.BmpWriter header still decodable or cleanly None") {
+    val bytes = BmpWriter.write(BmpWriter.Spec(16, 12))
+    // the metadata-tier writer may truncate pixel data; decode must not throw
+    BmpDecoder.decode(bytes) match {
+      case Some(img) => assert(img.width == 16 && img.height == 12)
+      case None      => succeed
+    }
+  }
+
+  // ------------------------------------------------------------ TIFF
+  test("TIFF: corpus writer (LE gray single-strip) round-trips") {
+    val spec = TiffWriter.Spec(29, 21, "graft-scan-3")
+    val img = TiffDecoder.decode(TiffWriter.write(spec)).getOrElse(fail("tiff"))
+    assert(img.width == 29 && img.height == 21 && img.channels == 1)
+    assert(java.util.Arrays.equals(img.data, TiffWriter.plane(spec)))
+  }
+
+  for ((label, spec) <- Seq(
+      "BE gray" -> TiffWriterEx.Spec(17, 13, 1, bigEndian = true),
+      "LE rgb" -> TiffWriterEx.Spec(14, 10, 2, rgb = true),
+      "BE rgb multi-strip" -> TiffWriterEx.Spec(16, 23, 3, bigEndian = true, rgb = true, rowsPerStrip = 5),
+      "WhiteIsZero inversion" -> TiffWriterEx.Spec(12, 9, 4, whiteIsZero = true),
+      "LE gray multi-strip" -> TiffWriterEx.Spec(21, 34, 5, rowsPerStrip = 7))) {
+    test(s"TIFF round-trip: $label") {
+      val img = TiffDecoder.decode(TiffWriterEx.write(spec)).getOrElse(fail(label))
+      assert(img.width == spec.width && img.height == spec.height)
+      assert(img.channels == TiffWriterEx.channels(spec))
+      assert(java.util.Arrays.equals(img.data, TiffWriterEx.plane(spec)))
+    }
+  }
+
+  // ------------------------------------------------------------ WAV
+  for (ch <- Seq(1, 2)) {
+    test(s"WAV round-trip channels=$ch (PCM-16, channel average exact)") {
+      val spec = WavWriterEx.Spec(16000, ch, nFrames = 1000, seed = 0xA0 + ch)
+      val pcm = WavDecoder.decode(WavWriterEx.write(spec)).getOrElse(fail("wav"))
+      assert(pcm.sampleRate == 16000 && pcm.channels == ch && pcm.bits == 16)
+      assert(pcm.samples.length == 1000)
+      val raw = WavWriterEx.rawSamples(spec)
+      for (i <- 0 until 1000)
+        assert(pcm.samples(i) == raw(i) / 32768.0f)
+    }
+  }
+
+  test("WAV: truncated data chunk decodes the available prefix") {
+    val spec = WavWriterEx.Spec(8000, 1, nFrames = 500, seed = 9)
+    val full = WavWriterEx.write(spec)
+    val cut = java.util.Arrays.copyOfRange(full, 0, 44 + 200 * 2) // 200 frames
+    val pcm = WavDecoder.decode(cut).getOrElse(fail("truncated wav"))
+    assert(pcm.samples.length == 200)
+  }
+
+  // ------------------------------------------------------------ fuzz
+  test("decoders never throw on mutated/truncated bytes") {
+    val rng = new java.util.SplittableRandom(31337L)
+    val seeds = Seq[Array[Byte]](
+      PngWriterEx.write(PngWriterEx.Spec(16, 16, 1, colorType = 6, cycleFilters = true)),
+      GifWriter.write(GifWriter.Spec(24, 18, 2)),
+      GifWriter.writeAnim(GifWriter.AnimSpec(16, 12, 6, nFrames = 3, transparency = true)),
+      TiffWriterEx.write(TiffWriterEx.Spec(12, 18, 5, rgb = true, rowsPerStrip = 4)),
+      BmpWriterEx.write(BmpWriterEx.Spec(20, 10, 3)),
+      WavWriterEx.write(WavWriterEx.Spec(8000, 2, 300, 4)))
+    for (base <- seeds; _ <- 0 until 400) {
+      val b = base.clone()
+      val nMut = 1 + rng.nextInt(8)
+      for (_ <- 0 until nMut)
+        b(rng.nextInt(b.length)) = (rng.nextInt(256) - 128).toByte
+      val cut =
+        if (rng.nextInt(4) == 0) java.util.Arrays.copyOfRange(b, 0, rng.nextInt(b.length + 1))
+        else b
+      // must return (Some|None) without throwing
+      PngDecoder.decode(cut); GifDecoder.decode(cut)
+      GifDecoder.decodeFrames(cut)
+      BmpDecoder.decode(cut); WavDecoder.decode(cut)
+      TiffDecoder.decode(cut)
+    }
+    succeed
+  }
+}
