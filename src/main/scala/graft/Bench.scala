@@ -71,7 +71,8 @@ object Bench {
       "ann_topk", "ann_lsh", "ann_ivf",
       "curate_sample", "curate_filter",
       "text_quality", "text_tokens", "text_fingerprint", "text_langid",
-      "x_media_features", "x_image_dups", "x_audio_features", "x_frames")
+      "x_media_features", "x_image_dups", "x_image_dups_xcodec",
+      "x_audio_features", "x_frames")
     val results = benchQueries.map { q =>
       val s0 = System.nanoTime()
       try { SparkEntry.queries(q)(spark, sfDir).count() }

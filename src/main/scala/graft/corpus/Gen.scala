@@ -291,7 +291,27 @@ object Gen {
     * pixel plane under different scanline filters — byte-distinct files
     * that are content-level duplicates (the x_image_dups planted truth).
     */
+  /** Cross-codec dup pool: 8 SMOOTH gray planes each emitted as both
+    * lossless PNG (pngPiece) and lossy JPEG q90 (jpegPiece) across the
+    * corpus — the planted truth for perceptual (pHash) dedup, which no
+    * byte- or exact-pixel-level pass can pair.
+    */
+  private def xcodecPlane(pool: Int): (Int, Int, Array[Byte]) = {
+    val w = 64 + pool * 4; val h = 48 + pool * 4
+    (w, h, PixelGen.smooth(0x9CDE0000L + pool, w, h))
+  }
+
   private def pngPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
+    if (rng.nextInt(8) == 0) {
+      val (w, h, plane) = xcodecPlane(rng.nextInt(8))
+      val bytes = PngWriterEx.writeWithPlane(
+        PngWriterEx.Spec(w, h, seed = 0, colorType = 0,
+          cycleFilters = rng.nextBoolean()), plane)
+      val ref = s"m-$docId-$k"
+      return Piece("png", Span("png", null, ref, -1),
+        Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+        Seq(Span("media", null, ref, -1)), bytes.length.toLong)
+    }
     val spec =
       if (rng.nextInt(5) == 0) {
         val pool = rng.nextInt(8)
@@ -300,7 +320,7 @@ object Gen {
       } else
         PngWriterEx.Spec(8 + rng.nextInt(120), 8 + rng.nextInt(120),
           seed = rng.nextLong(), colorType = Vector(0, 2, 3, 4, 6)(rng.nextInt(5)),
-          cycleFilters = rng.nextBoolean())
+          cycleFilters = rng.nextBoolean(), interlaced = rng.nextInt(6) == 0)
     val bytes = PngWriterEx.write(spec)
     val ref = s"m-$docId-$k"
     Piece("png", Span("png", null, ref, -1),
@@ -308,11 +328,29 @@ object Gen {
       Seq(Span("media", null, ref, -1)), bytes.length.toLong)
   }
 
+  /** Decode-grade JPEG: REAL baseline-DCT encoded streams (gray 1-in-4,
+    * 4:2:0 half the color ones, occasional restart intervals) with the
+    * same EXIF Software tag the metadata kernel pins.
+    */
   private def jpegPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
-    val bytes = JpegWriter.write(JpegWriter.Spec(
-      width = 16 + rng.nextInt(500), height = 16 + rng.nextInt(500),
+    if (rng.nextInt(8) == 0) {
+      val (w, h, plane) = xcodecPlane(rng.nextInt(8))
+      val bytes = JpegWriterEx.encode(JpegWriterEx.Spec(w, h, seed = 0,
+        software = s"graft-cam-${rng.nextInt(10)}", gray = true, quality = 90), plane)
+      val ref = s"m-$docId-$k"
+      return Piece("jpeg", Span("jpeg", null, ref, -1),
+        Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+        Seq(Span("media", null, ref, -1)), bytes.length.toLong)
+    }
+    val gray = rng.nextInt(4) == 0
+    val bytes = JpegWriterEx.write(JpegWriterEx.Spec(
+      width = 16 + rng.nextInt(304), height = 16 + rng.nextInt(304),
+      seed = rng.nextLong(),
       software = s"graft-cam-${rng.nextInt(10)}",
-      scanBytes = 256 + rng.nextInt(4096)))
+      gray = gray,
+      subsample = !gray && rng.nextBoolean(),
+      quality = 75 + rng.nextInt(21),
+      restartInterval = if (rng.nextInt(8) == 0) 1 + rng.nextInt(4) else 0))
     val ref = s"m-$docId-$k"
     Piece("jpeg", Span("jpeg", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),

@@ -26,6 +26,49 @@ object PixelGen {
     }
     out
   }
+
+  /** Deterministic SMOOTH gray plane (sum of 3 low-frequency sinusoids
+    * with seed-derived frequencies/phases): the natural-image-like
+    * content a lossy codec preserves, so perceptual hashes survive a
+    * PNG -> JPEG re-encode (noise planes would not — their low-frequency
+    * DCT content is unstable under quantization).
+    */
+  def smooth(seed: Long, w: Int, h: Int): Array[Byte] = {
+    var x = seed
+    def nxt(): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) & 0x7fffffff).toInt
+    }
+    // 8 components spread over frequencies 0..4 cycles/image in each
+    // axis: populates the full low-frequency DCT block a perceptual hash
+    // thresholds over (sparse spectra leave near-zero coefficients whose
+    // sign bits are pure codec noise)
+    val nComp = 8
+    val fx = Array.fill(nComp)(nxt() % 5)
+    val fy = Array.fill(nComp)(1 + nxt() % 4)
+    val ph = Array.fill(nComp)(nxt() % 628 / 100.0)
+    val ph2 = Array.fill(nComp)(nxt() % 628 / 100.0)
+    val amp = Array.tabulate(nComp)(k => 42.0 / (1 + k * 0.7))
+    val out = new Array[Byte](w * h)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        var v = 128.0
+        var k = 0
+        while (k < nComp) {
+          v += amp(k) * math.sin(2 * math.Pi * fx(k) * xx / w + ph(k)) *
+            math.cos(2 * math.Pi * fy(k) * yy / h + ph2(k))
+          k += 1
+        }
+        val b = math.round(v).toInt
+        out(yy * w + xx) = (if (b < 0) 0 else if (b > 255) 255 else b).toByte
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
 }
 
 object PngWriterEx {
@@ -33,9 +76,15 @@ object PngWriterEx {
   /** colorType: 0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA.
     * cycleFilters=true applies filter (y % 5) to row y — the encoder-side
     * inverse of the decoder's unfilter — so every filter path is hit.
+    * interlaced=true emits Adam7 seven-pass layout (per-pass scanlines).
     */
   final case class Spec(width: Int, height: Int, seed: Long, colorType: Int = 0,
-      cycleFilters: Boolean = false)
+      cycleFilters: Boolean = false, interlaced: Boolean = false)
+
+  /** Adam7 pass grid — must mirror PngDecoder's. */
+  private val Adam7 = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
   def channels(colorType: Int): Int = colorType match {
     case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
@@ -50,14 +99,14 @@ object PngWriterEx {
 
   def palette(spec: Spec): Array[Byte] = PixelGen.bytes(spec.seed ^ 0x9e3779b9L, 256 * 3)
 
-  def write(spec: Spec): Array[Byte] = {
-    val ch = channels(spec.colorType)
-    val stride = spec.width * ch
-    val plane0 = plane(spec)
-    val raw = new Array[Byte]((stride + 1) * spec.height)
+  /** Filter one contiguous sub-plane (w x h x ch) into scanline format. */
+  private def filterPlane(plane0: Array[Byte], w: Int, h: Int, ch: Int,
+      cycleFilters: Boolean): Array[Byte] = {
+    val stride = w * ch
+    val raw = new Array[Byte]((stride + 1) * h)
     var y = 0
-    while (y < spec.height) {
-      val f = if (spec.cycleFilters) y % 5 else 0
+    while (y < h) {
+      val f = if (cycleFilters) y % 5 else 0
       raw(y * (stride + 1)) = f.toByte
       val o = y * stride
       var x = 0
@@ -82,6 +131,33 @@ object PngWriterEx {
       }
       y += 1
     }
+    raw
+  }
+
+  def write(spec: Spec): Array[Byte] = writeWithPlane(spec, plane(spec))
+
+  /** Encode an explicit pixel plane (corpus cross-codec pool pieces). */
+  def writeWithPlane(spec: Spec, plane0: Array[Byte]): Array[Byte] = {
+    val ch = channels(spec.colorType)
+    require(plane0.length == spec.width * spec.height * ch)
+    val raw: Array[Byte] =
+      if (!spec.interlaced) filterPlane(plane0, spec.width, spec.height, ch, spec.cycleFilters)
+      else {
+        // Adam7: extract each pass sub-plane, filter it independently
+        val bos = new ByteArrayOutputStream()
+        for ((x0, y0, dx, dy) <- Adam7) {
+          val pw = if (spec.width > x0) (spec.width - x0 + dx - 1) / dx else 0
+          val ph = if (spec.height > y0) (spec.height - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val sub = new Array[Byte](pw * ph * ch)
+            for (py <- 0 until ph; px <- 0 until pw; c <- 0 until ch)
+              sub((py * pw + px) * ch + c) =
+                plane0(((y0 + py * dy) * spec.width + (x0 + px * dx)) * ch + c)
+            bos.write(filterPlane(sub, pw, ph, ch, spec.cycleFilters))
+          }
+        }
+        bos.toByteArray
+      }
     val out = new ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     def chunk(typ: String, data: Array[Byte]): Unit = {
@@ -99,7 +175,7 @@ object PngWriterEx {
       ihdr.write((v >> 8) & 0xff); ihdr.write(v & 0xff) }
     be32b(spec.width); be32b(spec.height)
     ihdr.write(8); ihdr.write(spec.colorType)
-    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    ihdr.write(0); ihdr.write(0); ihdr.write(if (spec.interlaced) 1 else 0)
     chunk("IHDR", ihdr.toByteArray)
     if (spec.colorType == 3) chunk("PLTE", palette(spec))
     val d = new java.util.zip.Deflater()
@@ -336,12 +412,13 @@ object TiffWriterEx {
 
   /** TIFF decoder-coverage variants the corpus writer doesn't emit:
     * big-endian (MM), RGB (photometric 2, 3 samples), WhiteIsZero
-    * inversion, and multi-strip layouts with RowsPerStrip +
-    * per-strip StripByteCounts.
+    * inversion, multi-strip layouts with RowsPerStrip + per-strip
+    * StripByteCounts, and PackBits (32773) / LZW (5) strip compression.
     */
   final case class Spec(width: Int, height: Int, seed: Long,
       bigEndian: Boolean = false, rgb: Boolean = false,
-      whiteIsZero: Boolean = false, rowsPerStrip: Int = 0)
+      whiteIsZero: Boolean = false, rowsPerStrip: Int = 0,
+      compression: Int = 1)
 
   def channels(spec: Spec): Int = if (spec.rgb) 3 else 1
 
@@ -362,6 +439,20 @@ object TiffWriterEx {
     val rps = if (spec.rowsPerStrip <= 0) spec.height else spec.rowsPerStrip
     val nStrips = (spec.height + rps - 1) / rps
     val bytesPerRow = spec.width * ch
+    val p0 = plane(spec)
+    val p = if (spec.whiteIsZero) p0.map(b => (~b).toByte) else p0
+    // strips compressed up-front (byte counts vary under compression)
+    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+      val from = s * rps * bytesPerRow
+      val until = math.min((s + 1) * rps, spec.height) * bytesPerRow
+      val raw = java.util.Arrays.copyOfRange(p, from, until)
+      spec.compression match {
+        case 1     => raw
+        case 32773 => packBitsEncode(raw)
+        case 5     => tiffLzwEncode(raw)
+        case other => throw new IllegalArgumentException(s"compression $other")
+      }
+    }
     // tags: w, h, bits, compression, photometric, stripOffsets, samples,
     // rowsPerStrip, stripByteCounts  (9)
     val nTags = 9
@@ -370,8 +461,7 @@ object TiffWriterEx {
     val arraysOff = ifdOff + 2 + nTags * 12 + 4
     val arrayBytes = if (nStrips > 1) nStrips * 4 * 2 else 0
     val dataOff = arraysOff + arrayBytes
-    val stripLens = Array.tabulate(nStrips)(s =>
-      (math.min(rps * (s + 1), spec.height) - rps * s) * bytesPerRow)
+    val stripLens = strips.map(_.length)
     val stripOffs = stripLens.scanLeft(dataOff)(_ + _).init
     out.write(if (be) 'M' else 'I'); out.write(if (be) 'M' else 'I')
     u16(42); u32(ifdOff)
@@ -384,7 +474,7 @@ object TiffWriterEx {
     tag(0x0100, 3, 1, spec.width)
     tag(0x0101, 3, 1, spec.height)
     tag(0x0102, 3, 1, 8)
-    tag(0x0103, 3, 1, 1)
+    tag(0x0103, 3, 1, spec.compression)
     tag(0x0106, 3, 1, if (spec.whiteIsZero) 0 else if (spec.rgb) 2 else 1)
     if (nStrips > 1) tag(0x0111, 4, nStrips, arraysOff)
     else tag(0x0111, 4, 1, dataOff)
@@ -397,9 +487,98 @@ object TiffWriterEx {
       stripOffs.foreach(u32)
       stripLens.foreach(u32)
     }
-    val p = plane(spec)
-    if (spec.whiteIsZero) p.foreach(b => out.write(~b & 0xff))
-    else out.write(p)
+    strips.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** PackBits: maximal runs as (-(n-1), byte), literals batched <= 128. */
+  def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    while (i < raw.length) {
+      // measure run length at i
+      var run = 1
+      while (i + run < raw.length && raw(i + run) == raw(i) && run < 128) run += 1
+      if (run >= 2) {
+        out.write(-(run - 1) & 0xff)
+        out.write(raw(i) & 0xff)
+        i += run
+      } else {
+        // literal stretch until the next >=3 run (2-runs inside literals
+        // are cheaper left literal) or 128 cap
+        var j = i + 1
+        var n = 1
+        var stop = false
+        while (j < raw.length && n < 128 && !stop) {
+          var r = 1
+          while (j + r < raw.length && raw(j + r) == raw(j) && r < 3) r += 1
+          if (r >= 3) stop = true
+          else { j += 1; n += 1 }
+        }
+        out.write(n - 1)
+        out.write(raw, i, n)
+        i += n
+      }
+    }
+    out.toByteArray
+  }
+
+  /** TIFF LZW: MSB-first, Clear=256/EOI=257, early-change width bump
+    * mirroring kernel.TiffDecoder's lag-by-one rule; table reset before
+    * overflow.
+    */
+  def tiffLzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Long, Integer](1 << 14)
+    var next = 258
+    put(256) // Clear
+    if (raw.isEmpty) {
+      put(257)
+      if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+      return out.toByteArray
+    }
+    var prev: Int = raw(0) & 0xff
+    var i = 1
+    while (i < raw.length) {
+      val c = raw(i) & 0xff
+      val key = (prev.toLong << 8) | c
+      val hit = dict.get(key)
+      if (hit != null) prev = hit.intValue()
+      else {
+        put(prev)
+        dict.put(key, Integer.valueOf(next))
+        next += 1
+        // decoder adds its entry one code later: bump when next == 2^width
+        // (its table hits 2^width - 1 after the lagged add)
+        if (next == (1 << width) && width < 12) width += 1
+        if (next >= 4093) { // reset before the 12-bit table overflows
+          put(256)
+          dict.clear()
+          next = 258
+          width = 9
+        }
+        prev = c
+      }
+      i += 1
+    }
+    put(prev)
+    // the decoder adds one final entry after the last data code and may
+    // bump width before reading EOI — mirror that
+    next += 1
+    if (next == (1 << width) && width < 12) width += 1
+    put(257) // EOI
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
     out.toByteArray
   }
 }

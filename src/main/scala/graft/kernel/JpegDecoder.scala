@@ -1,0 +1,376 @@
+package graft.kernel
+
+/** Baseline sequential-DCT JPEG decoder (ITU T.81): marker segment walk,
+  * canonical Huffman decode (DC size + AC run/size with EOB/ZRL), zigzag
+  * dequantization, separable floating IDCT, per-component sampling-factor
+  * upsampling (4:4:4 / 4:2:2 / 4:2:0 and any h,v <= 4), restart-marker
+  * handling (DRI + RSTn with DC-predictor reset), and JFIF YCbCr -> RGB.
+  * Progressive (SOF2), arithmetic-coded and 12-bit streams return None —
+  * this covers the overwhelming majority of real-world JPEGs (baseline
+  * is what cameras and the web emit).
+  *
+  * The perceptual transform is lossy by design, so the spec-side oracle
+  * (JpegCodecSpec) asserts exact round-trips for constant blocks (DC-only
+  * streams are mathematically exact) and tight error bounds under
+  * unit quantization, rather than bit-exact planes.
+  *
+  * Like every decoder in PixelDecode.scala: malformed input yields None,
+  * never an exception (taxonomy contract).
+  */
+object JpegDecoder {
+
+  private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+    // canonical code tables per the spec's Decode procedure
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = code - 1
+        if (counts(l - 1) == 0) maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def symbol(idx: Int): Int = if (idx < symbols.length) symbols(idx) else -1
+  }
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    var bitBuf = 0
+    var bitCnt = 0
+    var sawEoi = false
+    /** next entropy-coded bit; -1 on exhaustion. Handles 0xFF00 stuffing;
+      * an unexpected marker ends the scan.
+      */
+    def bit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= bytes.length) return -1
+        var b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) return -1
+          val m = bytes(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed
+          else { sawEoi = true; return -1 } // real marker: scan over
+          b = 0xff
+        }
+        bitBuf = b
+        bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val b = bit()
+        if (b < 0) return Int.MinValue
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+    /** byte-align and consume an RSTn marker; false if absent. */
+    def restart(): Boolean = {
+      bitCnt = 0
+      // skip fill bytes to the marker
+      while (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+          ((bytes(pos + 1) & 0xff) >= 0xd0 && (bytes(pos + 1) & 0xff) <= 0xd7)) {
+        pos += 2
+        return true
+      }
+      false
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private def decodeHuff(br: BitReader, h: Huff): Int = {
+    var code = 0
+    var l = 1
+    while (l <= 16) {
+      val b = br.bit()
+      if (b < 0) return -1
+      code = (code << 1) | b
+      if (h.maxCode(l) >= 0 && code <= h.maxCode(l))
+        return h.symbol(h.valPtr(l) + code - h.minCode(l))
+      l += 1
+    }
+    -1
+  }
+
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // cosTable(u)(x) = cos((2x+1) u pi / 16) * C(u) where C(0)=1/sqrt(2)
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Separable 2-D IDCT of one dequantized block into samples (+128). */
+  private def idctBlock(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows: 1-D IDCT over u for each y-row of coefficients
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += Cos(u)(x) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s * 0.5
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += Cos(v)(yy) * tmp(v * 8 + x); v += 1 }
+        val px = math.round(s * 0.5).toInt + 128
+        out(yy * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTab: Huff = null
+    var acTab: Huff = null
+    var pred: Int = 0
+    var plane: Array[Int] = null
+    var planeW: Int = 0
+    var planeH: Int = 0
+  }
+
+  def decode(bytes: Array[Byte]): Option[RawImage] = {
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def decodeImpl(bytes: Array[Byte]): Option[RawImage] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    def u16(p: Int): Int =
+      if (p + 2 > bytes.length) -1
+      else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    val quant = Array.ofDim[Int](4, 64)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var p = 2
+    while (p + 4 <= bytes.length) {
+      if ((bytes(p) & 0xff) != 0xff) return None
+      val marker = bytes(p + 1) & 0xff
+      if (marker == 0xd8) { p += 2 }
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) { p += 2 }
+      else {
+        val len = u16(p + 2)
+        if (len < 2 || p + 2 + len > bytes.length) return None
+        val seg = p + 4
+        val segEnd = p + 2 + len
+        marker match {
+          case 0xdb => // DQT
+            var q = seg
+            while (q < segEnd) {
+              val pq = (bytes(q) & 0xf0) >> 4
+              val tq = bytes(q) & 0x0f
+              if (pq != 0 || tq > 3) return None // 8-bit tables only
+              if (q + 65 > segEnd) return None
+              var i = 0
+              while (i < 64) { quant(tq)(i) = bytes(q + 1 + i) & 0xff; i += 1 }
+              q += 65
+            }
+          case 0xc4 => // DHT
+            var q = seg
+            while (q + 17 <= segEnd) {
+              val tc = (bytes(q) & 0xf0) >> 4
+              val th = bytes(q) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(i => bytes(q + 1 + i) & 0xff)
+              val total = counts.sum
+              if (total > 256 || q + 17 + total > segEnd) return None
+              val syms = Array.tabulate(total)(i => bytes(q + 17 + i) & 0xff)
+              val tab = new Huff(counts, syms)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              q += 17 + total
+            }
+          case 0xc0 | 0xc1 => // SOF0/1 baseline(+extended) sequential
+            if (segEnd - seg < 6) return None
+            val prec = bytes(seg) & 0xff
+            if (prec != 8) return None
+            h = u16(seg + 1); w = u16(seg + 3)
+            val nc = bytes(seg + 5) & 0xff
+            if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+            if (w.toLong * h > 64L * 1024 * 1024) return None
+            if (segEnd - seg < 6 + nc * 3) return None
+            comps = Array.tabulate(nc) { i =>
+              val b = seg + 6 + i * 3
+              val hv = bytes(b + 1) & 0xff
+              val c = Comp(bytes(b) & 0xff, (hv >> 4) & 0xf, hv & 0xf, bytes(b + 2) & 0x0f)
+              if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3) return None
+              c
+            }
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // progressive/lossless/arithmetic: out of scope
+          case 0xdd => // DRI
+            if (segEnd - seg < 2) return None
+            restartInterval = u16(seg)
+          case 0xda => // SOS -> entropy-coded data follows
+            if (comps == null) return None
+            val ns = bytes(seg) & 0xff
+            if (ns != comps.length || segEnd - seg < 1 + ns * 2 + 3) return None
+            var i = 0
+            while (i < ns) {
+              val cid = bytes(seg + 1 + i * 2) & 0xff
+              val tabs = bytes(seg + 2 + i * 2) & 0xff
+              val comp = comps.find(_.id == cid).getOrElse(return None)
+              comp.dcTab = dcTabs((tabs >> 4) & 0xf)
+              comp.acTab = acTabs(tabs & 0xf)
+              if (comp.dcTab == null || (comp.acTab == null)) return None
+              i += 1
+            }
+            return decodeScan(bytes, segEnd, comps, w, h, quant, restartInterval)
+          case _ => () // APPn, COM, others: skip
+        }
+        p = segEnd
+      }
+    }
+    None
+  }
+
+  private def decodeScan(bytes: Array[Byte], scanStart: Int, comps: Array[Comp],
+      w: Int, h: Int, quant: Array[Array[Int]], restartInterval: Int): Option[RawImage] = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcuW = 8 * hMax
+    val mcuH = 8 * vMax
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    comps.foreach { c =>
+      c.planeW = mcusX * 8 * c.h
+      c.planeH = mcusY * 8 * c.v
+      if (c.planeW.toLong * c.planeH > 256L * 1024 * 1024) return None
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      c.pred = 0
+    }
+    val br = new BitReader(bytes, scanStart)
+    val coef = new Array[Int](64)
+    val px = new Array[Int](64)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restart()) return None
+        comps.foreach(_.pred = 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val qt = quant(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // ---- one 8x8 block
+            java.util.Arrays.fill(coef, 0)
+            val tDc = decodeHuff(br, c.dcTab)
+            if (tDc < 0 || tDc > 15) return None
+            val diffBits = br.receive(tDc)
+            if (diffBits == Int.MinValue) return None
+            c.pred += extend(diffBits, tDc)
+            coef(0) = c.pred * qt(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = decodeHuff(br, c.acTab)
+              if (rs < 0) return None
+              val r = (rs >> 4) & 0xf
+              val s = rs & 0xf
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true      // EOB
+              } else {
+                k += r
+                if (k > 63) return None
+                val vb = br.receive(s)
+                if (vb == Int.MinValue) return None
+                coef(Zigzag(k)) = extend(vb, s) * qt(k)
+                k += 1
+              }
+            }
+            idctBlock(coef, px)
+            val ox = (mx * c.h + bx) * 8
+            val oy = (my * c.v + by) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              val rowOff = (oy + yy) * c.planeW + ox
+              while (xx < 8) { c.plane(rowOff + xx) = px(yy * 8 + xx); xx += 1 }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // assemble: upsample components to full res, YCbCr -> RGB (or gray)
+    if (comps.length == 1) {
+      val c = comps(0)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = c.plane(y * c.planeW + x).toByte; x += 1 }
+        y += 1
+      }
+      Some(RawImage(w, h, 1, out))
+    } else {
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val lum = cy.plane((y * cy.v / vMax) * cy.planeW + (x * cy.h / hMax))
+          val b0 = cb.plane((y * cb.v / vMax) * cb.planeW + (x * cb.h / hMax)) - 128
+          val r0 = cr.plane((y * cr.v / vMax) * cr.planeW + (x * cr.h / hMax)) - 128
+          var r = math.round(lum + 1.402 * r0).toInt
+          var g = math.round(lum - 0.344136 * b0 - 0.714136 * r0).toInt
+          var b = math.round(lum + 1.772 * b0).toInt
+          if (r < 0) r = 0 else if (r > 255) r = 255
+          if (g < 0) g = 0 else if (g > 255) g = 255
+          if (b < 0) b = 0 else if (b > 255) b = 255
+          val o = (y * w + x) * 3
+          out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(RawImage(w, h, 3, out))
+    }
+  }
+}

@@ -83,23 +83,90 @@ object PngDecoder {
         p += 12 + len
       }
     }
-    if (!sawIhdr || w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    if (!sawIhdr || w <= 0 || h <= 0 || bitDepth != 8 || interlace > 1) return None
     if (w.toLong * h > 64L * 1024 * 1024) return None // 64 MP sanity bound
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
     }
     val stride = w * channels
-    val rawLen = (stride + 1).toLong * h
-    if (rawLen > Int.MaxValue) return None
-    val raw = inflate(idat.toByteArray, rawLen.toInt).getOrElse(return None)
-    if (raw.length < rawLen) return None
-    // Unfilter in place into the output plane.
+    val out =
+      if (interlace == 0) {
+        val rawLen = (stride + 1).toLong * h
+        if (rawLen > Int.MaxValue) return None
+        val raw = inflate(idat.toByteArray, rawLen.toInt).getOrElse(return None)
+        if (raw.length < rawLen) return None
+        unfilter(raw, 0, w, h, channels).getOrElse(return None)
+      } else {
+        // Adam7: seven per-pass sub-images, each with its own scanline
+        // filters, scattered into the full plane
+        var rawLen = 0L
+        for ((x0, y0, dx, dy) <- Adam7) {
+          val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) rawLen += (pw.toLong * channels + 1) * ph
+        }
+        if (rawLen > Int.MaxValue) return None
+        val raw = inflate(idat.toByteArray, rawLen.toInt).getOrElse(return None)
+        if (raw.length < rawLen) return None
+        val plane = new Array[Byte](stride * h)
+        var off = 0
+        for ((x0, y0, dx, dy) <- Adam7) {
+          val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val sub = unfilter(raw, off, pw, ph, channels).getOrElse(return None)
+            off += (pw * channels + 1) * ph
+            var py = 0
+            while (py < ph) {
+              var pxi = 0
+              while (pxi < pw) {
+                val tx = x0 + pxi * dx
+                val ty = y0 + py * dy
+                var c = 0
+                while (c < channels) {
+                  plane((ty * w + tx) * channels + c) = sub((py * pw + pxi) * channels + c)
+                  c += 1
+                }
+                pxi += 1
+              }
+              py += 1
+            }
+          }
+        }
+        plane
+      }
+    if (colorType == 3) {
+      if (palette == null) return None
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val idx = (out(i) & 0xff) * 3
+        if (idx + 2 >= palette.length) return None
+        rgb(i * 3) = palette(idx); rgb(i * 3 + 1) = palette(idx + 1)
+        rgb(i * 3 + 2) = palette(idx + 2)
+        i += 1
+      }
+      Some(RawImage(w, h, 3, rgb))
+    } else Some(RawImage(w, h, channels, out))
+  }
+
+  /** Adam7 pass grid: (xStart, yStart, xStep, yStep). */
+  private val Adam7 = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Reverse the five scanline filters over a contiguous (1 + w*ch) * h
+    * filtered region starting at `rawOff`; returns the w*ch*h plane.
+    */
+  private def unfilter(raw: Array[Byte], rawOff: Int, w: Int, h: Int,
+      channels: Int): Option[Array[Byte]] = {
+    val stride = w * channels
     val out = new Array[Byte](stride * h)
     val bpp = channels // 8-bit samples: filter unit = channels bytes
     var y = 0
     while (y < h) {
-      val rowIn = y * (stride + 1)
+      val rowIn = rawOff + y * (stride + 1)
       val filter = raw(rowIn) & 0xff
       val o = y * stride
       var x = 0
@@ -140,19 +207,7 @@ object PngDecoder {
       }
       y += 1
     }
-    if (colorType == 3) {
-      if (palette == null) return None
-      val rgb = new Array[Byte](w * h * 3)
-      var i = 0
-      while (i < w * h) {
-        val idx = (out(i) & 0xff) * 3
-        if (idx + 2 >= palette.length) return None
-        rgb(i * 3) = palette(idx); rgb(i * 3 + 1) = palette(idx + 1)
-        rgb(i * 3 + 2) = palette(idx + 2)
-        i += 1
-      }
-      Some(RawImage(w, h, 3, rgb))
-    } else Some(RawImage(w, h, channels, out))
+    Some(out)
   }
 
   private def inflate(in: Array[Byte], expect: Int): Option[Array[Byte]] = {
@@ -614,7 +669,8 @@ object TiffDecoder {
       }
       i += 1
     }
-    if (w <= 0 || h <= 0 || compression != 1 || bits != 8) return None
+    if (w <= 0 || h <= 0 || bits != 8) return None
+    if (compression != 1 && compression != 5 && compression != 32773) return None
     if (samples != 1 && samples != 3) return None
     if (photometric != 0 && photometric != 1 && photometric != 2) return None
     if (photometric == 2 && samples != 3) return None
@@ -628,13 +684,27 @@ object TiffDecoder {
     var s = 0
     while (s < stripOffsets.length && written < total) {
       val off = stripOffsets(s)
-      val want = math.min(
-        if (stripCounts != null && s < stripCounts.length) stripCounts(s)
-        else (total - written).toLong,
-        math.min(rowsPerStrip.toLong * bytesPerRow, (total - written).toLong))
-      if (off < 0 || want < 0 || off + want > bytes.length) return None
-      System.arraycopy(bytes, off.toInt, out, written, want.toInt)
-      written += want.toInt
+      val stripPixels = math.min(rowsPerStrip.toLong * bytesPerRow, (total - written).toLong).toInt
+      if (compression == 1) {
+        val want = math.min(
+          if (stripCounts != null && s < stripCounts.length) stripCounts(s)
+          else stripPixels.toLong,
+          stripPixels.toLong)
+        if (off < 0 || want < 0 || off + want > bytes.length) return None
+        System.arraycopy(bytes, off.toInt, out, written, want.toInt)
+        written += want.toInt
+      } else {
+        if (stripCounts == null || s >= stripCounts.length) return None
+        val cnt = stripCounts(s)
+        if (off < 0 || cnt < 0 || off + cnt > bytes.length) return None
+        val n =
+          if (compression == 32773)
+            packBitsDecode(bytes, off.toInt, cnt.toInt, out, written, stripPixels)
+          else
+            tiffLzwDecode(bytes, off.toInt, cnt.toInt, out, written, stripPixels)
+        if (n < 0) return None
+        written += n
+      }
       s += 1
     }
     if (written < total) return None
@@ -643,6 +713,103 @@ object TiffDecoder {
       while (j < total) { out(j) = (~out(j)).toByte; j += 1 }
     }
     Some(RawImage(w, h, samples, out))
+  }
+
+  /** PackBits (compression 32773): n in 0..127 = n+1 literals; n in
+    * -127..-1 = 1-n repeats of next byte; -128 = noop. Returns bytes
+    * produced, -1 on malformed/overflow.
+    */
+  private def packBitsDecode(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, dstMax: Int): Int = {
+    var p = off
+    val end = off + len
+    var o = dstOff
+    val oEnd = dstOff + dstMax
+    while (p < end && o < oEnd) {
+      val n = src(p); p += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        if (p + cnt > end || o + cnt > oEnd) return -1
+        System.arraycopy(src, p, dst, o, cnt)
+        p += cnt; o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        if (p >= end || o + cnt > oEnd) return -1
+        java.util.Arrays.fill(dst, o, o + cnt, src(p))
+        p += 1; o += cnt
+      }
+    }
+    o - dstOff
+  }
+
+  /** TIFF-variant LZW (compression 5): MSB-first bit packing, 9->12 bit
+    * codes, Clear=256/EOI=257, libtiff "early change" width bump at
+    * table size 2^width - 1. Returns bytes produced, -1 on malformed.
+    */
+  private def tiffLzwDecode(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, dstMax: Int): Int = {
+    val Clear = 256; val Eoi = 257; val MaxTable = 4096
+    val prefix = new Array[Int](MaxTable)
+    val suffix = new Array[Byte](MaxTable)
+    val stack = new Array[Byte](MaxTable)
+    var next = 258
+    var width = 9
+    var prev = -1
+    var bitPos = 0
+    val totalBits = len * 8
+    var o = dstOff
+    val oEnd = dstOff + dstMax
+    var firstByte: Byte = 0
+    def emit(code: Int): Boolean = {
+      var sp = 0
+      var c = code
+      while (c >= 258) {
+        if (sp >= MaxTable || c >= next) return false
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      if (c >= 256) return false
+      firstByte = c.toByte
+      if (o < oEnd) { dst(o) = c.toByte; o += 1 }
+      while (sp > 0) {
+        sp -= 1
+        if (o < oEnd) { dst(o) = stack(sp); o += 1 }
+      }
+      true
+    }
+    while (bitPos + width <= totalBits && o < oEnd) {
+      var code = 0
+      var k = 0
+      while (k < width) {
+        val b = bitPos + k
+        code = (code << 1) | ((src(off + (b >> 3)) >> (7 - (b & 7))) & 1)
+        k += 1
+      }
+      bitPos += width
+      if (code == Clear) { next = 258; width = 9; prev = -1 }
+      else if (code == Eoi) return o - dstOff
+      else if (prev == -1) {
+        if (code >= 256) return -1
+        if (!emit(code)) return -1
+        prev = code
+      } else {
+        if (code > next) return -1
+        if (code == next) {
+          val saved = firstByte
+          if (!emit(prev)) return -1
+          if (o < oEnd) { dst(o) = saved; o += 1 }
+          firstByte = saved
+        } else if (!emit(code)) return -1
+        if (next < MaxTable) {
+          prefix(next) = prev
+          suffix(next) = firstByte
+          next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    o - dstOff
   }
 }
 

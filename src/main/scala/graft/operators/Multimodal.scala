@@ -2,17 +2,18 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.kernel.{JpegKernel, Magic, PngDecoder, GifDecoder, BmpDecoder, TiffDecoder, WavDecoder, RawImage}
+import graft.kernel.{JpegKernel, JpegDecoder, Magic, PngDecoder, GifDecoder, BmpDecoder, TiffDecoder, WavDecoder, RawImage}
 
 /** Multimodal-column operators: image/audio/video ride as opaque binary
-  * payloads with typed metadata. The JVM-expressible codecs are REAL from
-  * byte stream to pixel/sample plane — PNG (zlib + all five scanline
-  * filters), GIF (hand-written variable-width LZW + deinterlace), BMP
-  * (BI_RGB), WAV (PCM 8/16) — see kernel/PixelDecode.scala, round-tripped
-  * against decode-grade writers in PixelDecodeSpec. Only the perceptual
-  * transform codecs remain a declared deterministic stub (JPEG entropy
-  * scan, WebP-VP8, H.264-in-MP4: no codec jars ship in this container);
-  * their container/EXIF metadata decode is real.
+  * payloads with typed metadata. The codecs are REAL from byte stream to
+  * pixel/sample plane — PNG (zlib + all five scanline filters), GIF
+  * (hand-written variable-width LZW + deinterlace + animation
+  * compositing), BMP (BI_RGB), baseline TIFF, JPEG (baseline sequential
+  * DCT: Huffman + dequant + IDCT + 4:2:0 upsampling, JpegDecoder.scala),
+  * WAV (PCM 8/16) — see kernel/PixelDecode.scala, round-tripped against
+  * decode-grade writers in PixelDecodeSpec/JpegCodecSpec. Only WebP-VP8
+  * and H.264-in-MP4 remain a declared deterministic stub (their
+  * container metadata decode is real).
   */
 object Multimodal {
 
@@ -29,12 +30,15 @@ object Multimodal {
       pixel_decode: Boolean,
       decode_ok: Boolean)
 
-  /** Pixel decode for the JVM-expressible image codecs; None elsewhere. */
+  /** Pixel decode for the JVM-expressible image codecs; None elsewhere
+    * (WebP-VP8 and H.264-in-MP4 remain the declared perceptual stubs).
+    */
   def decodePixels(bytes: Array[Byte], kind: Magic.Kind): Option[RawImage] = kind match {
     case Magic.Kind.Png  => PngDecoder.decode(bytes)
     case Magic.Kind.Gif  => GifDecoder.decode(bytes)
     case Magic.Kind.Bmp  => BmpDecoder.decode(bytes)
     case Magic.Kind.Tiff => TiffDecoder.decode(bytes)
+    case Magic.Kind.Jpeg => JpegDecoder.decode(bytes)
     case _               => None
   }
 

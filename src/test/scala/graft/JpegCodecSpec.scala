@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernel.JpegDecoder
+import graft.corpus.JpegWriterEx
+import graft.corpus.JpegWriterEx.Spec
+
+/** Oracle for the baseline JPEG codec pair. JPEG is lossy by
+  * construction, so exactness is asserted where the math IS exact
+  * (constant blocks are pure DC; DCT/IDCT of a constant is identity) and
+  * tight per-pixel error bounds are asserted under unit quantization,
+  * where the only error sources are coefficient rounding (<= 0.5/coef)
+  * and color-space integer rounding.
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  def maxDiff(a: Array[Byte], b: Array[Byte]): Int = {
+    require(a.length == b.length, s"${a.length} != ${b.length}")
+    var m = 0
+    var i = 0
+    while (i < a.length) {
+      val d = math.abs((a(i) & 0xff) - (b(i) & 0xff))
+      if (d > m) m = d
+      i += 1
+    }
+    m
+  }
+
+  test("constant gray image round-trips EXACTLY (pure-DC blocks)") {
+    for (v <- Seq(0, 1, 77, 128, 200, 255)) {
+      val spec = Spec(24, 16, seed = 0, gray = true, unitQuant = true)
+      val plane = Array.fill[Byte](24 * 16)(v.toByte)
+      val img = JpegDecoder.decode(JpegWriterEx.encode(spec, plane))
+        .getOrElse(fail(s"decode v=$v"))
+      assert(img.width == 24 && img.height == 16 && img.channels == 1)
+      assert(java.util.Arrays.equals(img.data, plane), s"constant $v not exact")
+    }
+  }
+
+  test("gray noise round-trip under unit quant: DCT-rounding bound only") {
+    for ((w, h) <- Seq((64, 48), (57, 41), (8, 8), (9, 7))) { // odd sizes too
+      val spec = Spec(w, h, seed = w * 1000 + h, gray = true, unitQuant = true)
+      val plane = JpegWriterEx.rgbPlane(spec)
+      val img = JpegDecoder.decode(JpegWriterEx.encode(spec, plane))
+        .getOrElse(fail(s"decode ${w}x$h"))
+      assert(img.width == w && img.height == h && img.channels == 1)
+      val d = maxDiff(img.data, plane)
+      assert(d <= 2, s"gray ${w}x$h maxDiff=$d (expected <= 2: pure DCT rounding)")
+    }
+  }
+
+  test("color 4:4:4 noise round-trip under unit quant") {
+    for ((w, h) <- Seq((48, 32), (33, 25))) {
+      val spec = Spec(w, h, seed = 7 * w + h, unitQuant = true)
+      val plane = JpegWriterEx.rgbPlane(spec)
+      val img = JpegDecoder.decode(JpegWriterEx.encode(spec, plane))
+        .getOrElse(fail(s"decode ${w}x$h"))
+      assert(img.channels == 3)
+      val d = maxDiff(img.data, plane)
+      // DCT rounding + two integer color conversions
+      assert(d <= 6, s"444 ${w}x$h maxDiff=$d")
+    }
+  }
+
+  test("color 4:2:0 with cell-constant chroma: subsampling is exact, DCT-bounded") {
+    for ((w, h) <- Seq((64, 48), (50, 38))) {
+      val spec = Spec(w, h, seed = 11 * w + h, subsample = true, unitQuant = true)
+      val plane = JpegWriterEx.rgbPlane(spec) // chroma constant per 2x2 cell
+      val img = JpegDecoder.decode(JpegWriterEx.encode(spec, plane))
+        .getOrElse(fail(s"decode ${w}x$h"))
+      val d = maxDiff(img.data, plane)
+      assert(d <= 8, s"420 ${w}x$h maxDiff=$d")
+    }
+  }
+
+  test("restart intervals: RSTn markers + DC predictor reset") {
+    val spec = Spec(80, 64, seed = 5, gray = true, unitQuant = true, restartInterval = 3)
+    val plane = JpegWriterEx.rgbPlane(spec)
+    val bytes = JpegWriterEx.encode(spec, plane)
+    // the stream really contains RST markers
+    assert((0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) >= 0xd0 && (bytes(i + 1) & 0xff) <= 0xd7))
+    val img = JpegDecoder.decode(bytes).getOrElse(fail("restart decode"))
+    assert(maxDiff(img.data, plane) <= 2)
+  }
+
+  test("standard-quality encode decodes with plausible loss (and still sane)") {
+    val spec = Spec(48, 48, seed = 9, gray = true, quality = 90)
+    val plane = JpegWriterEx.rgbPlane(spec)
+    val img = JpegDecoder.decode(JpegWriterEx.encode(spec, plane)).getOrElse(fail("q90"))
+    // noise under q90 quant is lossy but pixel values stay correlated:
+    // mean abs error well under mid-scale
+    val mae = img.data.zip(plane).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / plane.length
+    assert(mae < 48, s"mae=$mae")
+  }
+
+  test("EXIF Software + JFIF survive: JpegKernel contract unchanged") {
+    val spec = Spec(32, 24, seed = 3, software = "graft-cam-7", unitQuant = true)
+    val bytes = JpegWriterEx.write(spec)
+    assert(graft.kernel.Magic.sniff(bytes) == graft.kernel.Magic.Kind.Jpeg)
+    val meta = graft.kernel.JpegKernel.extract(bytes)
+    assert(meta.get("Software").contains("graft-cam-7"))
+    assert(meta.get("Image Width").contains("32 pixels"))
+    assert(meta.get("Image Height").contains("24 pixels"))
+  }
+
+  test("legacy pseudo-scan JPEGs (old corpus writer) return None, not garbage") {
+    val legacy = graft.corpus.JpegWriter.write(
+      graft.corpus.JpegWriter.Spec(64, 48, "cam", 512))
+    // no DHT/DQT tables: must be rejected cleanly
+    assert(JpegDecoder.decode(legacy).isEmpty)
+  }
+
+  test("decoder never throws on mutated/truncated streams") {
+    val rng = new java.util.SplittableRandom(777L)
+    val base = JpegWriterEx.write(Spec(32, 24, seed = 1, subsample = true,
+      software = "x", restartInterval = 2))
+    for (_ <- 0 until 400) {
+      val b = base.clone()
+      for (_ <- 0 until 1 + rng.nextInt(8))
+        b(rng.nextInt(b.length)) = (rng.nextInt(256) - 128).toByte
+      val cut =
+        if (rng.nextInt(4) == 0) java.util.Arrays.copyOfRange(b, 0, rng.nextInt(b.length + 1))
+        else b
+      JpegDecoder.decode(cut) // Some|None, no throw
+    }
+    succeed
+  }
+}

@@ -34,10 +34,14 @@ class MultimodalSpec extends AnyFunSuite {
     val gif = GifWriter.write(GifWriter.Spec(20, 15, 8))
     val bmp = BmpWriterEx.write(BmpWriterEx.Spec(16, 16, 9))
     val tif = TiffWriter.write(TiffWriter.Spec(18, 12, "scan-1"))
+    // legacy pseudo-scan jpeg: metadata-only (the old stub boundary)
     val jpg = JpegWriter.write(JpegWriter.Spec(64, 48, "cam-1", 512))
+    // real baseline-encoded jpeg: full pixel decode
+    val jpgR = JpegWriterEx.write(JpegWriterEx.Spec(40, 28, 5,
+      software = "cam-2", subsample = true))
     val out = Multimodal.imageFeatures(spark,
         mediaDF("png-1" -> png, "gif-1" -> gif, "bmp-1" -> bmp, "tif-1" -> tif,
-          "jpg-1" -> jpg))
+          "jpg-1" -> jpg, "jpg-2" -> jpgR))
       .collect().map(f => f.media_ref -> f).toMap
     assert(out("png-1").pixel_decode && out("png-1").width == 32 && out("png-1").height == 24)
     assert(out("gif-1").pixel_decode && out("gif-1").width == 20 && out("gif-1").height == 15)
@@ -45,6 +49,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("tif-1").pixel_decode && out("tif-1").width == 18 && out("tif-1").height == 12)
     assert(!out("jpg-1").pixel_decode && out("jpg-1").decode_ok)
     assert(out("jpg-1").width == 64 && out("jpg-1").exif_software == "cam-1")
+    assert(out("jpg-2").pixel_decode && out("jpg-2").width == 40 && out("jpg-2").height == 28)
+    assert(out("jpg-2").exif_software == "cam-2")
     // the PNG feature equals a direct luma-histogram computation
     val img = PngDecoder.decode(png).get
     val expect = Multimodal.lumaHistogram(img, 8).toSeq
@@ -124,6 +130,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq(("a1", "a2", 0)))
   }
 
+  test("pHash64 survives a lossy PNG->JPEG re-encode; distinct planes differ") {
+    import graft.operators.ImageOps
+    import graft.kernel.{PngDecoder, JpegDecoder}
+    for (pool <- 0 until 4) {
+      val w = 64 + pool * 4; val h = 48 + pool * 4
+      val plane = PixelGen.smooth(0x9CDE0000L + pool, w, h)
+      val pngImg = PngDecoder.decode(PngWriterEx.writeWithPlane(
+        PngWriterEx.Spec(w, h, 0, colorType = 0, cycleFilters = true), plane)).get
+      val jpgImg = JpegDecoder.decode(JpegWriterEx.encode(
+        JpegWriterEx.Spec(w, h, 0, gray = true, quality = 90), plane)).get
+      val d = java.lang.Long.bitCount(ImageOps.pHash64(pngImg) ^ ImageOps.pHash64(jpgImg))
+      assert(d <= 10, s"pool $pool: cross-codec pHash distance $d")
+    }
+    // distinct smooth planes must be far apart
+    val a = PixelGen.smooth(1L, 64, 48); val b = PixelGen.smooth(2L, 64, 48)
+    val ia = graft.kernel.RawImage(64, 48, 1, a)
+    val ib = graft.kernel.RawImage(64, 48, 1, b)
+    val d2 = java.lang.Long.bitCount(
+      graft.operators.ImageOps.pHash64(ia) ^ graft.operators.ImageOps.pHash64(ib))
+    assert(d2 > 16, s"distinct planes too close: $d2")
+  }
+
+  test("dupImages perceptual pairs PNG and JPEG encodings of one plane") {
+    val (w, h) = (68, 52)
+    val plane = PixelGen.smooth(0x9CDE0001L, w, h)
+    val png = PngWriterEx.writeWithPlane(
+      PngWriterEx.Spec(w, h, 0, colorType = 0), plane)
+    val jpg = JpegWriterEx.encode(JpegWriterEx.Spec(w, h, 0, gray = true, quality = 90), plane)
+    val other = PngWriterEx.write(PngWriterEx.Spec(50, 40, 77, colorType = 2))
+    val pairs = graft.operators.ImageOps.dupImages(spark,
+        mediaDF("p" -> png, "j" -> jpg, "o" -> other),
+        maxHamming = 10, blocks = 8, perceptual = true)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq == Seq(("j", "p")))
+  }
+
   test("aHash64 is invariant across container encodings of the same plane") {
     import graft.operators.ImageOps
     import graft.kernel._
@@ -154,6 +196,14 @@ class MultimodalSpec extends AnyFunSuite {
         8 + rng.nextInt(120), 8 + rng.nextInt(120), rng.nextLong(), rng.nextInt(4) == 0))
       assert(graft.kernel.GifDecoder.decode(gif).nonEmpty)
       assert(Magic.sniff(gif) == Magic.Kind.Gif)
+      val gray = rng.nextInt(4) == 0
+      val jpg = JpegWriterEx.write(JpegWriterEx.Spec(
+        16 + rng.nextInt(304), 16 + rng.nextInt(304), rng.nextLong(),
+        software = "cam", gray = gray, subsample = !gray && rng.nextBoolean(),
+        quality = 75 + rng.nextInt(21),
+        restartInterval = if (rng.nextInt(8) == 0) 1 + rng.nextInt(4) else 0))
+      assert(graft.kernel.JpegDecoder.decode(jpg).nonEmpty)
+      assert(Magic.sniff(jpg) == Magic.Kind.Jpeg)
     }
   }
 }

@@ -43,6 +43,25 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(img.data, PixelGen.bytes(seed, w * h)))
   }
 
+  for (ct <- Seq(0, 2, 6)) {
+    test(s"PNG Adam7 interlaced round-trip colorType=$ct") {
+      // 21x13: no dimension divisible by 8, so every pass has partial size
+      val spec = PngWriterEx.Spec(21, 13, seed = 0xADA7 + ct, colorType = ct,
+        cycleFilters = true, interlaced = true)
+      val img = PngDecoder.decode(PngWriterEx.write(spec)).getOrElse(fail("adam7"))
+      assert(img.width == 21 && img.height == 13)
+      assert(java.util.Arrays.equals(img.data, PngWriterEx.plane(spec)))
+    }
+  }
+
+  test("PNG Adam7: tiny sizes where passes are empty") {
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 5), (8, 8))) {
+      val spec = PngWriterEx.Spec(w, h, seed = w * 31 + h, colorType = 2, interlaced = true)
+      val img = PngDecoder.decode(PngWriterEx.write(spec)).getOrElse(fail(s"${w}x$h"))
+      assert(java.util.Arrays.equals(img.data, PngWriterEx.plane(spec)))
+    }
+  }
+
   test("PNG: 1x1 and single-row/column edge sizes") {
     for ((w, h) <- Seq((1, 1), (1, 9), (9, 1))) {
       val spec = PngWriterEx.Spec(w, h, seed = w * 100 + h, colorType = 2, cycleFilters = true)
@@ -209,12 +228,54 @@ class PixelDecodeSpec extends AnyFunSuite {
       "LE rgb" -> TiffWriterEx.Spec(14, 10, 2, rgb = true),
       "BE rgb multi-strip" -> TiffWriterEx.Spec(16, 23, 3, bigEndian = true, rgb = true, rowsPerStrip = 5),
       "WhiteIsZero inversion" -> TiffWriterEx.Spec(12, 9, 4, whiteIsZero = true),
-      "LE gray multi-strip" -> TiffWriterEx.Spec(21, 34, 5, rowsPerStrip = 7))) {
+      "LE gray multi-strip" -> TiffWriterEx.Spec(21, 34, 5, rowsPerStrip = 7),
+      "PackBits gray" -> TiffWriterEx.Spec(30, 22, 6, compression = 32773, rowsPerStrip = 6),
+      "PackBits rgb BE" -> TiffWriterEx.Spec(19, 11, 7, bigEndian = true, rgb = true, compression = 32773),
+      "LZW gray" -> TiffWriterEx.Spec(40, 30, 8, compression = 5),
+      "LZW rgb multi-strip" -> TiffWriterEx.Spec(26, 33, 9, rgb = true, compression = 5, rowsPerStrip = 8),
+      // 64x64 rgb = 12288 bytes/plane: the LZW table passes 512 and 1024
+      "LZW width growth" -> TiffWriterEx.Spec(64, 64, 10, rgb = true, compression = 5))) {
     test(s"TIFF round-trip: $label") {
       val img = TiffDecoder.decode(TiffWriterEx.write(spec)).getOrElse(fail(label))
       assert(img.width == spec.width && img.height == spec.height)
       assert(img.channels == TiffWriterEx.channels(spec))
       assert(java.util.Arrays.equals(img.data, TiffWriterEx.plane(spec)))
+    }
+  }
+
+  test("TIFF compression: run-heavy planes through PackBits and LZW") {
+    // hand-built LE gray TIFF around an arbitrary compressed strip
+    def tiffWith(w: Int, h: Int, compression: Int, strip: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+      val nTags = 9
+      val dataOff = 8 + 2 + nTags * 12 + 4
+      out.write('I'); out.write('I'); u16(42); u32(8)
+      u16(nTags)
+      def tag(id: Int, typ: Int, cnt: Int, v: Int): Unit = {
+        u16(id); u16(typ); u32(cnt)
+        if (typ == 3) { u16(v); u16(0) } else u32(v)
+      }
+      tag(0x0100, 3, 1, w); tag(0x0101, 3, 1, h); tag(0x0102, 3, 1, 8)
+      tag(0x0103, 3, 1, compression); tag(0x0106, 3, 1, 1)
+      tag(0x0111, 4, 1, dataOff); tag(0x0115, 3, 1, 1)
+      tag(0x0116, 4, 1, h); tag(0x0117, 4, 1, strip.length)
+      u32(0)
+      out.write(strip)
+      out.toByteArray
+    }
+    // runs + literals + long constant stretch (PackBits 128-run split,
+    // LZW KwKwK chains)
+    val plane = Array.tabulate[Byte](48 * 10)(i =>
+      if (i < 200) 7 else if (i < 260) (i % 11).toByte else 99)
+    for ((comp, enc) <- Seq(
+        32773 -> TiffWriterEx.packBitsEncode(plane),
+        5 -> TiffWriterEx.tiffLzwEncode(plane))) {
+      assert(enc.length < plane.length, s"comp=$comp should compress runs")
+      val img = TiffDecoder.decode(tiffWith(48, 10, comp, enc))
+        .getOrElse(fail(s"comp=$comp"))
+      assert(java.util.Arrays.equals(img.data, plane), s"comp=$comp plane mismatch")
     }
   }
 
@@ -247,6 +308,9 @@ class PixelDecodeSpec extends AnyFunSuite {
       GifWriter.write(GifWriter.Spec(24, 18, 2)),
       GifWriter.writeAnim(GifWriter.AnimSpec(16, 12, 6, nFrames = 3, transparency = true)),
       TiffWriterEx.write(TiffWriterEx.Spec(12, 18, 5, rgb = true, rowsPerStrip = 4)),
+      TiffWriterEx.write(TiffWriterEx.Spec(16, 14, 6, compression = 5, rowsPerStrip = 5)),
+      TiffWriterEx.write(TiffWriterEx.Spec(15, 9, 7, compression = 32773)),
+      PngWriterEx.write(PngWriterEx.Spec(13, 11, 8, colorType = 2, interlaced = true)),
       BmpWriterEx.write(BmpWriterEx.Spec(20, 10, 3)),
       WavWriterEx.write(WavWriterEx.Spec(8000, 2, 300, 4)))
     for (base <- seeds; _ <- 0 until 400) {
