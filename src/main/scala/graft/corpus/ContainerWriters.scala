@@ -162,11 +162,25 @@ object ArchiveWriter {
     out.toByteArray
   }
 
-  def writeTarGz(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+  def writeTarGz(members: Seq[(String, Array[Byte])]): Array[Byte] =
+    writeWrapped(writeTar(members), "gz")
+
+  /** Wrap arbitrary bytes in one of the wrapper codecs ("gz"/"bz2"/
+    * "xz"/"zst") — bzip2/xz/zstd via the jars the Spark platform ships.
+    */
+  def writeWrapped(payload: Array[Byte], codec: String): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    val gz = new GZIPOutputStream(out)
-    gz.write(writeTar(members))
-    gz.close()
+    val w: java.io.OutputStream = codec match {
+      case "gz"  => new GZIPOutputStream(out)
+      case "bz2" =>
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(out)
+      case "xz"  =>
+        new org.tukaani.xz.XZOutputStream(out, new org.tukaani.xz.LZMA2Options(3))
+      case "zst" => new com.github.luben.zstd.ZstdOutputStream(out)
+      case other => throw new IllegalArgumentException(other)
+    }
+    w.write(payload)
+    w.close()
     out.toByteArray
   }
 }

@@ -70,7 +70,8 @@ object Gen {
       else if (roll < 85) Vector(targzPiece(rng, lang, docId, 0))
       else if (roll < 87) Vector(subtextPiece(rng, lang, docId, 0))
       else if (roll < 88) Vector(msgPiece(rng, lang, docId, 0))
-      else if (roll < 89) Vector(binPiece(rng, docId, 0))
+      else if (roll < 89) Vector(
+        if (rng.nextBoolean()) binPiece(rng, docId, 0) else exoticPiece(rng, docId, 0))
       else if (roll < 90) Vector(emptyPiece(rng, docId, 0))
       else if (roll < 91) Vector(gifPiece(rng, docId, 0))
       else { // interleaved multi-span doc
@@ -386,9 +387,20 @@ object Gen {
         8 + rng.nextInt(120), 8 + rng.nextInt(120), seed = rng.nextLong(),
         interlaced = rng.nextInt(4) == 0)), docId, k)
 
+  /** Decode-grade WebP: 2-in-3 are REAL VP8L entropy-coded streams
+    * (LZ77 + color-cache variants); 1-in-3 keep the metadata-tier
+    * header-only shape (the pixel_decode=false boundary stays observable).
+    */
   private def webpPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
-    mediaPiece("webp", WebpWriter.write(WebpWriter.Spec(
-      8 + rng.nextInt(500), 8 + rng.nextInt(500))), docId, k)
+    mediaPiece("webp",
+      if (rng.nextInt(3) < 2)
+        WebpWriterEx.write(WebpWriterEx.Spec(
+          8 + rng.nextInt(120), 8 + rng.nextInt(120), seed = rng.nextLong(),
+          useLz77 = rng.nextBoolean(),
+          cacheBits = if (rng.nextBoolean()) 4 + rng.nextInt(3) else 0,
+          smooth = rng.nextInt(4) == 0))
+      else WebpWriter.write(WebpWriter.Spec(
+        8 + rng.nextInt(500), 8 + rng.nextInt(500))), docId, k)
 
   /** Decode-grade WAV: complete PCM-16 sample stream (mono/stereo) so
     * audioFeatures decodes real audio; duration metadata stays header-
@@ -529,18 +541,47 @@ object Gen {
       textGolden(expected), bytes.length.toLong)
   }
 
+  /** Wrapped tar: .tar.{gz,bz2,xz,zst} — all four wrapper codecs open
+    * to the same member text (extraction is wrapper-invariant).
+    */
   private def targzPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
     val n = 2 + rng.nextInt(3)
     val members = Vector.tabulate(n) { m =>
       val text = TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))
       (s"docs/part$m.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8), text)
     }
-    val bytes = ArchiveWriter.writeTarGz(members.map(m => (m._1, m._2)))
+    val codec = Vector("gz", "gz", "bz2", "xz", "zst")(rng.nextInt(5))
+    val bytes = ArchiveWriter.writeWrapped(
+      ArchiveWriter.writeTar(members.map(m => (m._1, m._2))), codec)
     val expected = members.map(_._3).mkString("\n\n")
     val ref = s"m-$docId-$k"
     Piece("tgz", Span("tgz", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
       textGolden(expected), bytes.length.toLong)
+  }
+
+  /** Detection-only exotic magics (7z/rar/flac/ogg): typed opaque rows
+    * in the tallies, no golden text.
+    */
+  private def exoticPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
+    val magic: Array[Byte] = rng.nextInt(4) match {
+      case 0 => Array('7', 'z', 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c)
+      case 1 => Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00)
+      case 2 => "fLaC".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      case _ => "OggS".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    val n = 64 + rng.nextInt(512)
+    val body = new Array[Byte](n)
+    var x = rng.nextLong()
+    var j = 0
+    while (j < n) { x = x * 6364136223846793005L + 1442695040888963407L
+      body(j) = ((x >>> 33) & 0xff).toByte; j += 1 }
+    val bytes = magic ++ body
+    val ref = s"m-$docId-$k"
+    // golden mirrors binPiece (typed-opaque rows carry no golden span)
+    Piece("exotic", Span("exotic", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      Nil, bytes.length.toLong)
   }
 
   /** Refined-subtype text (CSV/TSV/Markdown/XML/Python), half inline text

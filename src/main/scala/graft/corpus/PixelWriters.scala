@@ -408,6 +408,195 @@ object GifWriter {
   }
 }
 
+object WebpWriterEx {
+
+  /** Decode-grade lossless WebP (VP8L): real entropy coding — full
+    * (non-simple) prefix codes serialized through the code-length code,
+    * optional LZ77 run back-references (linear distance codes) and an
+    * optional color cache — exactly the subset kernel.Vp8lDecoder
+    * decodes. Uniform code lengths keep the canonical-code emission
+    * trivially correct (symbol == code) while exercising the decoder's
+    * full code-length machinery.
+    */
+  final case class Spec(width: Int, height: Int, seed: Long,
+      useLz77: Boolean = true, cacheBits: Int = 0, smooth: Boolean = false)
+
+  /** RGBA plane the decoder must reproduce (alpha 255). */
+  def plane(spec: Spec): Array[Byte] = {
+    val n = spec.width * spec.height
+    val rgb =
+      if (spec.smooth) {
+        val g = PixelGen.smooth(spec.seed, spec.width, spec.height)
+        Array.tabulate[Byte](n * 3)(i => g(i / 3))
+      } else PixelGen.bytes(spec.seed, n * 3)
+    val out = new Array[Byte](n * 4)
+    var i = 0
+    while (i < n) {
+      out(i * 4) = rgb(i * 3); out(i * 4 + 1) = rgb(i * 3 + 1)
+      out(i * 4 + 2) = rgb(i * 3 + 2); out(i * 4 + 3) = 0xff.toByte
+      i += 1
+    }
+    // plant literal runs so the LZ77 path is exercised deterministically
+    if (spec.useLz77 && n > 40) {
+      var r = 8
+      while (r + 12 < n) {
+        var k = 0
+        while (k < 8) {
+          System.arraycopy(out, r * 4, out, (r + 1 + k) * 4, 4)
+          k += 1
+        }
+        r += math.max(16, n / 10)
+      }
+    }
+    out
+  }
+
+  private final class Bw(out: ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    /** n plain bits, LSB-first (header fields, extra bits). */
+    def bits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        buf |= ((v >> i) & 1) << cnt
+        cnt += 1
+        if (cnt == 8) { out.write(buf); buf = 0; cnt = 0 }
+        i += 1
+      }
+    }
+    /** an L-bit prefix code, MSB of the code first (decoder builds the
+      * code by appending each read bit on the right).
+      */
+    def code(c: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { bits((c >> i) & 1, 1); i -= 1 }
+    }
+    def flush(): Unit = if (cnt > 0) { out.write(buf); buf = 0; cnt = 0 }
+  }
+
+  /** Serialize a uniform-length code over alphabet [0, count): every
+    * symbol gets `len` bits via code-length symbol `len` + repeat-16s.
+    */
+  private def writeUniformCode(bw: Bw, count: Int, len: Int): Unit = {
+    bw.bits(0, 1)        // not simple
+    bw.bits(15, 4)       // 19 code-length codes follow
+    // cl-lengths in CodeLengthOrder(17,18,0..5,16,6..15): {len:1, 16:1}
+    val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+    for (s <- order) bw.bits(if (s == len || s == 16) 1 else 0, 3)
+    bw.bits(0, 1)        // no max-symbol limit
+    // cl code: two 1-bit symbols; canonical => smaller symbol = code 0
+    val lenCode = if (len < 16) 0 else 1
+    val repCode = 1 - lenCode
+    bw.code(lenCode, 1)  // first symbol: length `len`
+    var remaining = count - 1
+    while (remaining > 0) {
+      var c = math.min(6, remaining)
+      if (remaining - c != 0 && remaining - c < 3) c = remaining - 3
+      bw.code(repCode, 1)
+      bw.bits(c - 3, 2)
+      remaining -= c
+    }
+  }
+
+  /** value (>=1) -> (symbol, extraBits, extraVal): inverse of the
+    * decoder's lengthFromSymbol.
+    */
+  private def lzSym(value: Int): (Int, Int, Int) = {
+    if (value <= 4) (value - 1, 0, 0)
+    else {
+      // find slot: offset = (2 + (sym&1)) << extraBits, value in (offset, offset + 2^extraBits]
+      var sym = 4
+      var found = (-1, -1, -1)
+      while (sym < 24 && found._1 < 0) {
+        val eb = (sym - 2) >> 1
+        val off = (2 + (sym & 1)) << eb
+        if (value >= off + 1 && value <= off + (1 << eb)) found = (sym, eb, value - off - 1)
+        sym += 1
+      }
+      require(found._1 >= 0, s"lz value $value out of range")
+      found
+    }
+  }
+
+  def write(spec: Spec): Array[Byte] = {
+    val px = plane(spec)
+    val n = spec.width * spec.height
+    val payload = new ByteArrayOutputStream()
+    payload.write(0x2f)
+    val bw = new Bw(payload)
+    bw.bits(spec.width - 1, 14)
+    bw.bits(spec.height - 1, 14)
+    bw.bits(1, 1)  // alpha hint
+    bw.bits(0, 3)  // version
+    bw.bits(0, 1)  // no transforms
+    if (spec.cacheBits > 0) { bw.bits(1, 1); bw.bits(spec.cacheBits, 4) }
+    else bw.bits(0, 1)
+    bw.bits(0, 1)  // no meta prefix
+    val cacheSize = if (spec.cacheBits > 0) 1 << spec.cacheBits else 0
+    val greenAlpha = 256 + 24 + cacheSize
+    val greenLen = 9 + (if (greenAlpha > 512) 2 else 0) // 11 covers +2048 cache
+    writeUniformCode(bw, greenAlpha, greenLen)
+    writeUniformCode(bw, 256, 8) // red
+    writeUniformCode(bw, 256, 8) // blue
+    writeUniformCode(bw, 256, 8) // alpha
+    writeUniformCode(bw, 40, 6)  // distance
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    def argbAt(i: Int): Int =
+      ((px(i * 4 + 3) & 0xff) << 24) | ((px(i * 4) & 0xff) << 16) |
+        ((px(i * 4 + 1) & 0xff) << 8) | (px(i * 4 + 2) & 0xff)
+    def cacheIdx(v: Int): Int = ((v * 0x1e35a7bd) >>> (32 - spec.cacheBits)) % cacheSize
+    var i = 0
+    while (i < n) {
+      val cur = argbAt(i)
+      // LZ77: longest run of pixels equal to their d=1 predecessor
+      var runLen = 0
+      if (spec.useLz77 && i > 0) {
+        while (i + runLen < n && runLen < 100 && argbAt(i + runLen) == argbAt(i + runLen - 1))
+          runLen += 1
+      }
+      if (runLen >= 3) {
+        val (ls, leb, lev) = lzSym(runLen)
+        bw.code(256 + ls, greenLen)
+        if (leb > 0) bw.bits(lev, leb)
+        val (ds, deb, dev) = lzSym(1 + 120) // distance 1, linear code
+        bw.code(ds, 6)
+        if (deb > 0) bw.bits(dev, deb)
+        var k = 0
+        while (k < runLen) {
+          if (cache != null) cache(cacheIdx(argbAt(i + k))) = argbAt(i + k)
+          k += 1
+        }
+        i += runLen
+      } else if (cache != null && cache(cacheIdx(cur)) == cur) {
+        bw.code(256 + 24 + cacheIdx(cur), greenLen)
+        i += 1
+      } else {
+        bw.code((cur >> 8) & 0xff, greenLen)   // green
+        bw.code((cur >> 16) & 0xff, 8)         // red
+        bw.code(cur & 0xff, 8)                 // blue
+        bw.code((cur >>> 24) & 0xff, 8)        // alpha
+        if (cache != null) cache(cacheIdx(cur)) = cur
+        i += 1
+      }
+    }
+    bw.flush()
+    val body = payload.toByteArray
+    val out = new ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write("RIFF".getBytes(StandardCharsets.US_ASCII))
+    u32(4 + 8 + body.length + (body.length & 1))
+    out.write("WEBP".getBytes(StandardCharsets.US_ASCII))
+    out.write("VP8L".getBytes(StandardCharsets.US_ASCII))
+    u32(body.length)
+    out.write(body)
+    if ((body.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+}
+
 object TiffWriterEx {
 
   /** TIFF decoder-coverage variants the corpus writer doesn't emit:

@@ -75,8 +75,25 @@ object ArchiveKernel {
   }
 
   /** Bounded gzip inflate (for the Extract gzip case). */
-  def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(bytes))
+  def gunzip(bytes: Array[Byte]): Array[Byte] =
+    unwrap(Magic.Kind.Gzip, bytes)
+
+  /** Bounded single-layer decompress for the wrapper codecs. Gzip is
+    * JDK; bzip2/xz/zstd come from the jars every Spark distribution
+    * ships (commons-compress, org.tukaani.xz, zstd-jni — Spark itself
+    * uses them for shuffle/event-log codecs), so this is platform use,
+    * not a new dependency.
+    */
+  def unwrap(kind: Magic.Kind, bytes: Array[Byte]): Array[Byte] = {
+    val raw = new ByteArrayInputStream(bytes)
+    val in: java.io.InputStream = kind match {
+      case Magic.Kind.Gzip => new java.util.zip.GZIPInputStream(raw)
+      case Magic.Kind.Bz2 =>
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(raw)
+      case Magic.Kind.Xz  => new org.tukaani.xz.XZInputStream(raw)
+      case Magic.Kind.Zstd => new com.github.luben.zstd.ZstdInputStream(raw)
+      case other => throw new IllegalArgumentException(s"not a wrapper codec: $other")
+    }
     try {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
@@ -84,7 +101,7 @@ object ArchiveKernel {
       while (r >= 0) {
         out.write(buf, 0, r)
         if (out.size() > OoxmlUtil.MaxPartBytes)
-          throw new IllegalArgumentException("gzip exceeds inflate bound")
+          throw new IllegalArgumentException("wrapper exceeds inflate bound")
         r = in.read(buf)
       }
       out.toByteArray

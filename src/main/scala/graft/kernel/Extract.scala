@@ -128,25 +128,32 @@ object Extract {
         case Magic.Kind.Tar =>
           if (depth >= ArchiveKernel.MaxDepth) octetStream
           else archive(ArchiveKernel.tar(bytes, opt, depth), "application/x-tar", opt)
-        case Magic.Kind.Gzip =>
-          // compression wrapper, not a container: the inflated payload
-          // re-dispatches at the SAME depth (so .tar.gz opens at depth 0)
-          // but wrapper nesting itself is unwrapped iteratively with a
-          // hard bound of 2 — a 10k-deep gzip nest must not become 10k
-          // recursion frames (StackOverflowError escapes NonFatal)
-          var payload = ArchiveKernel.gunzip(bytes)
+        case k @ (Magic.Kind.Gzip | Magic.Kind.Bz2 | Magic.Kind.Xz | Magic.Kind.Zstd) =>
+          // compression wrappers, not containers: the decompressed
+          // payload re-dispatches at the SAME depth (so .tar.gz/.tar.xz
+          // open at depth 0) but wrapper nesting itself — including
+          // MIXED nests like gz(bz2(...)) — is unwrapped iteratively
+          // with a hard bound of 2: a 10k-deep wrapper nest must not
+          // become 10k recursion frames (StackOverflowError escapes
+          // NonFatal), so the loop below is the ONLY wrapper recursion
+          var payload = ArchiveKernel.unwrap(k, bytes)
           var unwraps = 1
-          def isGz(b: Array[Byte]) =
-            b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
-          while (unwraps < 2 && isGz(payload)) {
-            payload = ArchiveKernel.gunzip(payload); unwraps += 1
+          var inner = Magic.sniff(payload)
+          while (unwraps < 2 && Magic.isWrapper(inner)) {
+            payload = ArchiveKernel.unwrap(inner, payload); unwraps += 1
+            inner = Magic.sniff(payload)
           }
-          if (isGz(payload))
-            Out("", Vector.empty, "application/gzip", Map.empty,
+          if (Magic.isWrapper(inner))
+            Out("", Vector.empty, Magic.contentTypeOf(k, None), Map.empty,
               isMedia = false, issue = None)
           else
             extractBytes0(claimedKind, payload, opt, depth)
-              .copy(contentType = "application/gzip", isMedia = false)
+              .copy(contentType = Magic.contentTypeOf(k, None), isMedia = false)
+        case k @ (Magic.Kind.SevenZ | Magic.Kind.Rar | Magic.Kind.Flac | Magic.Kind.Ogg) =>
+          // detection-only breadth: correctly TYPED opaque rows (the
+          // codecs have no JVM-expressible parser in this environment)
+          Out("", Vector.empty, Magic.contentTypeOf(k, None), Map.empty,
+            isMedia = false, issue = None)
         case Magic.Kind.Unknown => octetStream
       }
     } catch { case scala.util.control.NonFatal(_) => failure(IssueParseError) }

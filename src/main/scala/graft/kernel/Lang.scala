@@ -23,7 +23,8 @@ object Lang {
 
   val Undetermined = "und"
 
-  private val langs = Array("en", "de", "fr", "es", "ru", "pt", "it", "nl")
+  private val langs = Array("en", "de", "fr", "es", "ru", "pt", "it", "nl",
+    "sv", "pl", "tr")
 
   private val stop: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "a", "i", "is", "in", "it", "that",
@@ -64,7 +65,26 @@ object Lang {
       "wat", "mijn", "dit", "zo", "door", "ze", "zich", "bij", "ook",
       "tot", "uit", "naar", "heeft", "hoe", "nog", "zal", "nu", "geen",
       "veel", "meer", "toen", "moet", "ben", "kan", "hun", "dus",
-      "wordt", "ons", "na", "wel", "onder", "omdat")
+      "wordt", "ons", "na", "wel", "onder", "omdat"),
+    // continuation breadth: three more latin-script profiles. "en" is
+    // deliberately ABSENT from sv (it is also the Dutch conjunction and
+    // a Spanish preposition — including it would let a Dutch text pay
+    // into the Swedish score).
+    "sv" -> Set("och", "att", "det", "som", "är", "av", "för", "med",
+      "den", "på", "inte", "har", "till", "ett", "om", "men", "sig",
+      "jag", "du", "han", "hon", "vi", "de", "sin", "var", "kan", "ska",
+      "från", "när", "vad", "där", "då", "eller", "också", "bara",
+      "mycket", "nu", "efter", "hur", "alla", "sina", "utan"),
+    "pl" -> Set("nie", "się", "na", "jest", "to", "że", "z", "do", "w",
+      "o", "co", "jak", "ale", "po", "za", "już", "być", "przez",
+      "który", "która", "które", "oraz", "są", "tak", "ten", "ta",
+      "tego", "tym", "było", "był", "była", "może", "bardzo", "tylko",
+      "jego", "jej", "ich", "od", "przy", "czy", "gdy", "więc"),
+    "tr" -> Set("bir", "ve", "bu", "için", "ile", "ne", "gibi", "daha",
+      "çok", "ama", "değil", "olarak", "sonra", "kadar", "ben", "sen",
+      "biz", "var", "yok", "çünkü", "ancak", "şey", "her", "bana",
+      "beni", "onun", "onu", "bunu", "şu", "mi", "mı", "mu", "diye",
+      "olan", "olduğu", "değildir", "ise")
   )
 
   private val diacritics: Map[String, Set[Char]] = Map(
@@ -72,7 +92,10 @@ object Lang {
     "fr" -> Set('à', 'â', 'ç', 'è', 'ê', 'î', 'ô', 'û', 'ù', 'ë', 'ï', 'œ'),
     "es" -> Set('ñ', '¿', '¡', 'í', 'ó', 'ú', 'á'),
     "pt" -> Set('ã', 'õ', 'ê', 'ç'),
-    "it" -> Set('ì', 'ò')
+    "it" -> Set('ì', 'ò'),
+    "sv" -> Set('å'),
+    "pl" -> Set('ł', 'ą', 'ę', 'ż', 'ź', 'ś', 'ć', 'ń'),
+    "tr" -> Set('ğ', 'ş', 'ı', 'İ')
   )
 
   /** Detect the language of `text`; `und` when undeterminable. */
@@ -84,6 +107,8 @@ object Lang {
     // Script census, one pass: CJK/Hangul/Arabic/Cyrillic dominance is
     // decisive without any word lists.
     var cyr = 0; var han = 0; var kana = 0; var hangul = 0; var arab = 0
+    var greek = 0; var hebr = 0; var thai = 0; var deva = 0; var taml = 0
+    var beng = 0; var geor = 0; var armn = 0
     var letters = 0
     var i = 0
     while (i < t.length) {
@@ -96,6 +121,14 @@ object Lang {
         else if (cp >= 0x3040 && cp <= 0x30ff) kana += 1
         else if ((cp >= 0xac00 && cp <= 0xd7a3) || (cp >= 0x1100 && cp <= 0x11ff)) hangul += 1
         else if ((cp >= 0x0600 && cp <= 0x06ff) || (cp >= 0x0750 && cp <= 0x077f)) arab += 1
+        else if (cp >= 0x0370 && cp <= 0x03ff) greek += 1
+        else if (cp >= 0x0590 && cp <= 0x05ff) hebr += 1
+        else if (cp >= 0x0e00 && cp <= 0x0e7f) thai += 1
+        else if (cp >= 0x0900 && cp <= 0x097f) deva += 1
+        else if (cp >= 0x0b80 && cp <= 0x0bff) taml += 1
+        else if (cp >= 0x0980 && cp <= 0x09ff) beng += 1
+        else if (cp >= 0x10a0 && cp <= 0x10ff) geor += 1
+        else if (cp >= 0x0530 && cp <= 0x058f) armn += 1
       }
       i += 1
     }
@@ -107,6 +140,16 @@ object Lang {
     if (han.toDouble / letters > 0.3) return "zh"
     if (arab.toDouble / letters > 0.3) return "ar"
     if (cyr.toDouble / letters > 0.3) return "ru"
+    // single-language scripts: unambiguous at dominance (fa/ur vs ar and
+    // uk/bg vs ru would need word profiles — documented nearest-profile)
+    if (greek.toDouble / letters > 0.3) return "el"
+    if (hebr.toDouble / letters > 0.3) return "he"
+    if (thai.toDouble / letters > 0.3) return "th"
+    if (deva.toDouble / letters > 0.3) return "hi"
+    if (taml.toDouble / letters > 0.3) return "ta"
+    if (beng.toDouble / letters > 0.3) return "bn"
+    if (geor.toDouble / letters > 0.3) return "ka"
+    if (armn.toDouble / letters > 0.3) return "hy"
 
     val tokens = t.toLowerCase.split("[^\\p{L}']+").filter(_.nonEmpty)
     if (tokens.isEmpty) return Undetermined

@@ -41,7 +41,23 @@ object Magic {
     case object Zip     extends Kind("zip")   // PK but not a known OOXML type
     case object Gzip    extends Kind("gz")
     case object Tar     extends Kind("tar")
+    // wrapper codecs (the Spark platform ships commons-compress/xz/zstd,
+    // so these unwrap like gzip)
+    case object Bz2     extends Kind("bz2")
+    case object Xz      extends Kind("xz")
+    case object Zstd    extends Kind("zst")
+    // detection-only breadth (typed opaque: no JVM-expressible parser)
+    case object SevenZ  extends Kind("7z")
+    case object Rar     extends Kind("rar")
+    case object Flac    extends Kind("flac")
+    case object Ogg     extends Kind("ogg")
     case object Unknown extends Kind("bin")
+  }
+
+  /** The compression-wrapper kinds Extract unwraps in one iterative pass. */
+  def isWrapper(k: Kind): Boolean = k match {
+    case Kind.Gzip | Kind.Bz2 | Kind.Xz | Kind.Zstd => true
+    case _ => false
   }
 
   /** Max bytes inspected (at each end) when routing an OOXML zip: local
@@ -90,6 +106,20 @@ object Magic {
     }
     if (bytes.length >= 2 &&
         (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) return Kind.Gzip
+    if (bytes.length >= 4 && bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h' &&
+        bytes(3) >= '1' && bytes(3) <= '9') return Kind.Bz2
+    if (bytes.length >= 6 && (bytes(0) & 0xff) == 0xfd && bytes(1) == '7' &&
+        bytes(2) == 'z' && bytes(3) == 'X' && bytes(4) == 'Z' && bytes(5) == 0)
+      return Kind.Xz
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
+        (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd) return Kind.Zstd
+    if (bytes.length >= 6 && bytes(0) == '7' && bytes(1) == 'z' &&
+        (bytes(2) & 0xff) == 0xbc && (bytes(3) & 0xff) == 0xaf &&
+        (bytes(4) & 0xff) == 0x27 && (bytes(5) & 0xff) == 0x1c) return Kind.SevenZ
+    if (bytes.length >= 7 && startsWith(bytes, "Rar!") &&
+        (bytes(4) & 0xff) == 0x1a && (bytes(5) & 0xff) == 0x07) return Kind.Rar
+    if (startsWith(bytes, "fLaC")) return Kind.Flac
+    if (startsWith(bytes, "OggS")) return Kind.Ogg
     if (bytes.length >= 263 && bytes(257) == 'u' && bytes(258) == 's' &&
         bytes(259) == 't' && bytes(260) == 'a' && bytes(261) == 'r') return Kind.Tar
     if (looksLikeText(bytes)) {
@@ -221,6 +251,13 @@ object Magic {
     case Kind.Zip  => "application/zip"
     case Kind.Gzip => "application/gzip"
     case Kind.Tar  => "application/x-tar"
+    case Kind.Bz2  => "application/x-bzip2"
+    case Kind.Xz   => "application/x-xz"
+    case Kind.Zstd => "application/zstd"
+    case Kind.SevenZ => "application/x-7z-compressed"
+    case Kind.Rar  => "application/x-rar-compressed"
+    case Kind.Flac => "audio/flac"
+    case Kind.Ogg  => "application/ogg"
     case Kind.Unknown => "application/octet-stream"
   }
 

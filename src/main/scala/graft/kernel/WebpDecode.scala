@@ -1,0 +1,254 @@
+package graft.kernel
+
+/** WebP-VP8L (lossless) decoder — the real entropy layer: canonical
+  * prefix codes (simple 1-2-symbol and full code-length-coded variants),
+  * LZ77 length/distance back-references with linear distance codes, and
+  * the color cache. Scope: transform-free single-group streams decode
+  * exactly (the corpus writer's output and any minimal encoder); streams
+  * using the four pixel transforms (predictor / color / subtract-green /
+  * palette), meta prefix groups, or 2-D plane distance codes return None
+  * and fall back to the metadata tier — implementing the transform stack
+  * faithfully without the reference test vectors (no network in this
+  * environment) risks silently-wrong pixels, which is worse than a
+  * declared subset. Lossy VP8 remains the declared perceptual stub.
+  *
+  * Like every decoder here: malformed input -> None, never a throw.
+  */
+object Vp8lDecoder {
+
+  /** LSB-first bit reader over the VP8L payload. */
+  private final class Br(bytes: Array[Byte], start: Int, end: Int) {
+    var pos = start
+    var bitPos = 0
+    var overflow = false
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= end) { overflow = true; return v }
+        if (((bytes(pos) >> bitPos) & 1) != 0) v |= 1 << i
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; pos += 1 }
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** Canonical prefix code: decode one symbol bit by bit (codes are
+    * LSB-first in the stream but assigned MSB-canonically per the spec's
+    * deflate-style construction).
+    */
+  private final class Prefix(lengths: Array[Int]) {
+    // canonical assignment: count per length, then first-code per length
+    private val MaxLen = 15
+    private val counts = new Array[Int](MaxLen + 1)
+    lengths.foreach(l => if (l > 0 && l <= MaxLen) counts(l) += 1)
+    private val firstCode = new Array[Int](MaxLen + 1)
+    private val firstSym = new Array[Int](MaxLen + 1)
+    private val symsByLen: Array[Array[Int]] = {
+      val by = Array.fill(MaxLen + 1)(Vector.newBuilder[Int])
+      for (s <- lengths.indices if lengths(s) > 0 && lengths(s) <= MaxLen)
+        by(lengths(s)) += s
+      by.map(_.result().toArray)
+    }
+    locally {
+      var code = 0
+      var l = 1
+      while (l <= MaxLen) {
+        firstCode(l) = code
+        code = (code + counts(l)) << 1
+        l += 1
+      }
+    }
+    val singleSymbol: Int =
+      if (lengths.count(_ > 0) == 1) lengths.indexWhere(_ > 0) else -1
+
+    def decode(br: Br): Int = {
+      if (singleSymbol >= 0) return singleSymbol // zero-bit code
+      var code = 0
+      var l = 1
+      while (l <= MaxLen) {
+        code = (code << 1) | br.bits(1)
+        if (br.overflow) return -1
+        val idx = code - firstCode(l)
+        if (idx >= 0 && idx < counts(l)) return symsByLen(l)(idx)
+        l += 1
+      }
+      -1
+    }
+  }
+
+  private val CodeLengthOrder = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8,
+    9, 10, 11, 12, 13, 14, 15)
+
+  /** Read one prefix code (spec 5.2): simple (1-2 symbols) or full. */
+  private def readPrefix(br: Br, alphabetSize: Int): Prefix = {
+    val simple = br.bits(1)
+    if (simple == 1) {
+      val numSyms = br.bits(1) + 1
+      val firstLen = br.bits(1) // 0: 1-bit symbol, 1: 8-bit symbol
+      val s0 = if (firstLen == 1) br.bits(8) else br.bits(1)
+      val lengths = new Array[Int](alphabetSize)
+      if (s0 >= alphabetSize) return null
+      if (numSyms == 2) {
+        val s1 = br.bits(8)
+        if (s1 >= alphabetSize) return null
+        lengths(s0) = 1; lengths(s1) = 1
+      } else lengths(s0) = 1
+      new Prefix(lengths)
+    } else {
+      val numCodes = br.bits(4) + 4
+      if (numCodes > 19) return null
+      val clLengths = new Array[Int](19)
+      var i = 0
+      while (i < numCodes) { clLengths(CodeLengthOrder(i)) = br.bits(3); i += 1 }
+      if (br.overflow) return null
+      val clCode = new Prefix(clLengths)
+      // optional max-symbol limit
+      var maxSymbol = alphabetSize
+      if (br.bits(1) == 1) {
+        val lenNBits = 2 + 2 * br.bits(3)
+        maxSymbol = 2 + br.bits(lenNBits)
+      }
+      val lengths = new Array[Int](alphabetSize)
+      var sym = 0
+      var prevLen = 8
+      while (sym < alphabetSize) {
+        if (maxSymbol <= 0) { sym = alphabetSize }
+        else {
+          maxSymbol -= 1
+          val cl = clCode.decode(br)
+          if (cl < 0 || br.overflow) return null
+          cl match {
+            case c if c < 16 =>
+              lengths(sym) = c; sym += 1
+              if (c != 0) prevLen = c
+            case 16 =>
+              val rep = 3 + br.bits(2)
+              var r = 0
+              while (r < rep && sym < alphabetSize) { lengths(sym) = prevLen; sym += 1; r += 1 }
+            case 17 =>
+              sym += 3 + br.bits(3)
+            case 18 =>
+              sym += 11 + br.bits(7)
+            case _ => return null
+          }
+        }
+      }
+      new Prefix(lengths)
+    }
+  }
+
+  private def lengthFromSymbol(br: Br, sym: Int): Int = {
+    // prefix-coded lengths/distances: symbol -> value with extra bits
+    if (sym < 4) sym + 1
+    else {
+      val extraBits = (sym - 2) >> 1
+      val offset = (2 + (sym & 1)) << extraBits
+      offset + 1 + br.bits(extraBits)
+    }
+  }
+
+  def decode(bytes: Array[Byte]): Option[RawImage] = {
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def decodeImpl(bytes: Array[Byte]): Option[RawImage] = {
+    // RIFF....WEBPVP8L <size> 0x2F
+    if (bytes.length < 30 || bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'E' || bytes(10) != 'B' ||
+        bytes(11) != 'P') return None
+    // find the VP8L chunk (usually at 12)
+    var p = 12
+    var vp8lStart = -1
+    var vp8lEnd = -1
+    while (p + 8 <= bytes.length && vp8lStart < 0) {
+      val tag = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = (bytes(p + 4) & 0xff) | ((bytes(p + 5) & 0xff) << 8) |
+        ((bytes(p + 6) & 0xff) << 16) | ((bytes(p + 7) & 0xff) << 24)
+      if (size < 0 || p + 8 + size > bytes.length) return None
+      if (tag == "VP8L") { vp8lStart = p + 8; vp8lEnd = p + 8 + size }
+      else p += 8 + size + (size & 1)
+    }
+    if (vp8lStart < 0) return None
+    if ((bytes(vp8lStart) & 0xff) != 0x2f) return None
+    val br = new Br(bytes, vp8lStart + 1, vp8lEnd)
+    val w = br.bits(14) + 1
+    val h = br.bits(14) + 1
+    br.bits(1) // alpha-is-used hint
+    if (br.bits(3) != 0) return None // version must be 0
+    if (w.toLong * h > 64L * 1024 * 1024) return None
+    // transforms: subset decoder rejects them (see scaladoc)
+    if (br.bits(1) == 1) return None
+    // color cache
+    var cacheBits = 0
+    if (br.bits(1) == 1) {
+      cacheBits = br.bits(4)
+      if (cacheBits < 1 || cacheBits > 11) return None
+    }
+    // meta prefix: subset rejects multiple groups
+    if (br.bits(1) == 1) return None
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val green = readPrefix(br, 256 + 24 + cacheSize)
+    val red = readPrefix(br, 256)
+    val blue = readPrefix(br, 256)
+    val alpha = readPrefix(br, 256)
+    val dist = readPrefix(br, 40)
+    if (green == null || red == null || blue == null || alpha == null || dist == null)
+      return None
+    val n = w * h
+    val argb = new Array[Int](n)
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    def cacheInsert(px: Int): Unit =
+      if (cache != null) cache(((px * 0x1e35a7bd) >>> (32 - cacheBits)) % cacheSize) = px
+    var i = 0
+    while (i < n) {
+      val g = green.decode(br)
+      if (g < 0 || br.overflow) return None
+      if (g < 256) {
+        val r = red.decode(br); val b = blue.decode(br); val a = alpha.decode(br)
+        if (r < 0 || b < 0 || a < 0) return None
+        val px = (a << 24) | (r << 16) | (g << 8) | b
+        argb(i) = px
+        cacheInsert(px)
+        i += 1
+      } else if (g < 256 + 24) {
+        val len = lengthFromSymbol(br, g - 256)
+        val dSym = dist.decode(br)
+        if (dSym < 0) return None
+        val dCode = lengthFromSymbol(br, dSym)
+        // plane (2-D neighborhood) codes 1..120: outside the subset
+        if (dCode <= 120) return None
+        val d = dCode - 120
+        if (d <= 0 || d > i || i + len > n) return None
+        var k = 0
+        while (k < len) {
+          argb(i) = argb(i - d)
+          cacheInsert(argb(i))
+          i += 1
+          k += 1
+        }
+      } else {
+        if (cache == null) return None
+        val idx = g - 256 - 24
+        if (idx >= cacheSize) return None
+        argb(i) = cache(idx)
+        i += 1
+      }
+    }
+    // ARGB -> RGBA plane
+    val out = new Array[Byte](n * 4)
+    i = 0
+    while (i < n) {
+      val px = argb(i)
+      out(i * 4) = ((px >> 16) & 0xff).toByte
+      out(i * 4 + 1) = ((px >> 8) & 0xff).toByte
+      out(i * 4 + 2) = (px & 0xff).toByte
+      out(i * 4 + 3) = ((px >> 24) & 0xff).toByte
+      i += 1
+    }
+    Some(RawImage(w, h, 4, out))
+  }
+}

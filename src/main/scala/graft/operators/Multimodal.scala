@@ -39,6 +39,7 @@ object Multimodal {
     case Magic.Kind.Bmp  => BmpDecoder.decode(bytes)
     case Magic.Kind.Tiff => TiffDecoder.decode(bytes)
     case Magic.Kind.Jpeg => JpegDecoder.decode(bytes)
+    case Magic.Kind.Webp => graft.kernel.Vp8lDecoder.decode(bytes)
     case _               => None
   }
 

@@ -74,6 +74,29 @@ class KernelSpec extends AnyFunSuite {
     assert(Lang.detect("Le cheval et la neige sont dans le bois pour le village.") == "fr")
   }
 
+  test("D3: continuation breadth — sv/pl/tr profiles, el/he/th/hi/ta/bn/ka/hy scripts") {
+    assert(Lang.detect(
+      "Det här är en text på svenska och den har många ord som är vanliga.") == "sv")
+    assert(Lang.detect(
+      "To jest tekst napisany po polsku, który zawiera wiele słów oraz zdań.") == "pl")
+    assert(Lang.detect(
+      "Bu Türkçe yazılmış bir metindir ve her şey için çok kelime var.") == "tr")
+    assert(Lang.detect("Αυτό είναι ένα κείμενο στα ελληνικά με πολλές λέξεις.") == "el")
+    assert(Lang.detect("זהו טקסט בעברית עם מילים רבות ומשפטים שלמים.") == "he")
+    assert(Lang.detect("นี่คือข้อความภาษาไทยที่มีคำมากมายหลายคำ") == "th")
+    assert(Lang.detect("यह हिंदी में लिखा गया एक पाठ है जिसमें कई शब्द हैं।") == "hi")
+    assert(Lang.detect("இது தமிழில் எழுதப்பட்ட ஒரு உரை ஆகும்.") == "ta")
+    assert(Lang.detect("এটি বাংলা ভাষায় লেখা একটি পাঠ্য।") == "bn")
+    assert(Lang.detect("ეს არის ქართულად დაწერილი ტექსტი.") == "ka")
+    assert(Lang.detect("Սա հայերեն գրված տեքստ է եւ շատ բառեր ունի։") == "hy")
+    // germanic neighbors stay put: Dutch must not pay into the Swedish
+    // score ("en"), German must not land on sv/pl
+    assert(Lang.detect(
+      "Het paard en de sneeuw zijn niet voor het dorp, maar voor de winter en en en.") == "nl")
+    assert(Lang.detect(
+      "Der Wald und das Pferd sind nicht im Dorf, aber der Schnee ist noch da.") == "de")
+  }
+
   // ----------------------------------------------------------------- txt
   test("E1: plain text first line + content type (spec/rika/parser_spec.rb:149-151,225-227)") {
     val out = Extract.extractBytes("txt", fixture("document.txt"), Extract.Options())
@@ -450,6 +473,53 @@ class KernelSpec extends AnyFunSuite {
     val out = Extract.extractBytes("tgz", bytes, Extract.Options())
     assert(out.contentType == "application/gzip")
     assert(out.content == "first tar member\n\nsecond tar member")
+  }
+
+  test("E18+: bz2/xz/zstd wrappers open like gzip (platform codec jars)") {
+    import graft.corpus.ArchiveWriter
+    val tar = ArchiveWriter.writeTar(Seq(
+      "a.txt" -> "wrapped member one".getBytes("UTF-8"),
+      "b.txt" -> "wrapped member two".getBytes("UTF-8")))
+    for ((codec, kind, ct) <- Seq(
+        ("bz2", Magic.Kind.Bz2, "application/x-bzip2"),
+        ("xz", Magic.Kind.Xz, "application/x-xz"),
+        ("zst", Magic.Kind.Zstd, "application/zstd"))) {
+      val bytes = ArchiveWriter.writeWrapped(tar, codec)
+      assert(Magic.sniff(bytes) == kind, codec)
+      val out = Extract.extractBytes("wrapped", bytes, Extract.Options())
+      assert(out.contentType == ct, codec)
+      assert(out.content == "wrapped member one\n\nwrapped member two", codec)
+    }
+  }
+
+  test("E18+: MIXED wrapper nests unwrap iteratively, bounded at 2") {
+    import graft.corpus.ArchiveWriter
+    val txt = "nested text payload for the wrapper bound".getBytes("UTF-8")
+    // bz2(gz(text)): two layers, opens
+    val two = ArchiveWriter.writeWrapped(ArchiveWriter.writeWrapped(txt, "gz"), "bz2")
+    val out2 = Extract.extractBytes("w", two, Extract.Options())
+    assert(out2.content.startsWith("nested text payload"))
+    assert(out2.contentType == "application/x-bzip2") // outermost wrapper names the type
+    // zst(bz2(gz(text))): three layers exceeds the bound -> typed opaque
+    val three = ArchiveWriter.writeWrapped(two, "zst")
+    val out3 = Extract.extractBytes("w", three, Extract.Options())
+    assert(out3.content == "" && out3.contentType == "application/zstd")
+    assert(out3.issue.isEmpty) // bounded, not an error
+  }
+
+  test("D1: detection-only exotic magics -> correctly typed opaque rows") {
+    val cases = Seq(
+      (Array[Byte]('7', 'z', 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c, 0, 4),
+        Magic.Kind.SevenZ, "application/x-7z-compressed"),
+      (Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00, 1), Magic.Kind.Rar,
+        "application/x-rar-compressed"),
+      ("fLaC0000".getBytes("US-ASCII"), Magic.Kind.Flac, "audio/flac"),
+      ("OggS0000".getBytes("US-ASCII"), Magic.Kind.Ogg, "application/ogg"))
+    for ((bytes, kind, ct) <- cases) {
+      assert(Magic.sniff(bytes) == kind)
+      val out = Extract.extractBytes("x", bytes, Extract.Options())
+      assert(out.contentType == ct && out.content == "" && out.issue.isEmpty)
+    }
   }
 
   test("E18: bare tar routes directly") {

@@ -215,6 +215,30 @@ class PixelDecodeSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ WebP VP8L
+  for ((label, spec) <- Seq(
+      "literals only" -> WebpWriterEx.Spec(23, 17, 1, useLz77 = false),
+      "lz77 runs" -> WebpWriterEx.Spec(31, 21, 2, useLz77 = true),
+      "color cache 4b" -> WebpWriterEx.Spec(19, 13, 3, useLz77 = false, cacheBits = 4),
+      "lz77 + cache 6b" -> WebpWriterEx.Spec(40, 30, 4, useLz77 = true, cacheBits = 6),
+      "smooth + cache" -> WebpWriterEx.Spec(33, 27, 5, cacheBits = 5, smooth = true),
+      "1x1" -> WebpWriterEx.Spec(1, 1, 6, useLz77 = false))) {
+    test(s"VP8L round-trip: $label (lossless, exact)") {
+      val img = graft.kernel.Vp8lDecoder.decode(WebpWriterEx.write(spec))
+        .getOrElse(fail(label))
+      assert(img.width == spec.width && img.height == spec.height && img.channels == 4)
+      assert(java.util.Arrays.equals(img.data, WebpWriterEx.plane(spec)), label)
+    }
+  }
+
+  test("VP8L: metadata-tier WebpWriter payloads reject cleanly (None, no throw)") {
+    val bytes = WebpWriter.write(WebpWriter.Spec(24, 18))
+    assert(graft.kernel.Vp8lDecoder.decode(bytes).isEmpty)
+    // but the metadata kernel still reads its dims
+    val meta = graft.kernel.WebpKernel.extract(bytes)
+    assert(meta.get("Image Width").contains("24 pixels"))
+  }
+
   // ------------------------------------------------------------ TIFF
   test("TIFF: corpus writer (LE gray single-strip) round-trips") {
     val spec = TiffWriter.Spec(29, 21, "graft-scan-3")
@@ -311,6 +335,7 @@ class PixelDecodeSpec extends AnyFunSuite {
       TiffWriterEx.write(TiffWriterEx.Spec(16, 14, 6, compression = 5, rowsPerStrip = 5)),
       TiffWriterEx.write(TiffWriterEx.Spec(15, 9, 7, compression = 32773)),
       PngWriterEx.write(PngWriterEx.Spec(13, 11, 8, colorType = 2, interlaced = true)),
+      WebpWriterEx.write(WebpWriterEx.Spec(14, 10, 9, useLz77 = true, cacheBits = 4)),
       BmpWriterEx.write(BmpWriterEx.Spec(20, 10, 3)),
       WavWriterEx.write(WavWriterEx.Spec(8000, 2, 300, 4)))
     for (base <- seeds; _ <- 0 until 400) {
@@ -325,7 +350,7 @@ class PixelDecodeSpec extends AnyFunSuite {
       PngDecoder.decode(cut); GifDecoder.decode(cut)
       GifDecoder.decodeFrames(cut)
       BmpDecoder.decode(cut); WavDecoder.decode(cut)
-      TiffDecoder.decode(cut)
+      TiffDecoder.decode(cut); Vp8lDecoder.decode(cut)
     }
     succeed
   }
