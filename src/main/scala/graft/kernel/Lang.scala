@@ -109,6 +109,11 @@ object Lang {
     var cyr = 0; var han = 0; var kana = 0; var hangul = 0; var arab = 0
     var greek = 0; var hebr = 0; var thai = 0; var deva = 0; var taml = 0
     var beng = 0; var geor = 0; var armn = 0
+    // within-script distinguishers: letters unique to one orthography
+    var ukChars = 0  // і ї є ґ  (absent from Russian/Bulgarian)
+    var ruChars = 0  // ы э ё    (absent from Ukrainian/Bulgarian)
+    var faChars = 0  // پ چ ژ گ (Persian additions to Arabic)
+    var urChars = 0  // ٹ ڈ ڑ ں ے (Urdu additions)
     var letters = 0
     var i = 0
     while (i < t.length) {
@@ -116,6 +121,11 @@ object Lang {
       if (Character.isLetter(c)) {
         letters += 1
         val cp = c.toInt
+        val lc = Character.toLowerCase(c)
+        if (lc == 'і' || lc == 'ї' || lc == 'є' || lc == 'ґ') ukChars += 1
+        if (lc == 'ы' || lc == 'э' || lc == 'ё') ruChars += 1
+        if (lc == 'پ' || lc == 'چ' || lc == 'ژ' || lc == 'گ') faChars += 1
+        if (lc == 'ٹ' || lc == 'ڈ' || lc == 'ڑ' || lc == 'ں' || lc == 'ے') urChars += 1
         if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
         else if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)) han += 1
         else if (cp >= 0x3040 && cp <= 0x30ff) kana += 1
@@ -138,8 +148,19 @@ object Lang {
     // dominance alone would misroute it to zh
     if (kana.toDouble / letters > 0.1) return "ja"
     if (han.toDouble / letters > 0.3) return "zh"
-    if (arab.toDouble / letters > 0.3) return "ar"
-    if (cyr.toDouble / letters > 0.3) return "ru"
+    if (arab.toDouble / letters > 0.3) {
+      // Persian/Urdu write with Arabic script plus letters Arabic lacks
+      if (faChars > 0 && faChars >= urChars) return "fa"
+      if (urChars > 0) return "ur"
+      return "ar"
+    }
+    if (cyr.toDouble / letters > 0.3) {
+      // і/ї/є/ґ are Ukrainian-only; ы/э/ё are absent from Ukrainian and
+      // Bulgarian. Bulgarian (no distinguisher set of its own here)
+      // stays on the ru profile — documented nearest-profile behavior.
+      if (ukChars > 0 && ruChars == 0) return "uk"
+      return "ru"
+    }
     // single-language scripts: unambiguous at dominance (fa/ur vs ar and
     // uk/bg vs ru would need word profiles — documented nearest-profile)
     if (greek.toDouble / letters > 0.3) return "el"

@@ -97,6 +97,19 @@ class KernelSpec extends AnyFunSuite {
       "Der Wald und das Pferd sind nicht im Dorf, aber der Schnee ist noch da.") == "de")
   }
 
+  test("D3: within-script distinguishers — uk vs ru, fa/ur vs ar") {
+    // Ukrainian: і/ї/є present, ы/э absent
+    assert(Lang.detect("Це текст українською мовою, він має багато слів і речень.") == "uk")
+    // Russian: ы/э present -> stays ru even with shared Cyrillic
+    assert(Lang.detect("Это текст на русском языке, в нём есть много слов и предложений.") == "ru")
+    // Persian: پ/چ/گ additions to the Arabic script
+    assert(Lang.detect("این یک متن فارسی است که چند واژه و گفتار دارد.") == "fa")
+    // Urdu: ے/ں additions
+    assert(Lang.detect("یہ اردو میں لکھا گیا ایک متن ہے جس میں بہت سے الفاظ ہیں۔") == "ur")
+    // plain Arabic unchanged
+    assert(Lang.detect("الثلج في الغابة هادئ جدا في الشتاء") == "ar")
+  }
+
   // ----------------------------------------------------------------- txt
   test("E1: plain text first line + content type (spec/rika/parser_spec.rb:149-151,225-227)") {
     val out = Extract.extractBytes("txt", fixture("document.txt"), Extract.Options())
