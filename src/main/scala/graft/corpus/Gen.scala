@@ -148,7 +148,9 @@ object Gen {
       title = stanzas.head.head,
       author = TextGen.titleLine(rng, "en"),
       stanzas = stanzas,
-      useKernSpaces = rng.nextBoolean())
+      useKernSpaces = rng.nextBoolean(),
+      // 1-in-4 embed a real DCTDecode image XObject (text unaffected)
+      imageSeed = if (rng.nextInt(4) == 0) rng.nextLong() | 1L else 0L)
     val bytes = PdfWriter.write(spec)
     val ref = s"m-$docId-$k"
     Piece("pdf", Span("pdf", null, ref, -1),

@@ -22,7 +22,8 @@ object PdfWriter {
       title: String,
       author: String,
       stanzas: Vector[Vector[String]], // title line is stanzas.head.head? no: body only
-      useKernSpaces: Boolean)          // encode spaces as -250 TJ kerns instead of glyphs
+      useKernSpaces: Boolean,          // encode spaces as -250 TJ kerns instead of glyphs
+      imageSeed: Long = 0)             // != 0: embed a real DCTDecode image XObject
 
   /** The text PdfKernel is expected to extract from write(spec). */
   def expectedText(spec: Spec): String = {
@@ -84,6 +85,9 @@ object PdfWriter {
         y -= leading
       }
     }
+    // embedded image paint: q/cm/Do/Q has no text effect (interpreter
+    // ignores Do), so expectedText is unchanged
+    if (spec.imageSeed != 0) cs.append("q 144 0 0 108 72 24 cm /Im1 Do Q\n")
     val content = deflate(cs.toString.getBytes(StandardCharsets.ISO_8859_1))
 
     // ToUnicode CMap (bfranges, singleton form like the fixture).
@@ -118,7 +122,8 @@ object PdfWriter {
       s"/Creator (graftgen) /Producer (graft synthetic corpus) >>\nendobj\n"))
     obj(s2b("2 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n"))
     obj(s2b("3 0 obj\n<< /Type /Pages /MediaBox [0 0 612 792] /Count 1 /Kids [ 4 0 R ] >>\nendobj\n"))
-    obj(s2b("4 0 obj\n<< /Type /Page /Parent 3 0 R /Resources << /Font << /F1 5 0 R >> >> " +
+    val xobjRes = if (spec.imageSeed != 0) "/XObject << /Im1 8 0 R >> " else ""
+    obj(s2b(s"4 0 obj\n<< /Type /Page /Parent 3 0 R /Resources << /Font << /F1 5 0 R >> $xobjRes>> " +
       "/Contents 6 0 R /MediaBox [0 0 612 792] >>\nendobj\n"))
     obj(s2b("5 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /GRAFT+Synth " +
       "/FirstChar 33 /LastChar 255 /ToUnicode 7 0 R >>\nendobj\n"))
@@ -135,6 +140,23 @@ object PdfWriter {
       b.write(cmap)
       b.write(s2b("\nendstream\nendobj\n"))
       b.toByteArray
+    }
+    if (spec.imageSeed != 0) {
+      // a REAL baseline-JPEG image XObject (DCTDecode): JpegDecoder can
+      // pull actual pixels back out of the PDF
+      val jw = 64; val jh = 48
+      val jpeg = JpegWriterEx.encode(
+        JpegWriterEx.Spec(jw, jh, spec.imageSeed, gray = true, quality = 85),
+        PixelGen.bytes(spec.imageSeed, jw * jh))
+      obj {
+        val b = new ByteArrayOutputStream()
+        b.write(s2b(s"8 0 obj\n<< /Type /XObject /Subtype /Image /Width $jw /Height $jh " +
+          s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode " +
+          s"/Length ${jpeg.length} >>\nstream\n"))
+        b.write(jpeg)
+        b.write(s2b("\nendstream\nendobj\n"))
+        b.toByteArray
+      }
     }
     val xrefPos = out.size()
     val xref = new StringBuilder

@@ -56,9 +56,42 @@ object PdfKernel {
     val allLines = pageTexts.flatMap(_._1)
     val body = pageTexts.map(_._2).mkString("")
     val unmapped = pageTexts.map(_._3).sum
-    val meta = infoMetadata(doc, version, pages.length, body, unmapped)
+    var meta = infoMetadata(doc, version, pages.length, body, unmapped)
+    // embedded image XObjects: count + dims + filters (the Tika-delegate
+    // "embedded resources" surface, as string metadata per the data model)
+    val images = pages.flatMap(p => pageImages(doc, p))
+    if (images.nonEmpty) {
+      meta += ("pdf:imageCount" -> images.length.toString)
+      meta += ("pdf:imageDimensions" ->
+        images.map { case (w, h, _) => s"${w}x$h" }.mkString(","))
+      val filters = images.map(_._3).filter(_.nonEmpty).distinct
+      if (filters.nonEmpty) meta += ("pdf:imageFilters" -> filters.mkString(","))
+    }
     Result(body, allLines, meta, pages.length)
   }
+
+  /** Image XObjects reachable from a page's resources: (w, h, filter). */
+  private def pageImages(doc: Doc, page: PDict): Vector[(Int, Int, String)] =
+    (for {
+      res <- doc.deref(page.m.getOrElse("Resources", PNull)).collect { case d: PDict => d }
+      xo  <- doc.deref(res.m.getOrElse("XObject", PNull)).collect { case d: PDict => d }
+    } yield xo.m.valuesIterator.flatMap { ref =>
+      doc.deref(ref).collect { case s: PStream => s.dict }
+        .filter(_.m.get("Subtype").contains(PName("Image")))
+        .map { d =>
+          def dim(k: String): Int = d.m.get(k) match {
+            case Some(PNum(v)) if v > 0 && v <= 1e7 => v.toInt
+            case _ => 0
+          }
+          val filter = d.m.get("Filter") match {
+            case Some(PName(f))   => f
+            case Some(PArr(items)) =>
+              items.collect { case PName(f) => f }.mkString("+")
+            case _ => ""
+          }
+          (dim("Width"), dim("Height"), filter)
+        }
+    }.toVector).getOrElse(Vector.empty)
 
   /** One page's (lines, text-with-layout, unmapped-glyph count). Text =
     * "\n" + lines joined by "\n" (blank line inserted at paragraph-sized

@@ -163,6 +163,38 @@ class KernelSpec extends AnyFunSuite {
     assert(!m0.metadata.contains("pdf:unmappedUnicodeCharsPerPage"))
   }
 
+  test("E3+: embedded DCTDecode image XObject — metadata surfaced, text unchanged, pixels decodable") {
+    import graft.corpus.{PdfWriter, PixelGen}
+    val stanzas = Vector(Vector("Picture Title"),
+      Vector("first line of text", "second line of text", "third line here"),
+      Vector("another stanza line", "closing line of text", "final words here"))
+    val plain = PdfWriter.Spec("Picture Title", "An Author", stanzas, useKernSpaces = false)
+    val imaged = plain.copy(imageSeed = 42L)
+    val outPlain = PdfKernel.extract(PdfWriter.write(plain))
+    val outImg = PdfKernel.extract(PdfWriter.write(imaged))
+    // text identical: the q/cm/Do/Q paint has no text effect
+    assert(outImg.text == outPlain.text)
+    assert(outImg.text == PdfWriter.expectedText(imaged))
+    // image metadata only on the imaged variant
+    assert(outPlain.metadata.get("pdf:imageCount").isEmpty)
+    assert(outImg.metadata.get("pdf:imageCount").contains("1"))
+    assert(outImg.metadata.get("pdf:imageDimensions").contains("64x48"))
+    assert(outImg.metadata.get("pdf:imageFilters").contains("DCTDecode"))
+    // the embedded stream is a REAL baseline JPEG: pull it out and decode
+    val bytes = PdfWriter.write(imaged)
+    val hay = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val soi = hay.indexOf("ÿØÿ")
+    assert(soi > 0, "embedded JPEG SOI present")
+    val jpegBytes = java.util.Arrays.copyOfRange(bytes, soi, bytes.length)
+    val img = JpegDecoder.decode(jpegBytes).getOrElse(fail("embedded jpeg decode"))
+    assert(img.width == 64 && img.height == 48)
+    // decoded plane tracks the analytic source within the q85 loss bound
+    val src = PixelGen.bytes(42L, 64 * 48)
+    val mae = img.data.zip(src).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / src.length
+    assert(mae < 48, s"mae=$mae")
+  }
+
   test("E3: PDF body contains the full poem in reading order") {
     val out = Extract.extractBytes("pdf", fixture("document.pdf"), Extract.Options())
     val t = out.content
