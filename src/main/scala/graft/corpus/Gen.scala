@@ -60,7 +60,8 @@ object Gen {
       else if (roll < 70) Vector(mp3Piece(rng, lang, docId, 0))
       else if (roll < 71) Vector(bmpPiece(rng, docId, 0))
       else if (roll < 72) Vector(webpPiece(rng, docId, 0))
-      else if (roll < 73) Vector(wavPiece(rng, docId, 0))
+      else if (roll < 73) Vector(
+        if (rng.nextInt(3) == 0) flacPiece(rng, docId, 0) else wavPiece(rng, docId, 0))
       else if (roll < 74) Vector(mp4Piece(rng, docId, 0))
       else if (roll < 77) Vector(docPiece(rng, docId, 0))
       else if (roll < 79) Vector(xlsPiece(rng, lang, docId, 0))
@@ -413,6 +414,12 @@ object Gen {
       8000 * (1 + rng.nextInt(6)), 1 + rng.nextInt(2),
       nFrames = 1000 + rng.nextInt(8000), seed = rng.nextLong())),
       docId, k)
+
+  /** FLAC with a real STREAMINFO block: exact duration metadata. */
+  private def flacPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
+    mediaPiece("flac", FlacWriter.write(FlacWriter.Spec(
+      Vector(44100, 48000, 96000)(rng.nextInt(3)), 1 + rng.nextInt(2),
+      nSamples = 1000L + rng.nextInt(1 << 20))), docId, k)
 
   private def mp4Piece(rng: SplittableRandom, docId: String, k: Int): Piece =
     mediaPiece("mp4", Mp4Writer.write(Mp4Writer.Spec(

@@ -158,3 +158,42 @@ object Mp4Writer {
     ftyp ++ moov ++ mdat
   }
 }
+
+object FlacWriter {
+
+  final case class Spec(sampleRate: Int, channels: Int, nSamples: Long)
+
+  /** Real STREAMINFO metadata block (the mandatory first block) +
+    * deterministic opaque frame bytes: FlacKernel derives sample rate,
+    * channels, bit depth and exact duration from the header alone.
+    */
+  def write(spec: Spec): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("fLaC".getBytes(StandardCharsets.US_ASCII))
+    out.write(0x80) // last-block flag + type 0 (STREAMINFO)
+    out.write(0); out.write(0); out.write(34)
+    def u16be(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def u24be(v: Int): Unit = { out.write((v >> 16) & 0xff); u16be(v & 0xffff) }
+    u16be(4096); u16be(4096)     // min/max block size
+    u24be(0); u24be(0)           // min/max frame size (unknown)
+    // sampleRate(20) channels-1(3) bits-1(5) totalSamples(36)
+    val bits = 16
+    out.write((spec.sampleRate >> 12) & 0xff)
+    out.write((spec.sampleRate >> 4) & 0xff)
+    out.write(((spec.sampleRate & 0xf) << 4) | (((spec.channels - 1) & 7) << 1) |
+      (((bits - 1) >> 4) & 1))
+    out.write((((bits - 1) & 0xf) << 4) | ((spec.nSamples >> 32) & 0xf).toInt)
+    out.write(((spec.nSamples >> 24) & 0xff).toInt)
+    out.write(((spec.nSamples >> 16) & 0xff).toInt)
+    out.write(((spec.nSamples >> 8) & 0xff).toInt)
+    out.write((spec.nSamples & 0xff).toInt)
+    for (_ <- 0 until 16) out.write(0) // md5 (unset)
+    // opaque audio frames (deterministic noise; decode is out of scope)
+    var x = spec.sampleRate * 31L ^ spec.nSamples
+    for (_ <- 0 until 512) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out.write(((x >>> 33) & 0xff).toInt)
+    }
+    out.toByteArray
+  }
+}

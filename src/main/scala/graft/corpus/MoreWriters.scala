@@ -267,7 +267,8 @@ object TiffWriter {
 
 object Mp3Writer {
 
-  final case class Spec(title: String, artist: String, album: String)
+  final case class Spec(title: String, artist: String, album: String,
+      nFrames: Int = 8)
 
   /** ID3v2.3 tag + a few sync-marked dummy audio frames. */
   def write(spec: Spec): Array[Byte] = {
@@ -291,11 +292,14 @@ object Mp3Writer {
     out.write((size >> 21) & 0x7f); out.write((size >> 14) & 0x7f)
     out.write((size >> 7) & 0x7f); out.write(size & 0x7f)
     out.write(frames)
-    // dummy MPEG frame headers + noise
+    // CONSISTENT MPEG-1 Layer III frames: bitrate index 1 (32 kbps) at
+    // 44.1 kHz -> frame size floor(144*32000/44100) = 104 bytes incl.
+    // the 4-byte header, so a header-derived duration estimate
+    // (audio_bytes*8/bitrate) matches the actual frame count
     var x = spec.title.hashCode.toLong
-    for (_ <- 0 until 8) {
-      out.write(0xff); out.write(0xfb); out.write(0x90); out.write(0x00)
-      for (_ <- 0 until 104) {
+    for (_ <- 0 until spec.nFrames) {
+      out.write(0xff); out.write(0xfb); out.write(0x10); out.write(0x00)
+      for (_ <- 0 until 100) {
         x = x * 6364136223846793005L + 1442695040888963407L
         out.write(((x >>> 33) & 0xff).toInt)
       }

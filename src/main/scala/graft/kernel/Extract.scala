@@ -149,7 +149,13 @@ object Extract {
           else
             extractBytes0(claimedKind, payload, opt, depth)
               .copy(contentType = Magic.contentTypeOf(k, None), isMedia = false)
-        case k @ (Magic.Kind.SevenZ | Magic.Kind.Rar | Magic.Kind.Flac | Magic.Kind.Ogg) =>
+        case Magic.Kind.Flac =>
+          // STREAMINFO metadata is real (sample rate/channels/duration);
+          // the audio frames stay opaque. A magic-only FLAC without a
+          // valid STREAMINFO degrades to a typed opaque row (not media).
+          val m = FlacKernel.extract(bytes)
+          Out("", Vector.empty, "audio/flac", m, isMedia = m.nonEmpty, issue = None)
+        case k @ (Magic.Kind.SevenZ | Magic.Kind.Rar | Magic.Kind.Ogg) =>
           // detection-only breadth: correctly TYPED opaque rows (the
           // codecs have no JVM-expressible parser in this environment)
           Out("", Vector.empty, Magic.contentTypeOf(k, None), Map.empty,

@@ -494,6 +494,67 @@ object Mp3Kernel {
       }
     }
     if (meta.nonEmpty) meta += ("xmpDM:audioCompressor" -> "MP3")
+    // audio-region duration estimate from the first MPEG frame header
+    // (the CBR convention: audio_bytes * 8 / bitrate — Tika's shortcut
+    // for unwalked streams), plus version/samplerate facts
+    val audioStart = math.min(bytes.length, 10 + tagSize)
+    var q = audioStart
+    var done = false
+    while (!done && q + 4 <= bytes.length && q < audioStart + 4096) {
+      if ((bytes(q) & 0xff) == 0xff && (bytes(q + 1) & 0xe0) == 0xe0) {
+        val b1 = bytes(q + 1) & 0xff
+        val versionId = (b1 >> 3) & 3   // 3 = MPEG-1
+        val layer = (b1 >> 1) & 3       // 1 = Layer III
+        val b2 = bytes(q + 2) & 0xff
+        val brIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 3
+        if (versionId == 3 && layer == 1 && brIdx >= 1 && brIdx <= 14 && srIdx <= 2) {
+          val bitrate = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+            160, 192, 224, 256, 320)(brIdx) * 1000
+          val sampleRate = Array(44100, 48000, 32000)(srIdx)
+          val audioBytes = bytes.length - q
+          meta += ("xmpDM:audioSampleRate" -> sampleRate.toString)
+          meta += ("xmpDM:duration" -> f"${audioBytes.toDouble * 8 / bitrate}%.3f")
+          meta += ("version" -> "MPEG 3 Layer 3 version 1.0")
+          done = true
+        } else q += 1
+      } else q += 1
+    }
+    meta
+  }
+}
+
+/** FLAC STREAMINFO metadata: sample rate, channels, bit depth and total
+  * samples (hence exact duration) from the mandatory first metadata
+  * block — the same audio facts the WAV path surfaces.
+  */
+object FlacKernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    // fLaC + block header (type 0 = STREAMINFO, 24-bit length >= 34)
+    if (bytes.length < 4 + 4 + 34 || bytes(0) != 'f' || bytes(1) != 'L' ||
+        bytes(2) != 'a' || bytes(3) != 'C') return Map.empty
+    if ((bytes(4) & 0x7f) != 0) return Map.empty // first block must be STREAMINFO
+    val blockLen = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+    if (blockLen < 34 || 8 + blockLen > bytes.length) return Map.empty
+    val b = 8
+    // minBlock(16) maxBlock(16) minFrame(24) maxFrame(24) then:
+    // sampleRate(20) channels-1(3) bits-1(5) totalSamples(36)
+    val p = b + 2 + 2 + 3 + 3
+    val sampleRate = ((bytes(p) & 0xff) << 12) | ((bytes(p + 1) & 0xff) << 4) |
+      ((bytes(p + 2) & 0xff) >> 4)
+    val channels = (((bytes(p + 2) & 0xff) >> 1) & 7) + 1
+    val bits = (((bytes(p + 2) & 1) << 4) | ((bytes(p + 3) & 0xff) >> 4)) + 1
+    val totalSamples = ((bytes(p + 3) & 0x0fL) << 32) | ((bytes(p + 4) & 0xffL) << 24) |
+      ((bytes(p + 5) & 0xffL) << 16) | ((bytes(p + 6) & 0xffL) << 8) | (bytes(p + 7) & 0xffL)
+    if (sampleRate <= 0) return Map.empty
+    var meta = Map(
+      "xmpDM:audioSampleRate" -> sampleRate.toString,
+      "channels" -> channels.toString,
+      "bits" -> bits.toString,
+      "xmpDM:audioCompressor" -> "FLAC")
+    if (totalSamples > 0)
+      meta += ("xmpDM:duration" -> f"${totalSamples.toDouble / sampleRate}%.3f")
     meta
   }
 }

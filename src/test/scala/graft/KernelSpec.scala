@@ -480,6 +480,36 @@ class KernelSpec extends AnyFunSuite {
     assert(out.metadata("xmpDM:album") == "An Album")
   }
 
+  test("E16+: MP3 frame-header duration (CBR estimate matches frame count)") {
+    import graft.corpus.Mp3Writer
+    val nFrames = 20
+    val bytes = Mp3Writer.write(Mp3Writer.Spec("T", "A", "B", nFrames = nFrames))
+    val out = Extract.extractBytes("mp3", bytes, Extract.Options())
+    assert(out.metadata("xmpDM:audioSampleRate") == "44100")
+    assert(out.metadata("version") == "MPEG 3 Layer 3 version 1.0")
+    // 104-byte frames at 32 kbps: duration = nFrames*104*8/32000
+    val expect = nFrames * 104.0 * 8 / 32000
+    val got = out.metadata("xmpDM:duration").toDouble
+    assert(math.abs(got - expect) < 0.005, s"got $got expect $expect")
+  }
+
+  test("E27: FLAC STREAMINFO metadata (exact duration)") {
+    import graft.corpus.FlacWriter
+    val bytes = FlacWriter.write(FlacWriter.Spec(48000, 2, nSamples = 96000))
+    assert(Magic.sniff(bytes) == Magic.Kind.Flac)
+    val out = Extract.extractBytes("flac", bytes, Extract.Options())
+    assert(out.contentType == "audio/flac")
+    assert(out.isMedia)
+    assert(out.metadata("xmpDM:audioSampleRate") == "48000")
+    assert(out.metadata("channels") == "2")
+    assert(out.metadata("bits") == "16")
+    assert(out.metadata("xmpDM:duration") == "2.000")
+    // magic-only FLAC (exoticPiece shape) stays a typed opaque row
+    val junk = "fLaC0000".getBytes("US-ASCII") ++ Array.fill[Byte](64)(7)
+    val out2 = Extract.extractBytes("flac", junk, Extract.Options())
+    assert(!out2.isMedia && out2.contentType == "audio/flac" && out2.metadata.isEmpty)
+  }
+
   test("E17: plain zip (non-OOXML) routes to the archive kernel, members extracted in entry order") {
     val bos = new java.io.ByteArrayOutputStream()
     val zos = new java.util.zip.ZipOutputStream(bos)
