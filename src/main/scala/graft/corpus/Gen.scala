@@ -60,8 +60,11 @@ object Gen {
       else if (roll < 70) Vector(mp3Piece(rng, lang, docId, 0))
       else if (roll < 71) Vector(bmpPiece(rng, docId, 0))
       else if (roll < 72) Vector(webpPiece(rng, docId, 0))
-      else if (roll < 73) Vector(
-        if (rng.nextInt(3) == 0) flacPiece(rng, docId, 0) else wavPiece(rng, docId, 0))
+      else if (roll < 73) Vector(rng.nextInt(5) match {
+        case 0 => flacPiece(rng, docId, 0)
+        case 1 => oggPiece(rng, docId, 0)
+        case _ => wavPiece(rng, docId, 0)
+      })
       else if (roll < 74) Vector(mp4Piece(rng, docId, 0))
       else if (roll < 77) Vector(docPiece(rng, docId, 0))
       else if (roll < 79) Vector(xlsPiece(rng, lang, docId, 0))
@@ -420,6 +423,12 @@ object Gen {
     mediaPiece("flac", FlacWriter.write(FlacWriter.Spec(
       Vector(44100, 48000, 96000)(rng.nextInt(3)), 1 + rng.nextInt(2),
       nSamples = 1000L + rng.nextInt(1 << 20))), docId, k)
+
+  /** Ogg with a real Vorbis/Opus identification header. */
+  private def oggPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
+    mediaPiece("ogg", OggWriter.write(OggWriter.Spec(
+      Vector(44100, 48000)(rng.nextInt(2)), 1 + rng.nextInt(2),
+      opus = rng.nextBoolean())), docId, k)
 
   private def mp4Piece(rng: SplittableRandom, docId: String, k: Int): Piece =
     mediaPiece("mp4", Mp4Writer.write(Mp4Writer.Spec(

@@ -197,3 +197,55 @@ object FlacWriter {
     out.toByteArray
   }
 }
+
+object OggWriter {
+
+  final case class Spec(sampleRate: Int, channels: Int, opus: Boolean = false)
+
+  /** First Ogg page with a real Vorbis (or Opus) identification header;
+    * later pages opaque noise. OggKernel reads channels + sample rate.
+    */
+  def write(spec: Spec): Array[Byte] = {
+    val ident = new ByteArrayOutputStream()
+    def u32(o: ByteArrayOutputStream, v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    if (spec.opus) {
+      ident.write("OpusHead".getBytes(StandardCharsets.US_ASCII))
+      ident.write(1)                 // version
+      ident.write(spec.channels)
+      ident.write(0); ident.write(0) // pre-skip
+      u32(ident, spec.sampleRate.toLong)
+      ident.write(0); ident.write(0) // output gain
+      ident.write(0)                 // mapping family
+    } else {
+      ident.write(1)
+      ident.write("vorbis".getBytes(StandardCharsets.US_ASCII))
+      u32(ident, 0L)                 // vorbis version
+      ident.write(spec.channels)
+      u32(ident, spec.sampleRate.toLong)
+      u32(ident, 0L); u32(ident, 128000L); u32(ident, 0L) // bitrates
+      ident.write(0xb8)              // blocksizes
+      ident.write(1)                 // framing bit
+    }
+    val id = ident.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write("OggS".getBytes(StandardCharsets.US_ASCII))
+    out.write(0)    // version
+    out.write(0x02) // BOS
+    for (_ <- 0 until 8) out.write(0)  // granule
+    u32(out, 0x6772L); u32(out, 0L)    // serial, seq
+    u32(out, 0L)                       // crc (readers we target don't check)
+    out.write(1)                       // one segment
+    out.write(id.length)
+    out.write(id)
+    // opaque continuation bytes
+    var x = spec.sampleRate * 7L ^ spec.channels
+    for (_ <- 0 until 256) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out.write(((x >>> 33) & 0xff).toInt)
+    }
+    out.toByteArray
+  }
+}

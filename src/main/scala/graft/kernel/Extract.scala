@@ -155,7 +155,12 @@ object Extract {
           // valid STREAMINFO degrades to a typed opaque row (not media).
           val m = FlacKernel.extract(bytes)
           Out("", Vector.empty, "audio/flac", m, isMedia = m.nonEmpty, issue = None)
-        case k @ (Magic.Kind.SevenZ | Magic.Kind.Rar | Magic.Kind.Ogg) =>
+        case Magic.Kind.Ogg =>
+          // Vorbis/Opus identification header metadata is real; frames
+          // stay opaque. Headerless Ogg magic degrades to typed opaque.
+          val m = OggKernel.extract(bytes)
+          Out("", Vector.empty, "application/ogg", m, isMedia = m.nonEmpty, issue = None)
+        case k @ (Magic.Kind.SevenZ | Magic.Kind.Rar) =>
           // detection-only breadth: correctly TYPED opaque rows (the
           // codecs have no JVM-expressible parser in this environment)
           Out("", Vector.empty, Magic.contentTypeOf(k, None), Map.empty,

@@ -154,3 +154,41 @@ object Mp4Kernel {
     extract(bytes).get("xmpDM:duration")
       .flatMap(_.toDoubleOption).map(d => (d * 1000).toLong).getOrElse(-1L)
 }
+
+/** Ogg container: first-page Vorbis/Opus identification header ->
+  * channels + sample rate (the audio facts; comments/frames stay opaque).
+  */
+object OggKernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    if (bytes.length < 58 || bytes(0) != 'O' || bytes(1) != 'g' ||
+        bytes(2) != 'g' || bytes(3) != 'S') return Map.empty
+    // page header: version(1) type(1) granule(8) serial(4) seq(4) crc(4)
+    // nSegs(1) segtable(nSegs) payload
+    val nSegs = bytes(26) & 0xff
+    val payload = 27 + nSegs
+    if (payload + 16 > bytes.length) return Map.empty
+    def u32le(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    // Vorbis: 0x01 "vorbis" version(4) channels(1) rate(4 LE) ...
+    if ((bytes(payload) & 0xff) == 1 && payload + 16 <= bytes.length &&
+        new String(bytes, payload + 1, 6, java.nio.charset.StandardCharsets.US_ASCII) == "vorbis") {
+      val channels = bytes(payload + 11) & 0xff
+      val rate = u32le(payload + 12)
+      if (channels < 1 || rate <= 0) return Map.empty
+      Map("xmpDM:audioSampleRate" -> rate.toString,
+        "channels" -> channels.toString,
+        "xmpDM:audioCompressor" -> "Vorbis")
+    } else if (payload + 19 <= bytes.length &&
+        new String(bytes, payload, 8, java.nio.charset.StandardCharsets.US_ASCII) == "OpusHead") {
+      // OpusHead: version(1) channels(1) preskip(2) inputRate(4 LE)
+      val channels = bytes(payload + 9) & 0xff
+      val rate = u32le(payload + 12)
+      if (channels < 1 || rate <= 0) return Map.empty
+      Map("xmpDM:audioSampleRate" -> rate.toString,
+        "channels" -> channels.toString,
+        "xmpDM:audioCompressor" -> "Opus")
+    } else Map.empty
+  }
+}

@@ -493,6 +493,24 @@ class KernelSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 0.005, s"got $got expect $expect")
   }
 
+  test("E28: Ogg Vorbis/Opus identification-header metadata") {
+    import graft.corpus.OggWriter
+    for (opus <- Seq(false, true)) {
+      val bytes = OggWriter.write(OggWriter.Spec(48000, 2, opus = opus))
+      assert(Magic.sniff(bytes) == Magic.Kind.Ogg)
+      val out = Extract.extractBytes("ogg", bytes, Extract.Options())
+      assert(out.contentType == "application/ogg")
+      assert(out.isMedia, s"opus=$opus")
+      assert(out.metadata("xmpDM:audioSampleRate") == "48000")
+      assert(out.metadata("channels") == "2")
+      assert(out.metadata("xmpDM:audioCompressor") == (if (opus) "Opus" else "Vorbis"))
+    }
+    // headerless Ogg magic (exoticPiece shape) stays a typed opaque row
+    val junk = "OggS0000".getBytes("US-ASCII") ++ Array.fill[Byte](64)(3)
+    val out2 = Extract.extractBytes("ogg", junk, Extract.Options())
+    assert(!out2.isMedia && out2.contentType == "application/ogg" && out2.metadata.isEmpty)
+  }
+
   test("E27: FLAC STREAMINFO metadata (exact duration)") {
     import graft.corpus.FlacWriter
     val bytes = FlacWriter.write(FlacWriter.Spec(48000, 2, nSamples = 96000))
