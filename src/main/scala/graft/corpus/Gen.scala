@@ -74,8 +74,11 @@ object Gen {
       else if (roll < 85) Vector(targzPiece(rng, lang, docId, 0))
       else if (roll < 87) Vector(subtextPiece(rng, lang, docId, 0))
       else if (roll < 88) Vector(msgPiece(rng, lang, docId, 0))
-      else if (roll < 89) Vector(
-        if (rng.nextBoolean()) binPiece(rng, docId, 0) else exoticPiece(rng, docId, 0))
+      else if (roll < 89) Vector(rng.nextInt(3) match {
+        case 0 => binPiece(rng, docId, 0)
+        case 1 => exoticPiece(rng, docId, 0)
+        case _ => miscMediaPiece(rng, docId, 0)
+      })
       else if (roll < 90) Vector(emptyPiece(rng, docId, 0))
       else if (roll < 91) Vector(gifPiece(rng, docId, 0))
       else { // interleaved multi-span doc
@@ -423,6 +426,23 @@ object Gen {
     mediaPiece("flac", FlacWriter.write(FlacWriter.Spec(
       Vector(44100, 48000, 96000)(rng.nextInt(3)), 1 + rng.nextInt(2),
       nSamples = 1000L + rng.nextInt(1 << 20))), docId, k)
+
+  /** ICO / PSD / MIDI: real headers, typed media metadata rows. */
+  private def miscMediaPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
+    val bytes = rng.nextInt(3) match {
+      case 0 => MiscMediaWriters.writeIco(
+        Vector.tabulate(1 + rng.nextInt(3))(_ => (16 << rng.nextInt(4), 16 << rng.nextInt(4))))
+      case 1 => MiscMediaWriters.writePsd(
+        16 + rng.nextInt(500), 16 + rng.nextInt(500), 3 + rng.nextInt(2),
+        if (rng.nextBoolean()) 3 else 1)
+      case _ => MiscMediaWriters.writeMidi(
+        rng.nextInt(2), 1 + rng.nextInt(8), 96 * (1 + rng.nextInt(5)))
+    }
+    val ref = s"m-$docId-$k"
+    Piece("miscmedia", Span("miscmedia", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      Seq(Span("media", null, ref, -1)), bytes.length.toLong)
+  }
 
   /** Ogg with a real Vorbis/Opus identification header. */
   private def oggPiece(rng: SplittableRandom, docId: String, k: Int): Piece =

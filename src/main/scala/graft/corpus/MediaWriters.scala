@@ -249,3 +249,64 @@ object OggWriter {
     out.toByteArray
   }
 }
+
+object MiscMediaWriters {
+
+  /** ICO: real ICONDIR + entries; payload bytes opaque. */
+  def writeIco(sizes: Seq[(Int, Int)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    u16(0); u16(1); u16(sizes.length)
+    val dataStart = 6 + sizes.length * 16
+    var off = dataStart
+    for ((w, h) <- sizes) {
+      out.write(if (w >= 256) 0 else w)
+      out.write(if (h >= 256) 0 else h)
+      out.write(0); out.write(0) // colors, reserved
+      u16(1); u16(32)            // planes, bpp
+      val len = 64
+      u32(len); u32(off)
+      off += len
+    }
+    var x = sizes.length * 17L
+    for (_ <- 0 until sizes.length * 64) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out.write(((x >>> 33) & 0xff).toInt)
+    }
+    out.toByteArray
+  }
+
+  /** PSD: real file header; image data opaque. */
+  def writePsd(w: Int, h: Int, channels: Int, mode: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def u32(v: Int): Unit = { u16((v >>> 16) & 0xffff); u16(v & 0xffff) }
+    out.write("8BPS".getBytes(StandardCharsets.US_ASCII))
+    u16(1)
+    for (_ <- 0 until 6) out.write(0)
+    u16(channels); u32(h); u32(w); u16(8); u16(mode)
+    u32(0); u32(0); u32(0) // empty color-mode/resources/layers sections
+    var x = w * 31L ^ h
+    for (_ <- 0 until 128) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out.write(((x >>> 33) & 0xff).toInt)
+    }
+    out.toByteArray
+  }
+
+  /** MIDI: real MThd + minimal MTrk chunks. */
+  def writeMidi(format: Int, ntrks: Int, division: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def u32(v: Int): Unit = { u16((v >>> 16) & 0xffff); u16(v & 0xffff) }
+    out.write("MThd".getBytes(StandardCharsets.US_ASCII))
+    u32(6); u16(format); u16(ntrks); u16(division)
+    for (_ <- 0 until ntrks) {
+      out.write("MTrk".getBytes(StandardCharsets.US_ASCII))
+      u32(4)
+      out.write(0x00); out.write(0xff); out.write(0x2f); out.write(0x00) // end-of-track
+    }
+    out.toByteArray
+  }
+}

@@ -160,6 +160,17 @@ object Extract {
           // stay opaque. Headerless Ogg magic degrades to typed opaque.
           val m = OggKernel.extract(bytes)
           Out("", Vector.empty, "application/ogg", m, isMedia = m.nonEmpty, issue = None)
+        case Magic.Kind.Ico =>
+          val m = IcoKernel.extract(bytes)
+          Out("", Vector.empty, "image/vnd.microsoft.icon", m,
+            isMedia = m.nonEmpty, issue = None)
+        case Magic.Kind.Psd =>
+          val m = PsdKernel.extract(bytes)
+          Out("", Vector.empty, "image/vnd.adobe.photoshop", m,
+            isMedia = m.nonEmpty, issue = None)
+        case Magic.Kind.Midi =>
+          val m = MidiKernel.extract(bytes)
+          Out("", Vector.empty, "audio/midi", m, isMedia = m.nonEmpty, issue = None)
         case k @ (Magic.Kind.SevenZ | Magic.Kind.Rar) =>
           // detection-only breadth: correctly TYPED opaque rows (the
           // codecs have no JVM-expressible parser in this environment)

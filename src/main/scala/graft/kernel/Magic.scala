@@ -51,6 +51,9 @@ object Magic {
     case object Rar     extends Kind("rar")
     case object Flac    extends Kind("flac")
     case object Ogg     extends Kind("ogg")
+    case object Ico     extends Kind("ico")
+    case object Psd     extends Kind("psd")
+    case object Midi    extends Kind("midi")
     case object Unknown extends Kind("bin")
   }
 
@@ -120,6 +123,14 @@ object Magic {
         (bytes(4) & 0xff) == 0x1a && (bytes(5) & 0xff) == 0x07) return Kind.Rar
     if (startsWith(bytes, "fLaC")) return Kind.Flac
     if (startsWith(bytes, "OggS")) return Kind.Ogg
+    if (startsWith(bytes, "8BPS")) return Kind.Psd
+    if (startsWith(bytes, "MThd")) return Kind.Midi
+    // ICO's magic is weak (00 00 01 00): require a sane entry count too
+    if (bytes.length >= 6 && bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 1 &&
+        bytes(3) == 0) {
+      val n = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
+      if (n >= 1 && n <= 64 && bytes.length >= 6 + n * 16) return Kind.Ico
+    }
     if (bytes.length >= 263 && bytes(257) == 'u' && bytes(258) == 's' &&
         bytes(259) == 't' && bytes(260) == 'a' && bytes(261) == 'r') return Kind.Tar
     if (looksLikeText(bytes)) {
@@ -258,6 +269,9 @@ object Magic {
     case Kind.Rar  => "application/x-rar-compressed"
     case Kind.Flac => "audio/flac"
     case Kind.Ogg  => "application/ogg"
+    case Kind.Ico  => "image/vnd.microsoft.icon"
+    case Kind.Psd  => "image/vnd.adobe.photoshop"
+    case Kind.Midi => "audio/midi"
     case Kind.Unknown => "application/octet-stream"
   }
 

@@ -192,3 +192,71 @@ object OggKernel {
     } else Map.empty
   }
 }
+
+/** ICO: ICONDIR entries -> largest icon dims + image count. */
+object IcoKernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    if (bytes.length < 22 || bytes(0) != 0 || bytes(1) != 0 ||
+        bytes(2) != 1 || bytes(3) != 0) return Map.empty
+    val n = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
+    if (n < 1 || n > 64 || 6 + n * 16 > bytes.length) return Map.empty
+    var bw = 0; var bh = 0
+    var i = 0
+    while (i < n) {
+      val e = 6 + i * 16
+      val w = { val v = bytes(e) & 0xff; if (v == 0) 256 else v }
+      val h = { val v = bytes(e + 1) & 0xff; if (v == 0) 256 else v }
+      if (w.toLong * h > bw.toLong * bh) { bw = w; bh = h }
+      i += 1
+    }
+    Map("Image Width" -> s"$bw pixels", "Image Height" -> s"$bh pixels",
+      "Image Count" -> n.toString)
+  }
+}
+
+/** PSD: file-header dims, channels, depth and color mode. */
+object PsdKernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    if (bytes.length < 26 || bytes(0) != '8' || bytes(1) != 'B' ||
+        bytes(2) != 'P' || bytes(3) != 'S') return Map.empty
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    if (u16(4) != 1) return Map.empty // version
+    val channels = u16(12)
+    val h = u32(14); val w = u32(18)
+    val depth = u16(22)
+    val mode = u16(24)
+    if (w <= 0 || h <= 0 || w > 300000 || h > 300000) return Map.empty
+    val modeName = mode match {
+      case 0 => "Bitmap"; case 1 => "Grayscale"; case 2 => "Indexed"
+      case 3 => "RGB"; case 4 => "CMYK"; case 7 => "Multichannel"
+      case 8 => "Duotone"; case 9 => "Lab"; case other => s"Unknown ($other)"
+    }
+    Map("Image Width" -> s"$w pixels", "Image Height" -> s"$h pixels",
+      "Bits Per Sample" -> depth.toString, "channels" -> channels.toString,
+      "Color Mode" -> modeName)
+  }
+}
+
+/** MIDI: MThd header -> format / track count / division. */
+object MidiKernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    if (bytes.length < 14 || bytes(0) != 'M' || bytes(1) != 'T' ||
+        bytes(2) != 'h' || bytes(3) != 'd') return Map.empty
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    val len = ((bytes(4) & 0xff) << 24) | ((bytes(5) & 0xff) << 16) |
+      ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+    if (len < 6) return Map.empty
+    val format = u16(8)
+    val ntrks = u16(10)
+    val division = u16(12)
+    if (format > 2 || ntrks < 1) return Map.empty
+    Map("midi:format" -> format.toString, "midi:tracks" -> ntrks.toString,
+      "midi:division" -> division.toString)
+  }
+}

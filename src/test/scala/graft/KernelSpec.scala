@@ -493,6 +493,32 @@ class KernelSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 0.005, s"got $got expect $expect")
   }
 
+  test("E29: ICO / PSD / MIDI header metadata") {
+    import graft.corpus.MiscMediaWriters
+    val ico = MiscMediaWriters.writeIco(Seq((16, 16), (256, 256), (48, 48)))
+    assert(Magic.sniff(ico) == Magic.Kind.Ico)
+    val io = Extract.extractBytes("ico", ico, Extract.Options())
+    assert(io.contentType == "image/vnd.microsoft.icon" && io.isMedia)
+    assert(io.metadata("Image Width") == "256 pixels")
+    assert(io.metadata("Image Count") == "3")
+    val psd = MiscMediaWriters.writePsd(640, 480, 3, 3)
+    assert(Magic.sniff(psd) == Magic.Kind.Psd)
+    val po = Extract.extractBytes("psd", psd, Extract.Options())
+    assert(po.contentType == "image/vnd.adobe.photoshop" && po.isMedia)
+    assert(po.metadata("Image Width") == "640 pixels")
+    assert(po.metadata("Color Mode") == "RGB")
+    val mid = MiscMediaWriters.writeMidi(1, 4, 480)
+    assert(Magic.sniff(mid) == Magic.Kind.Midi)
+    val mo = Extract.extractBytes("midi", mid, Extract.Options())
+    assert(mo.contentType == "audio/midi" && mo.isMedia)
+    assert(mo.metadata("midi:format") == "1")
+    assert(mo.metadata("midi:tracks") == "4")
+    assert(mo.metadata("midi:division") == "480")
+    // ICO's weak magic must not swallow leading-zero binary noise
+    val zeros = new Array[Byte](64)
+    assert(Magic.sniff(zeros) != Magic.Kind.Ico)
+  }
+
   test("E28: Ogg Vorbis/Opus identification-header metadata") {
     import graft.corpus.OggWriter
     for (opus <- Seq(false, true)) {
