@@ -183,13 +183,15 @@ object SparkEntry {
       // content-level near-dup images: real pixel decode -> aHash ->
       // banded Hamming join; catches the corpus's planted re-encodes
       // (same plane, different PNG filters) that byte dedup misses
-      graft.operators.ImageOps.dupImages(s, corpusMedia(s, dir))),
+      graft.operators.ImageOps.dupImages(s, corpusMedia(s, dir),
+        cacheKey = Some(dir))),
     "x_image_dups_xcodec" -> ((s, dir) =>
       // perceptual (DCT pHash) near-dups: pairs the corpus's planted
       // smooth planes stored as lossless PNG in one doc and lossy JPEG
       // q90 in another — content-level dedup across codecs
       graft.operators.ImageOps.dupImages(s, corpusMedia(s, dir),
-        maxHamming = 10, blocks = 8, perceptual = true)),
+        maxHamming = 12, blocks = 8, perceptual = true,
+        cacheKey = Some(dir))),
     "x_audio_features" -> ((s, dir) =>
       // real PCM decode (kernel/PixelDecode.WavDecoder): round floats so
       // driver canonicalization is platform-stable

@@ -78,16 +78,18 @@ object JpegDecoder {
       }
       v
     }
-    /** byte-align and consume an RSTn marker; false if absent. */
+    /** byte-align and consume an RSTn marker; false if absent. T.81
+      * permits any number of 0xFF fill bytes before the marker byte.
+      */
     def restart(): Boolean = {
       bitCnt = 0
-      // skip fill bytes to the marker
       while (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+          (bytes(pos + 1) & 0xff) == 0xff) pos += 1 // fill bytes
+      if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
           ((bytes(pos + 1) & 0xff) >= 0xd0 && (bytes(pos + 1) & 0xff) <= 0xd7)) {
         pos += 2
-        return true
-      }
-      false
+        true
+      } else false
     }
   }
 

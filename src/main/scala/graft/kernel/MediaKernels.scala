@@ -1,10 +1,11 @@
 package graft.kernel
 
-/** Round-3 media-container kernels: WAV (RIFF), MP4 (ISO BMFF), BMP and
-  * WebP — audio/video/image payloads stay opaque media spans, but their
-  * container metadata (dimensions, duration, sample rate) is REAL, the
-  * typed-metadata contract of the multimodal brief. Pixel/sample decode
-  * remains the declared stub boundary (no codec jars in this env).
+/** Media-container kernels: WAV (RIFF), MP4 (ISO BMFF), BMP and WebP —
+  * container metadata (dimensions, duration, sample rate) extracted here;
+  * pixel/sample decode lives in PixelDecode/JpegDecoder/WebpDecode (real
+  * from-scratch codecs for PNG/GIF/BMP/TIFF/JPEG/WAV/VP8L-entropy). The
+  * remaining declared stubs are perceptual video codecs only (VP8-lossy,
+  * H.264).
   */
 
 object WavKernel {
@@ -33,7 +34,10 @@ object WavKernel {
         meta += ("xmpDM:duration" -> f"${size.toDouble / byteRate}%.3f")
       }
       val advance = size + (size & 1) // chunks are word-aligned
-      if (advance <= 0) p = bytes.length else p += 8 + advance.toInt
+      // Bound-check in Long: a u32 size like 0xFFFFFFF8 truncates to a
+      // negative Int, which would make the step <= 0 and spin forever.
+      if (advance <= 0 || p.toLong + 8 + advance > bytes.length) p = bytes.length
+      else p += 8 + advance.toInt
     }
     if (meta.nonEmpty) meta += ("xmpDM:audioCompressor" -> "PCM")
     meta

@@ -44,9 +44,10 @@ final case class RawImage(width: Int, height: Int, channels: Int, data: Array[By
 object PngDecoder {
 
   /** Full PNG decode for the mainstream profile: 8-bit samples, color
-    * types 0/2/3/4/6, non-interlaced (Adam7 returns None — the corpus
-    * writer never emits it and progressive rendering has no analytics
-    * value). Multi-chunk IDAT is concatenated before inflation.
+    * types 0/2/3/4/6, both non-interlaced and Adam7-interlaced images
+    * (per-pass scanline filtering + de-interlace merge; the corpus writer
+    * emits interlaced PNGs 1-in-6). Multi-chunk IDAT is concatenated
+    * before inflation.
     */
   def decode(bytes: Array[Byte]): Option[RawImage] = {
     if (bytes.length < 45) return None

@@ -110,9 +110,10 @@ object ImageOps {
       }
       u += 1
     }
-    // median over the 63 AC coefficients (DC at index 0 excluded)
+    // median over the 63 AC coefficients (DC at index 0 excluded);
+    // 63 is odd, so the median is the middle element ac(31)
     val ac = coef.drop(1).sorted
-    val median = (ac(30) + ac(31)) / 2.0
+    val median = ac(31)
     var hash = 0L
     var i = 1
     while (i < 64) {
@@ -123,11 +124,13 @@ object ImageOps {
   }
 
   /** Per-image perceptual hashes for every pixel-decodable payload:
-    * (media_ref, ahash, width, height). Kernels run inside the media scan
-    * stage; only the 28-byte hash rows cross any exchange downstream.
+    * (media_ref, ahash, phash, width, height). BOTH hashes come out of a
+    * single pixel-decode pass — decode dominates the cost, so every
+    * consumer (exact-pixel dedup via ahash, cross-codec dedup via phash)
+    * shares one decode of each image. Kernels run inside the media scan
+    * stage; only the 36-byte hash rows cross any exchange downstream.
     */
-  def imageHashes(spark: SparkSession, media: DataFrame,
-      perceptual: Boolean = false): DataFrame = {
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_ref"), col("bytes_b64"))
       .as[(String, String)]
@@ -136,10 +139,29 @@ object ImageOps {
           if (b64 == null || b64.isEmpty) Array.emptyByteArray
           else java.util.Base64.getDecoder.decode(b64)
         Multimodal.decodePixels(bytes, Magic.sniff(bytes))
-          .map(img => (ref, if (perceptual) pHash64(img) else aHash64(img),
-            img.width, img.height))
+          .map(img => (ref, aHash64(img), pHash64(img), img.width, img.height))
       }
-      .toDF("media_ref", "ahash", "width", "height")
+      .toDF("media_ref", "ahash", "phash", "width", "height")
+  }
+
+  // One-slot hash-table cache: the image-dedup query pair (x_image_dups /
+  // x_image_dups_xcodec) consumes the SAME hashes table, so the second
+  // query must not re-decode every image. Keyed by the media source dir;
+  // a new key evicts (unpersists) the old entry. Callers that mutate data
+  // under an already-seen key in one JVM must use a fresh key.
+  @volatile private var hashCache: Option[(String, DataFrame)] = None
+
+  def imageHashesCached(spark: SparkSession, media: DataFrame,
+      key: String): DataFrame = synchronized {
+    hashCache match {
+      case Some((k, df)) if k == key => df
+      case prev =>
+        prev.foreach(_._2.unpersist())
+        val df = imageHashes(spark, media)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hashCache = Some((key, df))
+        df
+    }
   }
 
   /** Content-level near-dup image pairs within `maxHamming` bits
@@ -149,17 +171,22 @@ object ImageOps {
     * the cross-codec dedup a byte or exact-pixel hash cannot do.
     */
   def dupImages(spark: SparkSession, media: DataFrame, maxHamming: Int = 3,
-      blocks: Int = 4, perceptual: Boolean = false): DataFrame = {
+      blocks: Int = 4, perceptual: Boolean = false,
+      cacheKey: Option[String] = None): DataFrame = {
     // pigeonhole-COMPLETE for maxHamming <= blocks-1; beyond that the
     // candidate stage needs one clean block among `blocks`, which real
     // (non-adversarial) codec noise virtually always leaves — measured
-    // recall 8/8 on the planted cross-codec pool at maxHamming=10,
-    // blocks=8 (errors cluster in few coefficients). Only the candidate
-    // stage is probabilistic; emitted pairs are exactly verified.
+    // recall 8/8 on the planted cross-codec pool at maxHamming=12,
+    // blocks=8 (errors cluster in few coefficients; pool band 2-12 with
+    // the true 63-element AC median). Only the candidate stage is
+    // probabilistic; emitted pairs are exactly verified.
     require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
     val bitsPerBlock = 64 / blocks
     val mask = if (bitsPerBlock == 64) -1L else (1L << bitsPerBlock) - 1L
-    val sigs = imageHashes(spark, media, perceptual)
+    val hashCol = if (perceptual) "phash" else "ahash"
+    val sigs = cacheKey.fold(imageHashes(spark, media))(
+        imageHashesCached(spark, media, _))
+      .select(col("media_ref"), col(hashCol).as("ahash"))
     val blockStructs = (0 until blocks).map { b =>
       struct(lit(b).as("bi"),
         shiftrightunsigned(col("ahash"), b * bitsPerBlock)
