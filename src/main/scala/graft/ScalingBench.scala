@@ -41,17 +41,18 @@ object ScalingBench {
       s.stop()
     }
 
-    def onePass(cpus: Int, warm: Boolean): (Double, Long, Long) = {
+    def onePass(cpus: Int, warm: Boolean): (Double, Long, Long, Bench.Diag) = {
       val s = session(cpus)
       s.sparkContext.setLogLevel("WARN")
       try {
         val docs = Gen.readDocs(s, corpusDir)
         val media = Gen.readMedia(s, corpusDir)
-        def pass(): (Double, Long, Long) = {
-          val t0 = System.nanoTime()
-          val r = Pipeline.extract(s, docs, media).toDF()
-            .agg(count(lit(1)), sum(col("bytes_in"))).collect()(0)
-          ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+        def pass(): (Double, Long, Long, Bench.Diag) = {
+          val (wall, diag, r) = Bench.measured { () =>
+            Pipeline.extract(s, docs, media).toDF()
+              .agg(count(lit(1)), sum(col("bytes_in"))).collect()(0)
+          }
+          (wall, r.getLong(0), r.getLong(1), diag)
         }
         if (warm) pass()
         pass()
@@ -76,8 +77,9 @@ object ScalingBench {
       require(rN._2 == r4._2, s"result drift across parallelism: ${rN._2} vs ${r4._2}")
       val eff = ((r4._2 / r4._1) / (rN._2 / rN._1)) / 4.0
       System.err.println(
-        f"[scaling] round $round: N=$n ${rN._1}%.2f s, 4N=${4 * n} ${r4._1}%.2f s, eff=$eff%.3f")
-      (eff, rN._1, r4._1)
+        f"[scaling] round $round: N=$n ${rN._1}%.2f s (gc ${rN._4.gcMs} ms, load ${rN._4.load}%.1f), " +
+          f"4N=${4 * n} ${r4._1}%.2f s (gc ${r4._4.gcMs} ms, load ${r4._4.load}%.1f), eff=$eff%.3f")
+      (eff, rN._1, r4._1, rN._4, r4._4)
     }
     val sorted = samples.map(_._1).sorted
     val median = sorted(sorted.size / 2)
@@ -87,8 +89,12 @@ object ScalingBench {
     val tputN = docsN / secN
     val tput4N = docsN / sec4N
     val effStr = samples.map(s => f"${s._1}%.3f").mkString("[", ",", "]")
+    val loadStr = samples.map(s => f"${math.max(s._4.load, s._5.load)}%.1f")
+      .mkString("[", ",", "]")
+    val gcStr = samples.map(s => s"[${s._4.gcMs},${s._5.gcMs}]")
+      .mkString("[", ",", "]")
     val json =
-      f"""{"metric":"scaling_efficiency","value":$median%.3f,"unit":"ratio","stat":"median_of_$rounds","per_round":$effStr,"best":$best%.3f,"n_cpus":$n,"four_n_cpus":${4 * n},"docs":$docsN,"sec_n_median":$secN%.2f,"sec_4n_median":$sec4N%.2f,"docs_per_sec_n":$tputN%.1f,"docs_per_sec_4n":$tput4N%.1f,"bytes":$bytesN,"gate":0.8,"pass":${median >= 0.8}}"""
+      f"""{"metric":"scaling_efficiency","value":$median%.3f,"unit":"ratio","stat":"median_of_$rounds","per_round":$effStr,"best":$best%.3f,"n_cpus":$n,"four_n_cpus":${4 * n},"docs":$docsN,"sec_n_median":$secN%.2f,"sec_4n_median":$sec4N%.2f,"docs_per_sec_n":$tputN%.1f,"docs_per_sec_4n":$tput4N%.1f,"bytes":$bytesN,"load_avg_per_round":$loadStr,"gc_ms_per_round":$gcStr,"gate":0.8,"pass":${median >= 0.8}}"""
     println(json)
     Bench.writeJson(s"${SparkEntry.DataRoot}/scaling.json", json)
   }
