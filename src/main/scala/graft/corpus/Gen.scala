@@ -450,12 +450,48 @@ object Gen {
       Vector(44100, 48000)(rng.nextInt(2)), 1 + rng.nextInt(2),
       opus = rng.nextBoolean())), docId, k)
 
-  private def mp4Piece(rng: SplittableRandom, docId: String, k: Int): Piece =
-    mediaPiece("mp4", Mp4Writer.write(Mp4Writer.Spec(
-      if (rng.nextBoolean()) "isom" else "mp42",
-      1000 * (1 + rng.nextInt(90)),
-      1000L + rng.nextInt(1 << 20),
-      16 * (1 + rng.nextInt(120)), 16 * (1 + rng.nextInt(68)))), docId, k)
+  /** MP4 with a REAL sample-table track (stts/stsc/stsz/stco/stss):
+    * non-uniform frame deltas (variable-frame-rate pattern), ragged chunk
+    * layout, keyframe-every-g sync table; mvhd duration derived from the
+    * media deltas so container metadata and frame index agree.
+    */
+  private def mp4Piece(rng: SplittableRandom, docId: String, k: Int): Piece = {
+    val brand = if (rng.nextBoolean()) "isom" else "mp42"
+    val movieTs = 1000 * (1 + rng.nextInt(90))
+    val w = 16 * (1 + rng.nextInt(120)); val h = 16 * (1 + rng.nextInt(68))
+    if (rng.nextInt(5) == 0) {
+      // 1-in-5 keeps the legacy metadata-only shape (no sample tables):
+      // the real world has fragmented/edited files; the block fallback
+      // path must stay exercised
+      mediaPiece("mp4", Mp4Writer.write(Mp4Writer.Spec(
+        brand, movieTs, 1000L + rng.nextInt(1 << 20), w, h)), docId, k)
+    } else {
+      val mediaTs = Vector(600, 1000, 12288, 15360, 24000, 30000)(rng.nextInt(6))
+      val n = 12 + rng.nextInt(48)
+      // variable-frame-rate deltas: base frame period with 1-in-4 jitter
+      val base = mediaTs / (12 + rng.nextInt(19)) // 12-30 fps
+      val deltas = Vector.fill(n)(
+        if (rng.nextInt(4) == 0) base + rng.nextInt(math.max(1, base)) else base)
+      val sizes = Vector.fill(n)(120 + rng.nextInt(900))
+      val chunks = {
+        val b = Vector.newBuilder[Int]
+        var left = n
+        while (left > 0) {
+          val c = math.min(left, 1 + rng.nextInt(7))
+          b += c
+          left -= c
+        }
+        b.result()
+      }
+      val g = 6 + rng.nextInt(7) // keyframe group size
+      val keys = (1 to n by g).toVector
+      val mvhdDur = deltas.map(_.toLong).sum * movieTs / mediaTs
+      mediaPiece("mp4", Mp4Writer.write(Mp4Writer.Spec(
+        brand, movieTs, mvhdDur, w, h,
+        mediaTimescale = mediaTs, sampleDeltas = deltas, sampleSizes = sizes,
+        samplesPerChunk = chunks, keyframes = keys)), docId, k)
+    }
+  }
 
   /** .doc stays latin (cp1252 round-trip is exact for en/de/fr/es);
     * ~1/3 are fComplex piece-table documents (out-of-order pieces,

@@ -92,8 +92,27 @@ object WebpWriter {
 
 object Mp4Writer {
 
+  /** Legacy fields give the moov/mvhd/tkhd metadata shape; when
+    * `sampleDeltas` is non-empty a full media track is emitted —
+    * mdia(mdhd, minf(stbl(stsd/stts/stsc/stsz/stco[/stss]))) with REAL
+    * absolute chunk offsets into an mdat that carries the sample bytes —
+    * the analytic oracle for Mp4Kernel.sampleTable.
+    *
+    * @param mediaTimescale units/sec for sampleDeltas (mdhd timescale)
+    * @param sampleDeltas   per-sample stts decode deltas (run-length
+    *                       compressed on write); may be non-uniform
+    * @param sampleSizes    per-sample byte sizes (stsz); same length
+    * @param samplesPerChunk chunk layout; sum must equal nSamples
+    * @param keyframes      1-based sync sample numbers (stss); Nil = no
+    *                       stss box = every sample is sync
+    */
   final case class Spec(brand: String, timescale: Int, durationUnits: Long,
-      width: Int, height: Int)
+      width: Int, height: Int,
+      mediaTimescale: Int = 0,
+      sampleDeltas: Seq[Int] = Nil,
+      sampleSizes: Seq[Int] = Nil,
+      samplesPerChunk: Seq[Int] = Nil,
+      keyframes: Seq[Int] = Nil)
 
   def write(spec: Spec): Array[Byte] = {
     def box(typ: String, body: Array[Byte]): Array[Byte] = {
@@ -145,17 +164,138 @@ object Mp4Writer {
       u32be(b, spec.height.toLong << 16)
       box("tkhd", b.toByteArray)
     }
-    val moov = box("moov", mvhd ++ box("trak", tkhd))
-    val mdat = {
-      val b = new ByteArrayOutputStream()
-      var x = (spec.timescale * 13L) ^ spec.durationUnits
-      for (_ <- 0 until 512) {
-        x = x * 6364136223846793005L + 1442695040888963407L
-        b.write(((x >>> 33) & 0xff).toInt)
+    if (spec.sampleDeltas.isEmpty) {
+      // legacy metadata-only shape: moov(mvhd, trak(tkhd)) + opaque mdat
+      val moov = box("moov", mvhd ++ box("trak", tkhd))
+      val mdat = {
+        val b = new ByteArrayOutputStream()
+        var x = (spec.timescale * 13L) ^ spec.durationUnits
+        for (_ <- 0 until 512) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          b.write(((x >>> 33) & 0xff).toInt)
+        }
+        box("mdat", b.toByteArray)
       }
-      box("mdat", b.toByteArray)
+      return ftyp ++ moov ++ mdat
     }
-    ftyp ++ moov ++ mdat
+
+    val n = spec.sampleDeltas.length
+    require(spec.sampleSizes.length == n, "sizes must match deltas")
+    require(spec.samplesPerChunk.sum == n, "chunk layout must cover samples")
+
+    // deterministic sample payload bytes, concatenated in chunk order
+    val sampleBytes: IndexedSeq[Array[Byte]] = (0 until n).map { i =>
+      val a = new Array[Byte](spec.sampleSizes(i))
+      var x = (spec.timescale * 31L) ^ (i * 0x9E3779B97F4A7C15L)
+      var j = 0
+      while (j < a.length) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        a(j) = ((x >>> 33) & 0xff).toByte
+        j += 1
+      }
+      a
+    }
+
+    def fullBox(typ: String, body: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](0, 0, 0, 0) ++ body) // version 0 + flags 0
+
+    val mdhd = {
+      val b = new ByteArrayOutputStream()
+      u32be(b, 0L); u32be(b, 0L) // ctime, mtime
+      u32be(b, spec.mediaTimescale.toLong)
+      u32be(b, spec.sampleDeltas.map(_.toLong).sum)
+      b.write(0x55); b.write(0xc4) // language "und"
+      b.write(0); b.write(0)       // pre_defined
+      fullBox("mdhd", b.toByteArray)
+    }
+    val stts = {
+      // run-length compress consecutive equal deltas
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      spec.sampleDeltas.foreach { d =>
+        if (runs.nonEmpty && runs.last._2 == d)
+          runs(runs.length - 1) = (runs.last._1 + 1, d)
+        else runs += ((1, d))
+      }
+      val b = new ByteArrayOutputStream()
+      u32be(b, runs.length.toLong)
+      runs.foreach { case (c, d) => u32be(b, c.toLong); u32be(b, d.toLong) }
+      fullBox("stts", b.toByteArray)
+    }
+    val stsc = {
+      // compress runs of equal samples-per-chunk into (first_chunk, spc, 1)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      spec.samplesPerChunk.zipWithIndex.foreach { case (spc, ci) =>
+        if (entries.isEmpty || entries.last._2 != spc) entries += ((ci + 1, spc))
+      }
+      val b = new ByteArrayOutputStream()
+      u32be(b, entries.length.toLong)
+      entries.foreach { case (fc, spc) =>
+        u32be(b, fc.toLong); u32be(b, spc.toLong); u32be(b, 1L)
+      }
+      fullBox("stsc", b.toByteArray)
+    }
+    val stsz = {
+      val b = new ByteArrayOutputStream()
+      u32be(b, 0L) // sample_size 0 = per-sample table
+      u32be(b, n.toLong)
+      spec.sampleSizes.foreach(s => u32be(b, s.toLong))
+      fullBox("stsz", b.toByteArray)
+    }
+    val stssOpt =
+      if (spec.keyframes.isEmpty) Array.emptyByteArray
+      else {
+        val b = new ByteArrayOutputStream()
+        u32be(b, spec.keyframes.length.toLong)
+        spec.keyframes.foreach(k => u32be(b, k.toLong))
+        fullBox("stss", b.toByteArray)
+      }
+    val stsd = { // minimal: one opaque sample entry
+      val b = new ByteArrayOutputStream()
+      u32be(b, 1L)
+      val entry = new ByteArrayOutputStream()
+      for (_ <- 0 until 6) entry.write(0) // reserved
+      entry.write(0); entry.write(1)      // data_reference_index
+      b.write(box("gnrc", entry.toByteArray))
+      fullBox("stsd", b.toByteArray)
+    }
+
+    def stcoBox(offsets: Seq[Long]): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      u32be(b, offsets.length.toLong)
+      offsets.foreach(u32be(b, _))
+      fullBox("stco", b.toByteArray)
+    }
+
+    def moovFor(offsets: Seq[Long]): Array[Byte] = {
+      val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stcoBox(offsets) ++ stssOpt)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ minf)
+      box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+    }
+
+    // two-phase: stco size is offset-value independent (fixed u32 each),
+    // so build with zeros to learn the mdat start, then fill real offsets
+    val nChunks = spec.samplesPerChunk.length
+    val moovLen = moovFor(Seq.fill(nChunks)(0L)).length
+    val mdatStart = ftyp.length + moovLen + 8 // +8 = mdat box header
+    val chunkOffsets = {
+      val offs = new Array[Long](nChunks)
+      var off = mdatStart.toLong
+      var si = 0
+      var ci = 0
+      while (ci < nChunks) {
+        offs(ci) = off
+        var k = 0
+        while (k < spec.samplesPerChunk(ci)) { off += sampleBytes(si).length; si += 1; k += 1 }
+        ci += 1
+      }
+      offs.toSeq
+    }
+    val moov = moovFor(chunkOffsets)
+    assert(moov.length == moovLen, "stco size must be offset-independent")
+    val mdatBody = new ByteArrayOutputStream()
+    sampleBytes.foreach(mdatBody.write)
+    ftyp ++ moov ++ box("mdat", mdatBody.toByteArray)
   }
 }
 

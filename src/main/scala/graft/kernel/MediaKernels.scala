@@ -157,6 +157,156 @@ object Mp4Kernel {
   def durationMs(bytes: Array[Byte]): Long =
     extract(bytes).get("xmpDM:duration")
       .flatMap(_.toDoubleOption).map(d => (d * 1000).toLong).getOrElse(-1L)
+
+  /** One indexed media sample: real decode timestamp (media timescale ->
+    * ms), absolute file offset, byte size, sync-sample flag.
+    */
+  final case class Mp4Sample(tsMs: Long, offset: Long, size: Int, keyframe: Boolean)
+
+  /** Parse the first video/media track's sample tables (ISO 14496-12
+    * stbl: stts decode deltas, stsc sample-to-chunk, stsz sizes, stco
+    * chunk offsets, stss sync samples) into per-sample rows. This is the
+    * frame INDEX of an MP4 — per-frame timestamps/offsets/keyframes are
+    * pure box arithmetic, no codec needed. None when any table is
+    * missing, inconsistent, or absurdly sized (adversarial caps).
+    */
+  def sampleTable(bytes: Array[Byte]): Option[Array[Mp4Sample]] = {
+    def u32(p: Int): Long =
+      ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
+    val MaxEntries = 1 << 20 // adversarial cap: 1M samples/chunks per file
+
+    var mdhdTimescale = 0L
+    var stts: Array[(Long, Long)] = null   // (count, delta) runs
+    var stsc: Array[(Long, Long)] = null   // (first_chunk, samples_per_chunk)
+    var stsz: Array[Int] = null            // per-sample sizes
+    var stszUniform = -1L                  // uniform size when sample_size != 0
+    var stszCount = 0L
+    var stco: Array[Long] = null           // chunk offsets
+    var stss: Array[Long] = null           // 1-based sync sample numbers
+    var found = false                      // first complete stbl wins
+
+    def walk(start: Long, limit: Long, depth: Int): Unit = {
+      if (depth > 8 || found) return
+      var p = start
+      while (p + 8 <= limit && !found) {
+        var size = u32(p.toInt)
+        val typ = new String(bytes, p.toInt + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        var hdr = 8L
+        if (size == 1 && p + 16 <= limit) { size = u64(p.toInt + 8); hdr = 16L }
+        else if (size == 0) size = limit - p
+        if (size < hdr || p + size > limit) return
+        val body = (p + hdr).toInt
+        val end = p + size
+        typ match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(body.toLong, end, depth + 1)
+            if (typ == "trak" && stts != null && stsc != null &&
+                (stsz != null || stszUniform >= 0) && stco != null &&
+                mdhdTimescale > 0) found = true
+            else if (typ == "trak" && !found) {
+              // incomplete track: reset and try the next one
+              stts = null; stsc = null; stsz = null; stszUniform = -1L
+              stco = null; stss = null; mdhdTimescale = 0L
+            }
+          case "mdhd" if size >= hdr + 16 =>
+            val version = bytes(body) & 0xff
+            mdhdTimescale =
+              if (version == 1 && size >= hdr + 24) u32(body + 20) else u32(body + 12)
+          case "stts" if size >= hdr + 8 =>
+            val n = u32(body + 4)
+            if (n >= 0 && n <= MaxEntries && hdr + 8 + n * 8 <= size) {
+              stts = Array.tabulate(n.toInt)(i =>
+                (u32(body + 8 + i * 8), u32(body + 12 + i * 8)))
+            }
+          case "stsc" if size >= hdr + 8 =>
+            val n = u32(body + 4)
+            if (n >= 0 && n <= MaxEntries && hdr + 8 + n * 12 <= size) {
+              stsc = Array.tabulate(n.toInt)(i =>
+                (u32(body + 8 + i * 12), u32(body + 12 + i * 12)))
+            }
+          case "stsz" if size >= hdr + 12 =>
+            val uniform = u32(body + 4)
+            val n = u32(body + 8)
+            stszCount = n
+            if (uniform != 0) stszUniform = uniform
+            else if (n >= 0 && n <= MaxEntries && hdr + 12 + n * 4 <= size)
+              stsz = Array.tabulate(n.toInt)(i => u32(body + 12 + i * 4).toInt)
+          case "stco" if size >= hdr + 8 =>
+            val n = u32(body + 4)
+            if (n >= 0 && n <= MaxEntries && hdr + 8 + n * 4 <= size)
+              stco = Array.tabulate(n.toInt)(i => u32(body + 8 + i * 4))
+          case "co64" if size >= hdr + 8 =>
+            val n = u32(body + 4)
+            if (n >= 0 && n <= MaxEntries && hdr + 8 + n * 8 <= size)
+              stco = Array.tabulate(n.toInt)(i => u64(body + 8 + i * 8))
+          case "stss" if size >= hdr + 8 =>
+            val n = u32(body + 4)
+            if (n >= 0 && n <= MaxEntries && hdr + 8 + n * 4 <= size)
+              stss = Array.tabulate(n.toInt)(i => u32(body + 8 + i * 4))
+          case _ => ()
+        }
+        p = end
+      }
+    }
+
+    try {
+      walk(0L, bytes.length.toLong, 0)
+      if (!found) return None
+      val nSamples = if (stsz != null) stsz.length.toLong else stszCount
+      if (nSamples <= 0 || nSamples > MaxEntries) return None
+      if (stts.map(_._1).sum != nSamples) return None
+      // expand stts runs -> cumulative decode time per sample
+      val ts = new Array[Long](nSamples.toInt)
+      var si = 0
+      var t = 0L
+      stts.foreach { case (cnt, delta) =>
+        var c = 0L
+        while (c < cnt && si < nSamples) {
+          ts(si) = t * 1000 / mdhdTimescale
+          t += delta
+          si += 1
+          c += 1
+        }
+      }
+      // expand stsc: samples-per-chunk for each chunk 1..stco.length
+      val nChunks = stco.length
+      if (nChunks == 0 || stsc.isEmpty || stsc.head._1 != 1) return None
+      val spc = new Array[Long](nChunks)
+      var e = 0
+      var chunk = 1
+      while (chunk <= nChunks) {
+        while (e + 1 < stsc.length && stsc(e + 1)._1 <= chunk) e += 1
+        spc(chunk - 1) = stsc(e)._2
+        chunk += 1
+      }
+      if (spc.sum != nSamples) return None
+      val sync: java.util.Set[Long] =
+        if (stss == null) null
+        else { val s = new java.util.HashSet[Long](); stss.foreach(s.add); s }
+      val out = new Array[Mp4Sample](nSamples.toInt)
+      var idx = 0
+      var ci = 0
+      while (ci < nChunks) {
+        var off = stco(ci)
+        var k = 0L
+        while (k < spc(ci) && idx < nSamples) {
+          val sz = if (stsz != null) stsz(idx) else stszUniform.toInt
+          if (sz < 0) return None
+          val key = sync == null || sync.contains(idx + 1L)
+          out(idx) = Mp4Sample(ts(idx), off, sz, key)
+          off += sz
+          idx += 1
+          k += 1
+        }
+        ci += 1
+      }
+      Some(out)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None
+    }
+  }
 }
 
 /** Ogg container: first-page Vorbis/Opus identification header ->

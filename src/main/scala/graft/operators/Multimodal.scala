@@ -174,17 +174,24 @@ object Multimodal {
       }
   }
 
-  /** Frame sampler: one media row -> N frame rows.
+  /** Frame sampler: one media row -> N frame rows of
+    * (media_ref, frame_idx, frame_checksum, ts_ms, offset, size, keyframe).
     *
     * For animated GIF the decode is REAL: every image descriptor is
     * LZW-decoded and composited (transparency + disposal), every
     * `stride`-th composite is emitted with its luma sum as the frame
-    * checksum and the cumulative GCE delay as a genuine timestamp.
+    * checksum and the cumulative GCE delay as a genuine timestamp
+    * (offset/size are -1: composites have no contiguous byte range;
+    * keyframe=true — each emitted frame is a fully materialized plane).
     *
-    * For MP4 the container's mvhd duration is real but the frame step is
-    * the declared stub (H.264 needs a codec this container doesn't ship):
-    * every `stride`-th 1KB block's byte sum stands in for a frame, with
-    * ts_ms scaled into the true duration. Other payloads get ts_ms = -1.
+    * For MP4 the sample tables (stts/stsc/stsz/stco/stss) are parsed for
+    * real: every `stride`-th SAMPLE is emitted with its true decode
+    * timestamp (mdhd timescale), absolute byte offset, size, and
+    * sync-sample flag, checksummed over its actual mdat byte range —
+    * the genuine frame index of the file, no codec required (only the
+    * pixel decode of those frame payloads — H.264 — stays out of scope).
+    * MP4s without sample tables fall back to mvhd-scaled 1KB blocks;
+    * other payloads get ts_ms = -1.
     */
   def frameSample(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
     import spark.implicits._
@@ -196,8 +203,11 @@ object Multimodal {
         val kind = Magic.sniff(bytes)
         val gifFrames =
           if (kind == Magic.Kind.Gif) GifDecoder.decodeFrames(bytes) else None
-        gifFrames match {
-          case Some(anim) =>
+        val mp4Samples =
+          if (kind == Magic.Kind.Mp4) graft.kernel.Mp4Kernel.sampleTable(bytes)
+          else None
+        (gifFrames, mp4Samples) match {
+          case (Some(anim), _) =>
             // real decoded frames: cumulative delay timestamps
             val ts = anim.frames.scanLeft(0L)(_ + _.delayMs)
             anim.frames.zipWithIndex
@@ -207,9 +217,19 @@ object Multimodal {
                 val luma = fr.image.luma
                 var j = 0
                 while (j < luma.length) { s += luma(j); j += 1 }
-                (ref, i, s, ts(i))
+                (ref, i, s, ts(i), -1L, -1, true)
               }
-          case None =>
+          case (None, Some(samples)) =>
+            // real sample index: stride over samples, checksum the range
+            samples.indices.by(stride).map { i =>
+              val sm = samples(i)
+              var s = 0L
+              var p = sm.offset
+              val end = math.min(sm.offset + sm.size, bytes.length.toLong)
+              while (p < end) { s += (bytes(p.toInt) & 0xff); p += 1 }
+              (ref, i, s, sm.tsMs, sm.offset, sm.size, sm.keyframe)
+            }
+          case _ =>
             val durMs =
               if (kind == Magic.Kind.Mp4) graft.kernel.Mp4Kernel.durationMs(bytes)
               else -1L
@@ -220,10 +240,11 @@ object Multimodal {
               var i = f * 1024
               while (i < (f + 1) * 1024 && i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
               val ts = if (durMs >= 0 && picked.size > 0) durMs * k / picked.size else -1L
-              (ref, f, s, ts)
+              (ref, f, s, ts, f * 1024L, math.min(1024, bytes.length - f * 1024), false)
             }
         }
       }
-      .toDF("media_ref", "frame_idx", "frame_checksum", "ts_ms")
+      .toDF("media_ref", "frame_idx", "frame_checksum", "ts_ms", "offset",
+        "size", "keyframe")
   }
 }

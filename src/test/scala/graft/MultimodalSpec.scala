@@ -107,6 +107,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("frameSample: MP4 sample tables give real per-frame ts/offset/size/keyframe rows") {
+    import graft.corpus.Mp4Writer
+    val deltas = Vector(100, 150, 100, 200, 100, 100, 50, 100) // non-uniform (VFR)
+    val sizes = Vector(400, 210, 220, 230, 440, 250, 260, 270)
+    val bytes = Mp4Writer.write(Mp4Writer.Spec("isom", 1000, 900L, 160, 120,
+      mediaTimescale = 1000, sampleDeltas = deltas, sampleSizes = sizes,
+      samplesPerChunk = Vector(3, 3, 2), keyframes = Vector(1, 5)))
+    val rows = Multimodal.frameSample(spark, mediaDF("v" -> bytes), stride = 2)
+      .collect().sortBy(_.getInt(1))
+    // samples 0, 2, 4, 6 emitted
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2, 4, 6))
+    // timestamps are the REAL cumulative stts deltas — non-uniform
+    val cum = deltas.scanLeft(0L)(_ + _)
+    assert(rows.map(_.getLong(3)).toSeq == Seq(cum(0), cum(2), cum(4), cum(6)))
+    assert(rows.map(_.getLong(3)).toSeq.distinct.size == 4) // genuinely distinct ts
+    // sizes + keyframe flags from stsz/stss
+    assert(rows.map(_.getInt(5)).toSeq == Seq(sizes(0), sizes(2), sizes(4), sizes(6)))
+    assert(rows.map(_.getBoolean(6)).toSeq == Seq(true, false, true, false))
+    // checksums really cover the mdat byte ranges at the parsed offsets
+    for (row <- rows) {
+      val off = row.getLong(4); val sz = row.getInt(5)
+      val s = (off until off + sz).map(i => bytes(i.toInt) & 0xff).map(_.toLong).sum
+      assert(row.getLong(2) == s)
+    }
+  }
+
   test("resizeLuma: integer-ratio box filter is the exact block mean") {
     // 4x4 gray image, resize to 2x2: each cell is the mean of a 2x2 block
     val data = Array.tabulate[Byte](16)(i => (i * 16).toByte)
