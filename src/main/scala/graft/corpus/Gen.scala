@@ -353,6 +353,7 @@ object Gen {
         Seq(Span("media", null, ref, -1)), bytes.length.toLong)
     }
     val gray = rng.nextInt(4) == 0
+    val progressive = rng.nextInt(4) == 0 // 1-in-4: the web's common shape
     val bytes = JpegWriterEx.write(JpegWriterEx.Spec(
       width = 16 + rng.nextInt(304), height = 16 + rng.nextInt(304),
       seed = rng.nextLong(),
@@ -360,7 +361,9 @@ object Gen {
       gray = gray,
       subsample = !gray && rng.nextBoolean(),
       quality = 75 + rng.nextInt(21),
-      restartInterval = if (rng.nextInt(8) == 0) 1 + rng.nextInt(4) else 0))
+      restartInterval =
+        if (!progressive && rng.nextInt(8) == 0) 1 + rng.nextInt(4) else 0,
+      progressive = progressive))
     val ref = s"m-$docId-$k"
     Piece("jpeg", Span("jpeg", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),

@@ -16,11 +16,19 @@ object JpegWriterEx {
   /** subsample=true emits 4:2:0 (chroma box-downsampled 2x2).
     * unitQuant=true uses all-ones quantization (lossless up to DCT
     * rounding — the spec oracle mode). gray=true emits one component.
+    * progressive=true emits SOF2 with a 6-to-10-scan script: interleaved
+    * DC first pass (Al=1), per-component AC bands 1-5 and 6-63 (Al=1,
+    * EOB-run coded), then DC and AC refinement passes (Ah=1, Al=0) —
+    * exercising spectral selection, successive approximation and EOBn
+    * in the decoder. Coefficients are identical to the baseline
+    * encoding of the same spec (progressive transmission is lossless),
+    * so JpegDecoder must produce the same plane for both modes.
+    * restartInterval is a baseline-only knob (ignored when progressive).
     */
   final case class Spec(width: Int, height: Int, seed: Long,
       software: String = "", gray: Boolean = false, subsample: Boolean = false,
       unitQuant: Boolean = false, quality: Int = 90, restartInterval: Int = 0,
-      smoothChroma: Boolean = false)
+      smoothChroma: Boolean = false, progressive: Boolean = false)
 
   // ---------------------------------------------------------------- input
   /** Deterministic input plane (gray: 1 ch; else RGB). When smoothChroma
@@ -94,15 +102,16 @@ object JpegWriterEx {
     }
     dqt(0, qLuma)
     if (!spec.gray) dqt(1, qChroma)
-    // SOF0
+    // SOF0 (baseline) / SOF2 (progressive)
     val nc = if (spec.gray) 1 else 3
     val sofLen = 8 + nc * 3
-    m(0xff, 0xc0, (sofLen >> 8) & 0xff, sofLen & 0xff, 0x08,
+    m(0xff, if (spec.progressive) 0xc2 else 0xc0,
+      (sofLen >> 8) & 0xff, sofLen & 0xff, 0x08,
       (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, nc)
     val ySamp = if (spec.subsample && !spec.gray) 0x22 else 0x11
     m(0x01, ySamp, 0x00)
     if (!spec.gray) { m(0x02, 0x11, 0x01); m(0x03, 0x11, 0x01) }
-    // DHT (standard tables)
+    // DHT (standard tables; progressive swaps in the EOBn-capable AC table)
     def dht(tc: Int, th: Int, counts: Array[Int], syms: Array[Int]): Unit = {
       val len = 2 + 1 + 16 + syms.length
       m(0xff, 0xc4, (len >> 8) & 0xff, len & 0xff, (tc << 4) | th)
@@ -110,10 +119,16 @@ object JpegWriterEx {
       syms.foreach(out.write)
     }
     dht(0, 0, DcLumaCounts, DcLumaSyms)
-    dht(1, 0, AcLumaCounts, AcLumaSyms)
+    if (spec.progressive) dht(1, 0, ProgAcCounts, ProgAcSyms)
+    else dht(1, 0, AcLumaCounts, AcLumaSyms)
     if (!spec.gray) {
       dht(0, 1, DcChromaCounts, DcChromaSyms)
-      dht(1, 1, AcChromaCounts, AcChromaSyms)
+      if (!spec.progressive) dht(1, 1, AcChromaCounts, AcChromaSyms)
+    }
+    if (spec.progressive) {
+      emitProgressiveScans(out, spec, yP, cbP, crP, qLuma, qChroma, w, h)
+      m(0xff, 0xd9) // EOI
+      return out.toByteArray
     }
     if (spec.restartInterval > 0)
       m(0xff, 0xdd, 0x00, 0x04,
@@ -289,12 +304,13 @@ object JpegWriterEx {
     c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
   }
 
-  /** Forward DCT + quantize one 8x8 block (edge-replicated padding),
-    * then zigzag run-length Huffman encode with DC prediction.
+  /** Forward DCT + quantize one 8x8 block (edge-replicated padding) into
+    * zigzag-ordered coefficients — shared by the baseline and progressive
+    * entropy coders (same coefficients either way: progressive
+    * transmission is lossless).
     */
-  private def encodeBlock(bw: BitWriter, plane: Array[Int], w: Int, h: Int,
-      ox: Int, oy: Int, q: Array[Int], dc: Array[(Int, Int)], ac: Array[(Int, Int)],
-      preds: Array[Int], ci: Int): Unit = {
+  private def blockCoefs(plane: Array[Int], w: Int, h: Int,
+      ox: Int, oy: Int, q: Array[Int]): Array[Int] = {
     val s = new Array[Double](64)
     var y = 0
     while (y < 8) {
@@ -339,6 +355,14 @@ object JpegWriterEx {
       }
       v += 1
     }
+    coefZ
+  }
+
+  /** Zigzag run-length Huffman encode one block with DC prediction. */
+  private def encodeBlock(bw: BitWriter, plane: Array[Int], w: Int, h: Int,
+      ox: Int, oy: Int, q: Array[Int], dc: Array[(Int, Int)], ac: Array[(Int, Int)],
+      preds: Array[Int], ci: Int): Unit = {
+    val coefZ = blockCoefs(plane, w, h, ox, oy, q)
     // DC
     val diff = coefZ(0) - preds(ci)
     preds(ci) = coefZ(0)
@@ -437,6 +461,248 @@ object JpegWriterEx {
     0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
     0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  // ------------------------------------------------ progressive (SOF2)
+
+  /** Progressive AC Huffman table: the Annex-K tables carry no EOBn
+    * symbols (r<<4, 0<r<15), so progressive scans use this custom
+    * canonical table — every symbol the scans can emit (EOB0-14, ZRL,
+    * r 0-15 x size 1-14) at uniform code length 9. 240 codes of 9 bits
+    * satisfy Kraft (240 < 512) and leave the all-ones code unused, as
+    * T.81 Annex C requires. Not size-optimal, deliberately simple — the
+    * corpus oracle cares about decode correctness, not ratio.
+    */
+  private[corpus] val ProgAcSyms: Array[Int] = {
+    val eobn = (0 until 15).map(_ << 4)
+    val zrl = Seq(0xf0)
+    val rs = for (r <- 0 to 15; s <- 1 to 14) yield (r << 4) | s
+    (eobn ++ zrl ++ rs).toArray
+  }
+  private[corpus] val ProgAcCounts: Array[Int] = {
+    val c = new Array[Int](16)
+    c(8) = ProgAcSyms.length // all codes at length 9
+    c
+  }
+
+  private final case class PComp(id: Int, hs: Int, vs: Int,
+      plane: Array[Int], pw: Int, ph: Int, q: Array[Int],
+      dcCodes: Array[(Int, Int)], dcTabId: Int,
+      blocksW: Int, blocksH: Int, scanW: Int, scanH: Int,
+      coefs: Array[Array[Int]])
+
+  /** Emit the full progressive scan script: interleaved DC first pass
+    * (Al=1), per-component AC bands 1-5 / 6-63 first passes (Al=1,
+    * EOB-run coded), DC refinement, AC refinements (Ah=1, Al=0). The
+    * scans transmit exactly the baseline coefficients, so the decoded
+    * plane must match the baseline encoding bit for bit.
+    */
+  private def emitProgressiveScans(out: ByteArrayOutputStream, spec: Spec,
+      yP: Array[Int], cbP: Array[Int], crP: Array[Int],
+      qLuma: Array[Int], qChroma: Array[Int], w: Int, h: Int): Unit = {
+    def m(bs: Int*): Unit = bs.foreach(b => out.write(b & 0xff))
+    val acCodes = huffCodes(ProgAcCounts, ProgAcSyms)
+    val dcL = huffCodes(DcLumaCounts, DcLumaSyms)
+    val dcC = huffCodes(DcChromaCounts, DcChromaSyms)
+
+    def mk(id: Int, hs: Int, vs: Int, plane: Array[Int], pw: Int, ph: Int,
+        q: Array[Int], dcCodes: Array[(Int, Int)], dcTabId: Int,
+        blocksW: Int, blocksH: Int, scanW: Int, scanH: Int): PComp = {
+      val coefs = Array.tabulate(blocksW * blocksH)(i =>
+        blockCoefs(plane, pw, ph, (i % blocksW) * 8, (i / blocksW) * 8, q))
+      PComp(id, hs, vs, plane, pw, ph, q, dcCodes, dcTabId,
+        blocksW, blocksH, scanW, scanH, coefs)
+    }
+
+    val comps: Array[PComp] =
+      if (spec.gray) {
+        val bw0 = (w + 7) / 8; val bh0 = (h + 7) / 8
+        Array(mk(1, 1, 1, yP, w, h, qLuma, dcL, 0, bw0, bh0, bw0, bh0))
+      } else if (!spec.subsample) {
+        val bw0 = (w + 7) / 8; val bh0 = (h + 7) / 8
+        Array(
+          mk(1, 1, 1, yP, w, h, qLuma, dcL, 0, bw0, bh0, bw0, bh0),
+          mk(2, 1, 1, cbP, w, h, qChroma, dcC, 1, bw0, bh0, bw0, bh0),
+          mk(3, 1, 1, crP, w, h, qChroma, dcC, 1, bw0, bh0, bw0, bh0))
+      } else {
+        val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+        val halfW = (w + 1) / 2; val halfH = (h + 1) / 2
+        val cbHalf = downsample(cbP, w, h, halfW, halfH)
+        val crHalf = downsample(crP, w, h, halfW, halfH)
+        Array(
+          mk(1, 2, 2, yP, w, h, qLuma, dcL, 0,
+            2 * mcusX, 2 * mcusY, (w + 7) / 8, (h + 7) / 8),
+          mk(2, 1, 1, cbHalf, halfW, halfH, qChroma, dcC, 1,
+            mcusX, mcusY, (halfW + 7) / 8, (halfH + 7) / 8),
+          mk(3, 1, 1, crHalf, halfW, halfH, qChroma, dcC, 1,
+            mcusX, mcusY, (halfW + 7) / 8, (halfH + 7) / 8))
+      }
+
+    def sos(sel: Seq[PComp], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val len = 6 + sel.length * 2
+      m(0xff, 0xda, (len >> 8) & 0xff, len & 0xff, sel.length)
+      sel.foreach(c => m(c.id, (c.dcTabId << 4) | 0)) // prog AC table = slot 0
+      m(ss, se, (ah << 4) | al)
+    }
+
+    def dcScan(ah: Int, al: Int): Unit = {
+      sos(comps.toSeq, 0, 0, ah, al)
+      val bw = new BitWriter(out)
+      val preds = new Array[Int](comps.length)
+      val mcusX = comps(0).blocksW / comps(0).hs
+      val mcusY = comps(0).blocksH / comps(0).vs
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          var by = 0
+          while (by < c.vs) {
+            var bx = 0
+            while (bx < c.hs) {
+              val dc = c.coefs((my * c.vs + by) * c.blocksW + mx * c.hs + bx)(0)
+              if (ah == 0) { // first pass: Huffman diff of dc >> al
+                val v0 = dc >> al // arithmetic shift, refinement bit restores
+                val diff = v0 - preds(ci); preds(ci) = v0
+                val (sz, bits) = magnitude(diff)
+                val (code, clen) = c.dcCodes(sz)
+                bw.put(code, clen)
+                if (sz > 0) bw.put(bits, sz)
+              } else bw.put((dc >> al) & 1, 1) // refinement: one raw bit
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      bw.flush()
+    }
+
+    def acFirstScan(c: PComp, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(c), ss, se, 0, al)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var nb = 0
+        while ((eobrun >> (nb + 1)) > 0) nb += 1
+        val (code, clen) = acCodes(nb << 4)
+        bw.put(code, clen)
+        if (nb > 0) bw.put(eobrun - (1 << nb), nb)
+        eobrun = 0
+      }
+      var b = 0
+      while (b < c.scanW * c.scanH) {
+        val coefZ = c.coefs((b / c.scanW) * c.blocksW + (b % c.scanW))
+        val v = Array.tabulate(se - ss + 1) { i =>
+          val t = coefZ(ss + i)
+          val a = math.abs(t) >> al
+          if (t < 0) -a else a
+        }
+        val lastNZ = v.lastIndexWhere(_ != 0)
+        if (lastNZ < 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+        else {
+          flushEob()
+          var run = 0
+          var i = 0
+          while (i <= lastNZ) {
+            if (v(i) == 0) run += 1
+            else {
+              while (run > 15) {
+                val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16
+              }
+              val (sz, bits) = magnitude(v(i))
+              val (code, clen) = acCodes((run << 4) | sz)
+              bw.put(code, clen)
+              bw.put(bits, sz)
+              run = 0
+            }
+            i += 1
+          }
+          if (lastNZ < se - ss) eobrun += 1 // trailing zeros fold into EOB
+        }
+        b += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+
+    def acRefineScan(c: PComp, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(c), ss, se, al + 1, al)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      val eobBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEob(): Unit = {
+        if (eobrun > 0) {
+          var nb = 0
+          while ((eobrun >> (nb + 1)) > 0) nb += 1
+          val (code, clen) = acCodes(nb << 4)
+          bw.put(code, clen)
+          if (nb > 0) bw.put(eobrun - (1 << nb), nb)
+          eobrun = 0
+          eobBits.foreach(bit => bw.put(bit, 1))
+          eobBits.clear()
+        }
+      }
+      var b = 0
+      while (b < c.scanW * c.scanH) {
+        val coefZ = c.coefs((b / c.scanW) * c.blocksW + (b % c.scanW))
+        val n = se - ss + 1
+        val t = Array.tabulate(n)(i => math.abs(coefZ(ss + i)) >> al)
+        val neg = Array.tabulate(n)(i => coefZ(ss + i) < 0)
+        val eobIdx = t.lastIndexWhere(_ == 1) // last NEWLY significant coef
+        var r = 0
+        val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < n) {
+          val temp = t(i)
+          if (temp == 0) r += 1
+          else {
+            // required ZRLs — unless foldable into the EOB run
+            while (r > 15 && i <= eobIdx) {
+              flushEob()
+              val (zc, zl) = acCodes(0xf0)
+              bw.put(zc, zl)
+              r -= 16
+              brBits.foreach(bit => bw.put(bit, 1))
+              brBits.clear()
+            }
+            if (temp > 1) brBits += (temp & 1) // history: correction bit only
+            else { // newly significant: +-1 at this precision
+              flushEob()
+              val (code, clen) = acCodes((r << 4) | 1)
+              bw.put(code, clen)
+              bw.put(if (neg(i)) 0 else 1, 1) // decoder: 1 => +, 0 => -
+              brBits.foreach(bit => bw.put(bit, 1))
+              brBits.clear()
+              r = 0
+            }
+          }
+          i += 1
+        }
+        if (r > 0 || brBits.nonEmpty) { // block tail folds into the EOB run
+          eobrun += 1
+          eobBits ++= brBits
+          if (eobrun == 0x7fff) flushEob()
+        }
+        b += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+
+    dcScan(0, 1)                                     // DC first pass
+    comps.foreach { c =>                             // AC first passes
+      acFirstScan(c, 1, 5, 1)
+      acFirstScan(c, 6, 63, 1)
+    }
+    dcScan(1, 0)                                     // DC refinement
+    comps.foreach { c =>                             // AC refinements
+      acRefineScan(c, 1, 5, 0)
+      acRefineScan(c, 6, 63, 0)
+    }
+  }
 
   /** APP1 EXIF with an IFD0 Software ASCII tag — byte-compatible with the
     * legacy JpegWriter so JpegKernel's metadata extraction is unchanged.

@@ -1,13 +1,17 @@
 package graft.kernel
 
-/** Baseline sequential-DCT JPEG decoder (ITU T.81): marker segment walk,
-  * canonical Huffman decode (DC size + AC run/size with EOB/ZRL), zigzag
-  * dequantization, separable floating IDCT, per-component sampling-factor
-  * upsampling (4:4:4 / 4:2:2 / 4:2:0 and any h,v <= 4), restart-marker
-  * handling (DRI + RSTn with DC-predictor reset), and JFIF YCbCr -> RGB.
-  * Progressive (SOF2), arithmetic-coded and 12-bit streams return None —
-  * this covers the overwhelming majority of real-world JPEGs (baseline
-  * is what cameras and the web emit).
+/** Baseline AND progressive DCT JPEG decoder (ITU T.81): marker segment
+  * walk, canonical Huffman decode (DC size + AC run/size with EOB/ZRL),
+  * zigzag dequantization, separable floating IDCT, per-component
+  * sampling-factor upsampling (4:4:4 / 4:2:2 / 4:2:0 and any h,v <= 4),
+  * restart-marker handling (DRI + RSTn with DC-predictor reset), and
+  * JFIF YCbCr -> RGB. Progressive (SOF2) streams accumulate coefficients
+  * across scans — spectral selection, successive approximation (DC + AC
+  * first passes and refinement passes, EOB-run coding) — and finalize at
+  * EOI; since progressive transmission is coefficient-lossless, the
+  * decoded plane is bit-identical to the same coefficients decoded
+  * sequentially (pinned by JpegCodecSpec). Arithmetic-coded, lossless
+  * and 12-bit streams return None.
   *
   * The perceptual transform is lossy by design, so the spec-side oracle
   * (JpegCodecSpec) asserts exact round-trips for constant blocks (DC-only
@@ -159,6 +163,13 @@ object JpegDecoder {
     var plane: Array[Int] = null
     var planeW: Int = 0
     var planeH: Int = 0
+    // progressive: per-block zigzag coefficient storage, MCU-grid aligned
+    var coefs: Array[Int] = null
+    var blocksW: Int = 0
+    var blocksH: Int = 0
+    // non-interleaved scan coverage (true component size in blocks)
+    var scanBlocksW: Int = 0
+    var scanBlocksH: Int = 0
   }
 
   def decode(bytes: Array[Byte]): Option[RawImage] = {
@@ -178,12 +189,14 @@ object JpegDecoder {
     var comps: Array[Comp] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var progressive = false
     var p = 2
     while (p + 4 <= bytes.length) {
       if ((bytes(p) & 0xff) != 0xff) return None
       val marker = bytes(p + 1) & 0xff
       if (marker == 0xd8) { p += 2 }
       else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) { p += 2 }
+      else if (marker == 0xd9) { p = bytes.length } // EOI: stream complete
       else {
         val len = u16(p + 2)
         if (len < 2 || p + 2 + len > bytes.length) return None
@@ -215,10 +228,11 @@ object JpegDecoder {
               if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
               q += 17 + total
             }
-          case 0xc0 | 0xc1 => // SOF0/1 baseline(+extended) sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
             if (segEnd - seg < 6) return None
             val prec = bytes(seg) & 0xff
             if (prec != 8) return None
+            progressive = marker == 0xc2
             h = u16(seg + 1); w = u16(seg + 3)
             val nc = bytes(seg + 5) & 0xff
             if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
@@ -231,32 +245,74 @@ object JpegDecoder {
               if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3) return None
               c
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // progressive/lossless/arithmetic: out of scope
+            if (progressive) {
+              // MCU-grid-aligned coefficient storage, filled across scans
+              val hMax = comps.map(_.h).max
+              val vMax = comps.map(_.v).max
+              val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              comps.foreach { c =>
+                c.blocksW = mcusX * c.h
+                c.blocksH = mcusY * c.v
+                if (c.blocksW.toLong * c.blocksH * 64 > 256L * 1024 * 1024) return None
+                c.coefs = new Array[Int](c.blocksW * c.blocksH * 64)
+                // non-interleaved scans cover the TRUE component extent
+                val compW = (w * c.h + hMax - 1) / hMax
+                val compH = (h * c.v + vMax - 1) / vMax
+                c.scanBlocksW = (compW + 7) / 8
+                c.scanBlocksH = (compH + 7) / 8
+              }
+            }
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // lossless/arithmetic/hierarchical: out of scope
           case 0xdd => // DRI
             if (segEnd - seg < 2) return None
             restartInterval = u16(seg)
           case 0xda => // SOS -> entropy-coded data follows
             if (comps == null) return None
             val ns = bytes(seg) & 0xff
-            if (ns != comps.length || segEnd - seg < 1 + ns * 2 + 3) return None
-            var i = 0
-            while (i < ns) {
-              val cid = bytes(seg + 1 + i * 2) & 0xff
-              val tabs = bytes(seg + 2 + i * 2) & 0xff
-              val comp = comps.find(_.id == cid).getOrElse(return None)
-              comp.dcTab = dcTabs((tabs >> 4) & 0xf)
-              comp.acTab = acTabs(tabs & 0xf)
-              if (comp.dcTab == null || (comp.acTab == null)) return None
-              i += 1
+            if (segEnd - seg < 1 + ns * 2 + 3) return None
+            if (!progressive) {
+              if (ns != comps.length) return None
+              var i = 0
+              while (i < ns) {
+                val cid = bytes(seg + 1 + i * 2) & 0xff
+                val tabs = bytes(seg + 2 + i * 2) & 0xff
+                val comp = comps.find(_.id == cid).getOrElse(return None)
+                comp.dcTab = dcTabs((tabs >> 4) & 0xf)
+                comp.acTab = acTabs(tabs & 0xf)
+                if (comp.dcTab == null || (comp.acTab == null)) return None
+                i += 1
+              }
+              return decodeScan(bytes, segEnd, comps, w, h, quant, restartInterval)
+            } else {
+              if (ns < 1 || ns > comps.length) return None
+              val scanComps = Array.tabulate(ns) { i =>
+                val cid = bytes(seg + 1 + i * 2) & 0xff
+                val tabs = bytes(seg + 2 + i * 2) & 0xff
+                val comp = comps.find(_.id == cid).getOrElse(return None)
+                comp.dcTab = dcTabs((tabs >> 4) & 0xf)
+                comp.acTab = acTabs(tabs & 0xf)
+                comp
+              }
+              val ss = bytes(seg + 1 + ns * 2) & 0xff
+              val se = bytes(seg + 2 + ns * 2) & 0xff
+              val ahal = bytes(seg + 3 + ns * 2) & 0xff
+              val ah = (ahal >> 4) & 0xf
+              val al = ahal & 0xf
+              val next = decodeProgScan(bytes, segEnd, comps, scanComps,
+                ss, se, ah, al, restartInterval)
+              if (next < 0) return None
+              p = next
             }
-            return decodeScan(bytes, segEnd, comps, w, h, quant, restartInterval)
           case _ => () // APPn, COM, others: skip
         }
-        p = segEnd
+        if (marker != 0xda) p = segEnd
       }
     }
-    None
+    if (progressive && comps != null && comps.forall(_.coefs != null))
+      finalizeProgressive(comps, w, h, quant)
+    else None
   }
 
   private def decodeScan(bytes: Array[Byte], scanStart: Int, comps: Array[Comp],
@@ -339,7 +395,12 @@ object JpegDecoder {
       }
       mcu += 1
     }
-    // assemble: upsample components to full res, YCbCr -> RGB (or gray)
+    assemble(comps, w, h, hMax, vMax)
+  }
+
+  /** Upsample components to full res, YCbCr -> RGB (or gray). */
+  private def assemble(comps: Array[Comp], w: Int, h: Int,
+      hMax: Int, vMax: Int): Option[RawImage] = {
     if (comps.length == 1) {
       val c = comps(0)
       val out = new Array[Byte](w * h)
@@ -374,5 +435,276 @@ object JpegDecoder {
       }
       Some(RawImage(w, h, 3, out))
     }
+  }
+
+  // ------------------------------------------------ progressive (SOF2)
+
+  /** One progressive scan (T.81 G.2): spectral band [ss,se], successive
+    * approximation ah -> al. Accumulates into each Comp's zigzag `coefs`.
+    * Returns the byte position of the next marker segment, or -1 on
+    * malformed data.
+    */
+  private def decodeProgScan(bytes: Array[Byte], scanStart: Int,
+      comps: Array[Comp], scanComps: Array[Comp], ss: Int, se: Int,
+      ah: Int, al: Int, restartInterval: Int): Int = {
+    if (ss < 0 || se > 63 || ss > se || al > 13) return -1
+    val isDc = ss == 0
+    if (isDc && se != 0) return -1          // DC scans carry only band 0
+    if (!isDc && scanComps.length != 1) return -1 // AC scans: one component
+    if (ah != 0 && ah != al + 1) return -1  // refinement moves one bit
+    if (scanComps.exists(c => if (isDc) c.dcTab == null && ah == 0
+      else c.acTab == null)) return -1
+    val br = new BitReader(bytes, scanStart)
+    var eobrun = 0
+    scanComps.foreach(_.pred = 0)
+
+    def restartAt(unit: Int): Boolean = {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        if (!br.restart()) return false
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    if (isDc) {
+      if (scanComps.length > 1) {
+        // interleaved over the MCU grid (geometry from any comp's storage)
+        val mcusX = scanComps(0).blocksW / scanComps(0).h
+        val mcusY = scanComps(0).blocksH / scanComps(0).v
+        var mcu = 0
+        val total = mcusX * mcusY
+        while (mcu < total) {
+          if (!restartAt(mcu)) return -1
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                if (!dcUnit(br, c,
+                    ((my * c.v + by) * c.blocksW + mx * c.h + bx) * 64, ah, al))
+                  return -1
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      } else {
+        val c = scanComps(0)
+        var unit = 0
+        val total = c.scanBlocksW * c.scanBlocksH
+        while (unit < total) {
+          if (!restartAt(unit)) return -1
+          val bx = unit % c.scanBlocksW
+          val by = unit / c.scanBlocksW
+          if (!dcUnit(br, c, (by * c.blocksW + bx) * 64, ah, al)) return -1
+          unit += 1
+        }
+      }
+    } else {
+      val c = scanComps(0)
+      var unit = 0
+      val total = c.scanBlocksW * c.scanBlocksH
+      while (unit < total) {
+        if (!restartAt(unit)) return -1
+        val bx = unit % c.scanBlocksW
+        val by = unit / c.scanBlocksW
+        val off = (by * c.blocksW + bx) * 64
+        eobrun =
+          if (ah == 0) acFirst(br, c, off, ss, se, al, eobrun)
+          else acRefine(br, c, off, ss, se, al, eobrun)
+        if (eobrun == Int.MinValue) return -1
+        unit += 1
+      }
+    }
+
+    // locate the next marker: byte-align, skip fill bytes and stray RSTn
+    var q = br.pos
+    while (q + 1 < bytes.length) {
+      if ((bytes(q) & 0xff) == 0xff) {
+        val m = bytes(q + 1) & 0xff
+        if (m == 0x00) q += 2          // stuffed data byte
+        else if (m == 0xff) q += 1     // fill byte
+        else if (m >= 0xd0 && m <= 0xd7) q += 2 // stray restart
+        else return q
+      } else q += 1
+    }
+    bytes.length
+  }
+
+  /** DC band of one block: first pass (Huffman diff<<al) or refinement
+    * (one raw bit at weight al).
+    */
+  private def dcUnit(br: BitReader, c: Comp, off: Int, ah: Int, al: Int): Boolean = {
+    if (ah == 0) {
+      val t = decodeHuff(br, c.dcTab)
+      if (t < 0 || t > 15) return false
+      val diffBits = br.receive(t)
+      if (diffBits == Int.MinValue) return false
+      c.pred += extend(diffBits, t)
+      c.coefs(off) = c.pred << al
+    } else {
+      val b = br.bit()
+      if (b < 0) return false
+      if (b == 1) c.coefs(off) |= (1 << al)
+    }
+    true
+  }
+
+  /** AC first pass for one block: run/size with EOB-run coding, values
+    * scaled by 2^al. Returns the updated EOB run (Int.MinValue = error).
+    */
+  private def acFirst(br: BitReader, c: Comp, off: Int, ss: Int, se: Int,
+      al: Int, eobrunIn: Int): Int = {
+    var eobrun = eobrunIn
+    if (eobrun > 0) return eobrun - 1 // this block is inside an EOB run
+    var k = ss
+    while (k <= se) {
+      val rs = decodeHuff(br, c.acTab)
+      if (rs < 0) return Int.MinValue
+      val r = (rs >> 4) & 0xf
+      val s = rs & 0xf
+      if (s == 0) {
+        if (r < 15) { // EOBn: run of (1<<r) + extra blocks ending here
+          eobrun = (1 << r) - 1
+          if (r > 0) {
+            val eb = br.receive(r)
+            if (eb == Int.MinValue) return Int.MinValue
+            eobrun += eb
+          }
+          return eobrun
+        }
+        k += 16 // ZRL
+      } else {
+        k += r
+        if (k > se) return Int.MinValue
+        val vb = br.receive(s)
+        if (vb == Int.MinValue) return Int.MinValue
+        c.coefs(off + k) = extend(vb, s) << al
+        k += 1
+      }
+    }
+    eobrun
+  }
+
+  /** AC refinement pass for one block (T.81 G.1.2.3): correction bits
+    * for history-nonzero coefficients, +-2^al for newly significant ones,
+    * EOB runs carrying correction bits to the band end.
+    */
+  private def acRefine(br: BitReader, c: Comp, off: Int, ss: Int, se: Int,
+      al: Int, eobrunIn: Int): Int = {
+    var eobrun = eobrunIn
+    val p1 = 1 << al
+    var k = ss
+
+    def correct(idx: Int): Boolean = { // one correction bit, if due
+      val cur = c.coefs(idx)
+      if (cur != 0) {
+        val b = br.bit()
+        if (b < 0) return false
+        if (b == 1 && (cur & p1) == 0)
+          c.coefs(idx) = if (cur >= 0) cur + p1 else cur - p1
+      }
+      true
+    }
+
+    if (eobrun == 0) {
+      var inBand = true
+      while (inBand && k <= se) {
+        val rs = decodeHuff(br, c.acTab)
+        if (rs < 0) return Int.MinValue
+        var r = (rs >> 4) & 0xf
+        val s = rs & 0xf
+        var newVal = 0
+        if (s == 0) {
+          if (r < 15) { // EOBn: rest of this block handled below
+            eobrun = 1 << r
+            if (r > 0) {
+              val eb = br.receive(r)
+              if (eb == Int.MinValue) return Int.MinValue
+              eobrun += eb
+            }
+            inBand = false
+          }
+          // r == 15: ZRL — skip 16 zero-history coefficients
+        } else {
+          if (s != 1) return Int.MinValue // refinement codes only +-1
+          val sb = br.bit()
+          if (sb < 0) return Int.MinValue
+          newVal = if (sb == 1) p1 else -p1
+        }
+        if (inBand) {
+          // advance past r zero-history coefficients, correcting
+          // nonzero-history ones along the way; place newVal at the stop
+          var placed = false
+          while (!placed && k <= se) {
+            val cur = c.coefs(off + k)
+            if (cur != 0) {
+              if (!correct(off + k)) return Int.MinValue
+            } else {
+              if (r == 0) {
+                if (newVal != 0) c.coefs(off + k) = newVal
+                placed = true
+              } else r -= 1
+            }
+            k += 1
+          }
+          if (!placed && (newVal != 0 || r > 0)) return Int.MinValue
+        }
+      }
+    }
+    if (eobrun > 0) {
+      // EOB region: correction bits for the rest of the band
+      while (k <= se) {
+        if (!correct(off + k)) return Int.MinValue
+        k += 1
+      }
+      eobrun -= 1
+    }
+    eobrun
+  }
+
+  /** After all scans: dequantize + IDCT every stored block and assemble. */
+  private def finalizeProgressive(comps: Array[Comp], w: Int, h: Int,
+      quant: Array[Array[Int]]): Option[RawImage] = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val nat = new Array[Int](64)
+    val px = new Array[Int](64)
+    comps.foreach { c =>
+      c.planeW = c.blocksW * 8
+      c.planeH = c.blocksH * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      val qt = quant(c.tq)
+      var by = 0
+      while (by < c.blocksH) {
+        var bx = 0
+        while (bx < c.blocksW) {
+          val off = (by * c.blocksW + bx) * 64
+          var k = 0
+          while (k < 64) { nat(Zigzag(k)) = c.coefs(off + k) * qt(k); k += 1 }
+          idctBlock(nat, px)
+          val ox = bx * 8
+          val oy = by * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            val rowOff = (oy + yy) * c.planeW + ox
+            while (xx < 8) { c.plane(rowOff + xx) = px(yy * 8 + xx); xx += 1 }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    assemble(comps, w, h, hMax, vMax)
   }
 }

@@ -112,6 +112,69 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegDecoder.decode(legacy).isEmpty)
   }
 
+  test("progressive (SOF2) decodes IDENTICALLY to baseline of the same spec") {
+    // Progressive transmission is coefficient-lossless: the scans carry
+    // exactly the baseline coefficients, so the decoded plane must be
+    // bit-identical to the baseline decode — a far stronger oracle than
+    // error bounds. Odd sizes exercise partial MCUs in every mode.
+    val specs = Seq(
+      Spec(64, 48, seed = 9001, gray = true, unitQuant = true),
+      Spec(57, 41, seed = 9002, gray = true, quality = 75),
+      Spec(40, 32, seed = 9003, quality = 90),                   // 4:4:4
+      Spec(33, 25, seed = 9004, quality = 85),                   // 4:4:4 odd
+      Spec(48, 32, seed = 9005, subsample = true, quality = 90), // 4:2:0
+      Spec(37, 29, seed = 9006, subsample = true, quality = 80)) // 4:2:0 odd
+    for (base <- specs) {
+      val plane = JpegWriterEx.rgbPlane(base)
+      val seq = JpegDecoder.decode(JpegWriterEx.encode(base, plane))
+        .getOrElse(fail(s"baseline decode $base"))
+      val prog = JpegDecoder.decode(
+          JpegWriterEx.encode(base.copy(progressive = true), plane))
+        .getOrElse(fail(s"progressive decode $base"))
+      assert(prog.width == seq.width && prog.height == seq.height &&
+        prog.channels == seq.channels)
+      assert(java.util.Arrays.equals(prog.data, seq.data),
+        s"progressive != baseline for $base")
+    }
+  }
+
+  test("progressive constant gray is exact; stream is really SOF2") {
+    val spec = Spec(24, 16, seed = 0, gray = true, unitQuant = true,
+      progressive = true)
+    val plane = Array.fill[Byte](24 * 16)(130.toByte)
+    val bytes = JpegWriterEx.encode(spec, plane)
+    // marker audit: SOF2 present, SOF0 absent, >= 6 SOS scans
+    def markers(bs: Array[Byte]): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      var i = 0
+      while (i + 1 < bs.length) {
+        if ((bs(i) & 0xff) == 0xff && (bs(i + 1) & 0xff) != 0x00 &&
+            (bs(i + 1) & 0xff) != 0xff) out += (bs(i + 1) & 0xff)
+        i += 1
+      }
+      out.result()
+    }
+    val ms = markers(bytes)
+    assert(ms.contains(0xc2) && !ms.contains(0xc0))
+    assert(ms.count(_ == 0xda) >= 6, s"scan count ${ms.count(_ == 0xda)}")
+    val img = JpegDecoder.decode(bytes).getOrElse(fail("decode"))
+    assert(java.util.Arrays.equals(img.data, plane))
+  }
+
+  test("progressive decoder never throws on mutated/truncated streams") {
+    val bytes = JpegWriterEx.encode(
+      Spec(32, 24, seed = 77, quality = 85, progressive = true),
+      JpegWriterEx.rgbPlane(Spec(32, 24, seed = 77, quality = 85)))
+    val rnd = new java.util.Random(4242)
+    for (_ <- 0 until 200) {
+      val mut = bytes.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      JpegDecoder.decode(mut) // must not throw
+    }
+    for (len <- Seq(0, 2, 20, bytes.length / 3, bytes.length - 1))
+      JpegDecoder.decode(bytes.take(len)) // must not throw
+  }
+
   test("decoder never throws on mutated/truncated streams") {
     val rng = new java.util.SplittableRandom(777L)
     val base = JpegWriterEx.write(Spec(32, 24, seed = 1, subsample = true,
