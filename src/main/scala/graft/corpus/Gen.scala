@@ -400,8 +400,10 @@ object Gen {
         interlaced = rng.nextInt(4) == 0)), docId, k)
 
   /** Decode-grade WebP: 2-in-3 are REAL VP8L entropy-coded streams
-    * (LZ77 + color-cache variants); 1-in-3 keep the metadata-tier
-    * header-only shape (the pixel_decode=false boundary stays observable).
+    * (LZ77 + color-cache variants, half carrying the predictor and/or
+    * subtract-green pixel transforms — the real world's dominant shape);
+    * 1-in-3 keep the metadata-tier header-only shape (the
+    * pixel_decode=false boundary stays observable).
     */
   private def webpPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
     mediaPiece("webp",
@@ -410,7 +412,10 @@ object Gen {
           8 + rng.nextInt(120), 8 + rng.nextInt(120), seed = rng.nextLong(),
           useLz77 = rng.nextBoolean(),
           cacheBits = if (rng.nextBoolean()) 4 + rng.nextInt(3) else 0,
-          smooth = rng.nextInt(4) == 0))
+          smooth = rng.nextInt(4) == 0,
+          subtractGreen = rng.nextBoolean(),
+          predictor = rng.nextBoolean(),
+          predSizeBits = 2 + rng.nextInt(3)))
       else WebpWriter.write(WebpWriter.Spec(
         8 + rng.nextInt(500), 8 + rng.nextInt(500))), docId, k)
 

@@ -412,14 +412,18 @@ object WebpWriterEx {
 
   /** Decode-grade lossless WebP (VP8L): real entropy coding — full
     * (non-simple) prefix codes serialized through the code-length code,
-    * optional LZ77 run back-references (linear distance codes) and an
-    * optional color cache — exactly the subset kernel.Vp8lDecoder
-    * decodes. Uniform code lengths keep the canonical-code emission
-    * trivially correct (symbol == code) while exercising the decoder's
-    * full code-length machinery.
+    * optional LZ77 run back-references (linear distance codes), an
+    * optional color cache, and the two dominant pixel transforms
+    * (subtract-green; the predictor transform with a seeded mix of all
+    * 14 modes over a coded mode sub-image) — exactly the subset
+    * kernel.Vp8lDecoder decodes. Uniform code lengths keep the
+    * canonical-code emission trivially correct (symbol == code) while
+    * exercising the decoder's full code-length machinery.
     */
   final case class Spec(width: Int, height: Int, seed: Long,
-      useLz77: Boolean = true, cacheBits: Int = 0, smooth: Boolean = false)
+      useLz77: Boolean = true, cacheBits: Int = 0, smooth: Boolean = false,
+      subtractGreen: Boolean = false, predictor: Boolean = false,
+      predSizeBits: Int = 4)
 
   /** RGBA plane the decoder must reproduce (alpha 255). */
   def plane(spec: Spec): Array[Byte] = {
@@ -518,21 +522,16 @@ object WebpWriterEx {
     }
   }
 
-  def write(spec: Spec): Array[Byte] = {
-    val px = plane(spec)
-    val n = spec.width * spec.height
-    val payload = new ByteArrayOutputStream()
-    payload.write(0x2f)
-    val bw = new Bw(payload)
-    bw.bits(spec.width - 1, 14)
-    bw.bits(spec.height - 1, 14)
-    bw.bits(1, 1)  // alpha hint
-    bw.bits(0, 3)  // version
-    bw.bits(0, 1)  // no transforms
-    if (spec.cacheBits > 0) { bw.bits(1, 1); bw.bits(spec.cacheBits, 4) }
+  /** Spatially code one ARGB pixel array: cache-bit header, (main only)
+    * meta-prefix bit, uniform prefix codes, literal/LZ77/cache loop.
+    */
+  private def codePixels(bw: Bw, argb: Array[Int], cacheBits: Int,
+      useLz77: Boolean, isMain: Boolean): Unit = {
+    val n = argb.length
+    if (cacheBits > 0) { bw.bits(1, 1); bw.bits(cacheBits, 4) }
     else bw.bits(0, 1)
-    bw.bits(0, 1)  // no meta prefix
-    val cacheSize = if (spec.cacheBits > 0) 1 << spec.cacheBits else 0
+    if (isMain) bw.bits(0, 1)  // no meta prefix (sub-images carry no bit)
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val greenAlpha = 256 + 24 + cacheSize
     val greenLen = 9 + (if (greenAlpha > 512) 2 else 0) // 11 covers +2048 cache
     writeUniformCode(bw, greenAlpha, greenLen)
@@ -541,17 +540,14 @@ object WebpWriterEx {
     writeUniformCode(bw, 256, 8) // alpha
     writeUniformCode(bw, 40, 6)  // distance
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
-    def argbAt(i: Int): Int =
-      ((px(i * 4 + 3) & 0xff) << 24) | ((px(i * 4) & 0xff) << 16) |
-        ((px(i * 4 + 1) & 0xff) << 8) | (px(i * 4 + 2) & 0xff)
-    def cacheIdx(v: Int): Int = ((v * 0x1e35a7bd) >>> (32 - spec.cacheBits)) % cacheSize
+    def cacheIdx(v: Int): Int = ((v * 0x1e35a7bd) >>> (32 - cacheBits)) % cacheSize
     var i = 0
     while (i < n) {
-      val cur = argbAt(i)
+      val cur = argb(i)
       // LZ77: longest run of pixels equal to their d=1 predecessor
       var runLen = 0
-      if (spec.useLz77 && i > 0) {
-        while (i + runLen < n && runLen < 100 && argbAt(i + runLen) == argbAt(i + runLen - 1))
+      if (useLz77 && i > 0) {
+        while (i + runLen < n && runLen < 100 && argb(i + runLen) == argb(i + runLen - 1))
           runLen += 1
       }
       if (runLen >= 3) {
@@ -563,7 +559,7 @@ object WebpWriterEx {
         if (deb > 0) bw.bits(dev, deb)
         var k = 0
         while (k < runLen) {
-          if (cache != null) cache(cacheIdx(argbAt(i + k))) = argbAt(i + k)
+          if (cache != null) cache(cacheIdx(argb(i + k))) = argb(i + k)
           k += 1
         }
         i += runLen
@@ -579,6 +575,91 @@ object WebpWriterEx {
         i += 1
       }
     }
+  }
+
+  /** Forward predictor transform: seeded mix of all 14 modes per block;
+    * residual = pixel - prediction (mod 256 per channel), predictions
+    * from ACTUAL neighbor values with the spec's edge rules. Uses the
+    * decoder's predictPixel so mode math cannot drift; the plane-equality
+    * oracle still pins the residual arithmetic, edges and mode coding.
+    */
+  private def forwardPredictor(argb: Array[Int], w: Int, h: Int,
+      sizeBits: Int, seed: Long): (Array[Int], Array[Int]) = {
+    import graft.kernel.Vp8lDecoder.predictPixel
+    val mw = (w + (1 << sizeBits) - 1) >> sizeBits
+    val mh = (h + (1 << sizeBits) - 1) >> sizeBits
+    val modes = Array.tabulate(mw * mh) { bi =>
+      val bx = bi % mw; val by = bi / mw
+      (bx + 3 * by + (seed & 7).toInt) % 14
+    }
+    def sub(a: Int, b: Int): Int = {
+      val al = ((a >>> 24) - (b >>> 24)) & 0xff
+      val r = (((a >> 16) & 0xff) - ((b >> 16) & 0xff)) & 0xff
+      val g = (((a >> 8) & 0xff) - ((b >> 8) & 0xff)) & 0xff
+      val bl = ((a & 0xff) - (b & 0xff)) & 0xff
+      (al << 24) | (r << 16) | (g << 8) | bl
+    }
+    val res = new Array[Int](argb.length)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0xff000000
+          else if (y == 0) argb(i - 1)
+          else if (x == 0) argb(i - w)
+          else predictPixel(modes((y >> sizeBits) * mw + (x >> sizeBits)),
+            argb(i - 1), argb(i - w), argb(i - w - 1), argb(i - w + 1))
+        res(i) = sub(argb(i), pred)
+        x += 1
+        i += 1
+      }
+      y += 1
+    }
+    (res, modes.map(m => 0xff000000 | (m << 8)))
+  }
+
+  def write(spec: Spec): Array[Byte] = {
+    val px = plane(spec)
+    val n = spec.width * spec.height
+    var argb = Array.tabulate(n) { i =>
+      ((px(i * 4 + 3) & 0xff) << 24) | ((px(i * 4) & 0xff) << 16) |
+        ((px(i * 4 + 1) & 0xff) << 8) | (px(i * 4 + 2) & 0xff)
+    }
+    // forward transforms in bitstream order (SG then predictor — the
+    // decoder inverts in reverse read order, so reconstruction is
+    // predictor-inverse first, then add-green)
+    var modesArgb: Array[Int] = null
+    if (spec.subtractGreen) {
+      argb = argb.map { p =>
+        val g = (p >> 8) & 0xff
+        val r = (((p >> 16) & 0xff) - g) & 0xff
+        val b = ((p & 0xff) - g) & 0xff
+        (p & 0xff00ff00) | (r << 16) | b
+      }
+    }
+    if (spec.predictor) {
+      val (res, m) = forwardPredictor(argb, spec.width, spec.height,
+        spec.predSizeBits, spec.seed)
+      argb = res
+      modesArgb = m
+    }
+    val payload = new ByteArrayOutputStream()
+    payload.write(0x2f)
+    val bw = new Bw(payload)
+    bw.bits(spec.width - 1, 14)
+    bw.bits(spec.height - 1, 14)
+    bw.bits(1, 1)  // alpha hint
+    bw.bits(0, 3)  // version
+    if (spec.subtractGreen) { bw.bits(1, 1); bw.bits(2, 2) }
+    if (spec.predictor) {
+      bw.bits(1, 1); bw.bits(0, 2)
+      bw.bits(spec.predSizeBits - 2, 3)
+      codePixels(bw, modesArgb, cacheBits = 0, useLz77 = false, isMain = false)
+    }
+    bw.bits(0, 1)  // no more transforms
+    codePixels(bw, argb, spec.cacheBits, spec.useLz77, isMain = true)
     bw.flush()
     val body = payload.toByteArray
     val out = new ByteArrayOutputStream()

@@ -1,16 +1,16 @@
 package graft.kernel
 
-/** WebP-VP8L (lossless) decoder — the real entropy layer: canonical
-  * prefix codes (simple 1-2-symbol and full code-length-coded variants),
-  * LZ77 length/distance back-references with linear distance codes, and
-  * the color cache. Scope: transform-free single-group streams decode
-  * exactly (the corpus writer's output and any minimal encoder); streams
-  * using the four pixel transforms (predictor / color / subtract-green /
-  * palette), meta prefix groups, or 2-D plane distance codes return None
-  * and fall back to the metadata tier — implementing the transform stack
-  * faithfully without the reference test vectors (no network in this
-  * environment) risks silently-wrong pixels, which is worse than a
-  * declared subset. Lossy VP8 remains the declared perceptual stub.
+/** WebP-VP8L (lossless) decoder — the real entropy layer plus the two
+  * dominant pixel transforms: canonical prefix codes (simple 1-2-symbol
+  * and full code-length-coded variants), LZ77 length/distance
+  * back-references with linear distance codes, the color cache, the
+  * PREDICTOR transform (all 14 spatial modes over a mode sub-image, the
+  * transform virtually every real-world lossless WebP uses) and the
+  * SUBTRACT-GREEN transform, inverted in reverse bitstream order per the
+  * spec. Scope boundary (clean None -> metadata tier): the color
+  * transform, palette (color-indexing) transform, meta prefix groups,
+  * and 2-D plane distance codes. Lossy VP8 remains the declared
+  * perceptual stub.
   *
   * Like every decoder here: malformed input -> None, never a throw.
   */
@@ -180,16 +180,67 @@ object Vp8lDecoder {
     br.bits(1) // alpha-is-used hint
     if (br.bits(3) != 0) return None // version must be 0
     if (w.toLong * h > 64L * 1024 * 1024) return None
-    // transforms: subset decoder rejects them (see scaladoc)
-    if (br.bits(1) == 1) return None
-    // color cache
+    // transforms (applied inversely in REVERSE bitstream order)
+    var useSubGreen = false
+    var predSizeBits = 0
+    var predModes: Array[Int] = null
+    var predModesW = 0
+    var xformOrder = List.empty[Int] // head = last read = first inverted
+    var seen = 0
+    var moreXf = br.bits(1) == 1
+    while (moreXf) {
+      val t = br.bits(2)
+      if (br.overflow || (seen & (1 << t)) != 0) return None // dup transform
+      seen |= 1 << t
+      t match {
+        case 2 => // subtract green: no payload
+          useSubGreen = true
+          xformOrder ::= 2
+        case 0 => // predictor: mode sub-image at block resolution
+          predSizeBits = br.bits(3) + 2
+          predModesW = (w + (1 << predSizeBits) - 1) >> predSizeBits
+          val modesH = (h + (1 << predSizeBits) - 1) >> predSizeBits
+          predModes = decodeCoded(br, predModesW, modesH, isMain = false)
+            .getOrElse(return None)
+          xformOrder ::= 0
+        case _ => // color transform (1) / palette (3): declared subset
+          return None
+      }
+      moreXf = br.bits(1) == 1
+    }
+    val argb = decodeCoded(br, w, h, isMain = true).getOrElse(return None)
+    xformOrder.foreach {
+      case 0 => if (!inversePredictor(argb, w, h, predModes, predSizeBits, predModesW)) return None
+      case 2 => addGreen(argb)
+    }
+    // ARGB -> RGBA plane
+    val n = w * h
+    val out = new Array[Byte](n * 4)
+    var i = 0
+    while (i < n) {
+      val px = argb(i)
+      out(i * 4) = ((px >> 16) & 0xff).toByte
+      out(i * 4 + 1) = ((px >> 8) & 0xff).toByte
+      out(i * 4 + 2) = (px & 0xff).toByte
+      out(i * 4 + 3) = ((px >> 24) & 0xff).toByte
+      i += 1
+    }
+    Some(RawImage(w, h, 4, out))
+  }
+
+  /** One spatially-coded image: color-cache header, prefix codes, pixel
+    * loop (literals, LZ77 with linear distances, cache refs). The main
+    * image additionally carries the meta-prefix bit (multiple prefix
+    * groups stay outside the subset); transform sub-images do not.
+    */
+  private def decodeCoded(br: Br, w: Int, h: Int,
+      isMain: Boolean): Option[Array[Int]] = {
     var cacheBits = 0
     if (br.bits(1) == 1) {
       cacheBits = br.bits(4)
       if (cacheBits < 1 || cacheBits > 11) return None
     }
-    // meta prefix: subset rejects multiple groups
-    if (br.bits(1) == 1) return None
+    if (isMain && br.bits(1) == 1) return None // meta prefix groups
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val green = readPrefix(br, 256 + 24 + cacheSize)
     val red = readPrefix(br, 256)
@@ -238,17 +289,125 @@ object Vp8lDecoder {
         i += 1
       }
     }
-    // ARGB -> RGBA plane
-    val out = new Array[Byte](n * 4)
-    i = 0
-    while (i < n) {
+    Some(argb)
+  }
+
+  // -------------------------------------------- inverse pixel transforms
+
+  /** per-channel modular add of two ARGB pixels. */
+  private[graft] def addPixels(a: Int, b: Int): Int = {
+    val al = ((a >>> 24) + (b >>> 24)) & 0xff
+    val r = (((a >> 16) & 0xff) + ((b >> 16) & 0xff)) & 0xff
+    val g = (((a >> 8) & 0xff) + ((b >> 8) & 0xff)) & 0xff
+    val bl = ((a & 0xff) + (b & 0xff)) & 0xff
+    (al << 24) | (r << 16) | (g << 8) | bl
+  }
+
+  private def avg2(a: Int, b: Int): Int = {
+    val al = (((a >>> 24) & 0xff) + ((b >>> 24) & 0xff)) / 2
+    val r = (((a >> 16) & 0xff) + ((b >> 16) & 0xff)) / 2
+    val g = (((a >> 8) & 0xff) + ((b >> 8) & 0xff)) / 2
+    val bl = ((a & 0xff) + (b & 0xff)) / 2
+    (al << 24) | (r << 16) | (g << 8) | bl
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def clampAddSubtractFull(l: Int, t: Int, tl: Int): Int = {
+    def ch(sh: Int): Int =
+      clamp255(((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff))
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  private def clampAddSubtractHalf(l: Int, t: Int, tl: Int): Int = {
+    def ch(sh: Int): Int = {
+      val a = (((l >>> sh) & 0xff) + ((t >>> sh) & 0xff)) / 2 // Average2(L,T)
+      val b = (tl >>> sh) & 0xff
+      clamp255(a + (a - b) / 2) // C-style truncation toward zero
+    }
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  private def select(l: Int, t: Int, tl: Int): Int = {
+    def ch(p: Int, sh: Int): Int = (p >>> sh) & 0xff
+    var pL = 0
+    var pT = 0
+    var sh = 0
+    while (sh < 32) {
+      val est = ch(l, sh) + ch(t, sh) - ch(tl, sh)
+      pL += math.abs(est - ch(l, sh))
+      pT += math.abs(est - ch(t, sh))
+      sh += 8
+    }
+    if (pL < pT) l else t
+  }
+
+  /** the 14 spatial predictor modes (spec 4.2.2). -1 marks invalid.
+    * private[graft]: the corpus writer forward-transforms with the same
+    * mode definitions, so encoder/decoder cannot drift on predictor math
+    * (the ground-truth plane equality in the specs still validates the
+    * residual arithmetic, edge rules, ordering and mode-image coding).
+    */
+  private[graft] def predictPixel(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int =
+    mode match {
+      case 0  => 0xff000000
+      case 1  => l
+      case 2  => t
+      case 3  => tr
+      case 4  => tl
+      case 5  => avg2(avg2(l, tr), t)
+      case 6  => avg2(l, tl)
+      case 7  => avg2(l, t)
+      case 8  => avg2(tl, t)
+      case 9  => avg2(t, tr)
+      case 10 => avg2(avg2(l, tl), avg2(t, tr))
+      case 11 => select(l, t, tl)
+      case 12 => clampAddSubtractFull(l, t, tl)
+      case 13 => clampAddSubtractHalf(l, t, tl)
+      case _  => -1
+    }
+
+  /** Inverse predictor transform: argb holds residuals on entry, actual
+    * pixels on exit. Edge rules: (0,0) predicts opaque black, the top
+    * row predicts L, the left column predicts T; the top-right of the
+    * rightmost column is linear-next = the current row's first pixel.
+    */
+  private def inversePredictor(argb: Array[Int], w: Int, h: Int,
+      modes: Array[Int], sizeBits: Int, modesW: Int): Boolean = {
+    if (modes == null) return false
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0xff000000
+          else if (y == 0) argb(i - 1) // top row: L
+          else if (x == 0) argb(i - w) // left column: T
+          else {
+            val m = (modes((y >> sizeBits) * modesW + (x >> sizeBits)) >> 8) & 0xff
+            if (m > 13) return false
+            predictPixel(m, argb(i - 1), argb(i - w), argb(i - w - 1), argb(i - w + 1))
+          }
+        argb(i) = addPixels(argb(i), pred)
+        x += 1
+        i += 1
+      }
+      y += 1
+    }
+    true
+  }
+
+  /** Inverse subtract-green: add green back into red and blue. */
+  private def addGreen(argb: Array[Int]): Unit = {
+    var i = 0
+    while (i < argb.length) {
       val px = argb(i)
-      out(i * 4) = ((px >> 16) & 0xff).toByte
-      out(i * 4 + 1) = ((px >> 8) & 0xff).toByte
-      out(i * 4 + 2) = (px & 0xff).toByte
-      out(i * 4 + 3) = ((px >> 24) & 0xff).toByte
+      val g = (px >> 8) & 0xff
+      val r = (((px >> 16) & 0xff) + g) & 0xff
+      val b = ((px & 0xff) + g) & 0xff
+      argb(i) = (px & 0xff00ff00) | (r << 16) | b
       i += 1
     }
-    Some(RawImage(w, h, 4, out))
   }
 }

@@ -82,6 +82,17 @@ object CodecPropertySpec extends Properties("graft.codecs") {
         }
     }
 
+  property("VP8L transforms round-trip exact: SG x predictor x block size") =
+    forAll(dims, SGen.oneOf(false, true), SGen.oneOf(2, 3, 4)) {
+      case ((w, h, seed), sg, psb) =>
+        val spec = WebpWriterEx.Spec(w, h, seed, subtractGreen = sg,
+          predictor = true, predSizeBits = psb)
+        Vp8lDecoder.decode(WebpWriterEx.write(spec)) match {
+          case None => false
+          case Some(img) => java.util.Arrays.equals(img.data, WebpWriterEx.plane(spec))
+        }
+    }
+
   property("JPEG gray unit-quant: maxDiff <= 2 for any dims/seed") =
     forAll(dims) { case (w, h, seed) =>
       val spec = JpegWriterEx.Spec(w, h, seed, gray = true, unitQuant = true)

@@ -231,6 +231,33 @@ class PixelDecodeSpec extends AnyFunSuite {
     }
   }
 
+  // VP8L pixel transforms: predictor (all 14 modes via seeded block mix,
+  // odd sizes so partial blocks + the rightmost-column TR wrap rule are
+  // hit) and subtract-green, alone and chained — all exact round-trips.
+  for ((label, spec) <- Seq(
+      "subtract-green" -> WebpWriterEx.Spec(25, 19, 11, subtractGreen = true),
+      "predictor bs=16" -> WebpWriterEx.Spec(37, 23, 12, predictor = true),
+      "predictor bs=4 (all modes in play)" ->
+        WebpWriterEx.Spec(41, 29, 13, predictor = true, predSizeBits = 2),
+      "SG + predictor chained" ->
+        WebpWriterEx.Spec(33, 26, 14, subtractGreen = true, predictor = true,
+          predSizeBits = 3),
+      "SG + predictor + cache + smooth" ->
+        WebpWriterEx.Spec(48, 31, 15, subtractGreen = true, predictor = true,
+          predSizeBits = 2, cacheBits = 5, smooth = true),
+      "predictor 1x1" -> WebpWriterEx.Spec(1, 1, 16, predictor = true),
+      "predictor 8x1 row" -> WebpWriterEx.Spec(8, 1, 17, predictor = true,
+        predSizeBits = 2),
+      "predictor 1x9 column" -> WebpWriterEx.Spec(1, 9, 18, predictor = true,
+        predSizeBits = 2))) {
+    test(s"VP8L transform round-trip: $label (lossless, exact)") {
+      val img = graft.kernel.Vp8lDecoder.decode(WebpWriterEx.write(spec))
+        .getOrElse(fail(label))
+      assert(img.width == spec.width && img.height == spec.height && img.channels == 4)
+      assert(java.util.Arrays.equals(img.data, WebpWriterEx.plane(spec)), label)
+    }
+  }
+
   test("VP8L: metadata-tier WebpWriter payloads reject cleanly (None, no throw)") {
     val bytes = WebpWriter.write(WebpWriter.Spec(24, 18))
     assert(graft.kernel.Vp8lDecoder.decode(bytes).isEmpty)
