@@ -97,17 +97,28 @@ object Curation {
     while (round < maxRounds && !converged) {
       val nbr = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbr, labels("id") === nbr("src"), "left")
-        .select(labels("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val joined = labels.withColumnRenamed("lbl", "prev")
+        .join(nbr, col("id") === nbr("src"), "left")
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("nlbl"), col("prev"))).as("lbl"))
+      // Convergence detection rides the SAME job that materializes the
+      // round (labels only ever decrease, so changed==0 <=> fixpoint):
+      // an Observation metric on the pre-projection rows costs no extra
+      // join, scan or action — exactly one Spark job per round.
+      val obs = new org.apache.spark.sql.Observation(s"cc-round-$round")
+      val observed =
+        if (toFixpoint)
+          joined.observe(obs,
+            sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+        else joined
+      val next = observed.select(col("id"), col("lbl")).localCheckpoint()
       if (toFixpoint) {
-        // labels only ever decrease, so ANY difference vs the previous
-        // round means not converged; limit(1) short-circuits the scan
-        val changed = next.as("n")
-          .join(labels.withColumnRenamed("lbl", "prev"), "id")
-          .filter(col("lbl") =!= col("prev"))
-          .limit(1).count()
+        // sum over zero rows is null -> treat as converged (empty graph)
+        val changed = obs.get.get("changed") match {
+          case Some(l: java.lang.Long) => l.longValue()
+          case Some(l: Long)           => l
+          case _                       => 0L
+        }
         converged = changed == 0L
       }
       labels.unpersist()

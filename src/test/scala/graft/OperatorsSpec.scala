@@ -183,8 +183,39 @@ class OperatorsSpec extends AnyFunSuite {
     val fixed = Curation.dupClusters(pairs, 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fixed(6L) != 1L, "if K=3 converges on a diameter-5 chain the test graph is wrong")
-    // the fixpoint mode converges for any diameter
-    val fp = Curation.dupClustersFixpoint(pairs).collect()
+    // the fixpoint mode converges for any diameter — and the convergence
+    // check rides each round's own materialization job (Observation
+    // metric), costing ZERO extra Spark jobs vs the probe-free fixed-K
+    // variant at the same round count (AQE splits queries into several
+    // jobs, so the comparison — not an absolute count — is the evidence)
+    def countJobs(run: () => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        run()
+        var last = -1 // listener events are async: wait for stability
+        var spins = 0
+        while (jobs.get() != last && spins < 50) {
+          last = jobs.get()
+          Thread.sleep(100)
+          spins += 1
+        }
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // diameter-5 chain converges in 5 rounds + 1 confirming round = 6
+    val baseJobs = countJobs(() => { Curation.dupClusters(pairs, 6); () })
+    var fpDf: org.apache.spark.sql.DataFrame = null
+    val fpJobs = countJobs(() => { fpDf = Curation.dupClustersFixpoint(pairs) })
+    assert(fpJobs <= baseJobs,
+      s"fixpoint ran $fpJobs jobs vs $baseJobs probe-free — convergence probe regressed?")
+    val fp = fpDf.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     (1L to 6L).foreach(i => assert(fp(i) == 1L, s"node $i -> ${fp(i)}"))
     // and agrees with the K=3 variant on a clique (diameter 1)
