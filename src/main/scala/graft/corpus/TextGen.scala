@@ -9,7 +9,8 @@ import java.util.SplittableRandom
 object TextGen {
 
   val languages: Vector[String] =
-    Vector("en", "de", "fr", "es", "ru", "pt", "it", "nl", "zh", "ja")
+    Vector("en", "de", "fr", "es", "ru", "pt", "it", "nl", "zh", "ja",
+      "da", "fi", "cs", "vi")
 
   private val pools: Map[String, (Vector[String], Vector[String])] = Map(
     // (function words — high frequency, content words — low frequency)
@@ -64,7 +65,34 @@ object TextGen {
     "ja" -> (Vector("は", "の", "に", "を", "が", "と", "で", "も", "から",
       "まで", "です", "ます", "した", "ある", "いる", "この"),
       Vector("森", "村", "馬", "雪", "夕方", "湖", "風", "家", "道",
-        "冬", "影", "灯り", "草原", "霜", "音", "静けさ")))
+        "冬", "影", "灯り", "草原", "霜", "音", "静けさ")),
+    // round-4 breadth: Danish (da/no doublets exercised: af/efter/hvad/
+    // ud/lidt), Finnish, Czech (háček/kroužek diacritics), Vietnamese
+    "da" -> (Vector("og", "af", "hvad", "efter", "ud", "lidt", "meget",
+      "ikke", "jeg", "han", "hun", "være", "også", "måske", "nogle",
+      "sådan", "når", "hvis", "kun", "gerne"),
+      Vector("skov", "landsby", "hest", "sne", "aften", "klokker", "sø",
+        "vind", "fnug", "løfter", "hus", "vej", "søvn", "vinter",
+        "skygge", "lygte", "eng", "frost", "lyd", "stilhed")),
+    "fi" -> (Vector("ja", "on", "ei", "että", "se", "hän", "minä",
+      "mutta", "kun", "niin", "oli", "myös", "vain", "jos", "tämä",
+      "joka", "kaikki", "vielä", "kanssa", "sitten"),
+      Vector("metsä", "kylä", "hevonen", "lumi", "ilta", "kellot",
+        "järvi", "tuuli", "hiutale", "lupaukset", "talo", "tie", "uni",
+        "talvi", "varjo", "lyhty", "niitty", "halla", "ääni",
+        "hiljaisuus")),
+    "cs" -> (Vector("je", "že", "ale", "jako", "už", "když", "jen",
+      "není", "byl", "jsem", "jsou", "také", "ještě", "může", "velmi",
+      "mezi", "před", "kde", "který", "nebo"),
+      Vector("hvozd", "vesnice", "kůň", "sníh", "večer", "zvonky",
+        "jezero", "vítr", "vločka", "sliby", "dům", "cesta", "spánek",
+        "zima", "stín", "lucerna", "louka", "mráz", "zvuk", "ticho")),
+    "vi" -> (Vector("và", "của", "là", "có", "không", "được", "một",
+      "trong", "đã", "cho", "những", "với", "này", "khi", "về", "như",
+      "cũng", "rất", "nhưng", "vẫn"),
+      Vector("rừng", "làng", "ngựa", "tuyết", "tối", "hồ", "gió",
+        "nhà", "đường", "mùa", "bóng", "đèn", "đồng", "sương",
+        "tiếng", "yên", "chuông", "giấc", "lạnh", "xa")))
 
   /** One sentence: 6..14 words, ~55% function words, capitalized, period. */
   def sentence(rng: SplittableRandom, lang: String): String = {

@@ -6,9 +6,11 @@ package graft.kernel
   * en/de/fr/es/ru fixture texts (spec/rika/parser_spec.rb:252-259); the
   * reference's OptimaizeLangDetector covers ~70 languages
   * (reference: lib/rika.rb:58-61) — here the breadth tier is script
-  * evidence (zh/ja/ko/ar/ru come nearly free from Unicode block census)
-  * plus function-word profiles for the latin-script set
-  * (en/de/fr/es/pt/it/nl). Profiles are compile-time constants held in
+  * evidence (zh/ja/ko/ar/fa/ur/el/he/th/hi/ta/bn/ka/hy from Unicode
+  * block census; uk/ru/bg separated inside Cyrillic by unique letters
+  * and ъ-as-vowel density) plus function-word + diacritic profiles
+  * for 19 latin-script languages (en/de/fr/es/pt/it/nl/sv/pl/tr/da/no/
+  * fi/cs/hu/ro/id/vi). Profiles are compile-time constants held in
   * this object — one per JVM/executor, the same memoization the reference
   * does once per process (reference: lib/rika.rb:104-107).
   *
@@ -24,7 +26,7 @@ object Lang {
   val Undetermined = "und"
 
   private val langs = Array("en", "de", "fr", "es", "ru", "pt", "it", "nl",
-    "sv", "pl", "tr")
+    "sv", "pl", "tr", "da", "no", "fi", "cs", "hu", "ro", "id", "vi")
 
   private val stop: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "a", "i", "is", "in", "it", "that",
@@ -84,7 +86,50 @@ object Lang {
       "çok", "ama", "değil", "olarak", "sonra", "kadar", "ben", "sen",
       "biz", "var", "yok", "çünkü", "ancak", "şey", "her", "bana",
       "beni", "onun", "onu", "bunu", "şu", "mi", "mı", "mu", "diye",
-      "olan", "olduğu", "değildir", "ise")
+      "olan", "olduğu", "değildir", "ise"),
+    // round-4 breadth tier: eight more latin-script profiles. The
+    // Scandinavian trio separates on orthographic doublets (da af/efter/
+    // hvad/ud/op/lidt vs no av/etter/hva/ut/opp/litt); shared words
+    // appear in BOTH profiles (they tie) and the uniques break the tie.
+    "da" -> Set("og", "af", "hvad", "efter", "ud", "op", "lidt", "meget",
+      "hvor", "hvordan", "hvorfor", "også", "ikke", "jeg", "han", "hun",
+      "være", "blev", "sådan", "gerne", "måske", "nogle", "ingen",
+      "sammen", "altid", "aldrig", "kun", "selv", "skulle", "kunne",
+      "ville", "hvis", "når", "denne", "dette"),
+    "no" -> Set("og", "av", "hva", "etter", "ut", "opp", "litt", "mye",
+      "ikke", "jeg", "han", "hun", "være", "ble", "slik", "kanskje",
+      "noen", "ingen", "sammen", "alltid", "aldri", "bare", "når", "fra",
+      "også", "selv", "skulle", "kunne", "ville", "hvis", "denne",
+      "dette", "mot", "fordi", "gjennom"),
+    "fi" -> Set("ja", "on", "ei", "että", "se", "hän", "minä", "mutta",
+      "kun", "niin", "ole", "oli", "myös", "vain", "jos", "mitä", "tämä",
+      "joka", "kaikki", "sitten", "vielä", "siellä", "täällä", "kanssa",
+      "ilman", "jälkeen", "ennen", "koska", "paljon", "hyvin", "nyt",
+      "sitä", "ovat", "olla", "mikä"),
+    "cs" -> Set("je", "že", "ale", "jako", "už", "když", "jen", "není",
+      "byl", "byla", "bylo", "jsem", "jsi", "jsou", "také", "ještě",
+      "může", "musí", "velmi", "podle", "mezi", "před", "proto", "tady",
+      "kde", "já", "ty", "my", "oni", "své", "který", "která", "které",
+      "nebo", "až"),
+    "hu" -> Set("és", "az", "egy", "nem", "hogy", "ez", "azt", "már",
+      "csak", "még", "mint", "van", "volt", "lesz", "nagyon", "minden",
+      "vagy", "ha", "mert", "így", "úgy", "majd", "most", "itt", "ott",
+      "után", "előtt", "között", "én", "te", "ők", "arra", "erre",
+      "amikor", "pedig"),
+    "ro" -> Set("și", "este", "nu", "cu", "să", "ce", "dar", "mai",
+      "din", "pe", "care", "așa", "după", "până", "fără", "între",
+      "foarte", "acest", "această", "sunt", "era", "fost", "când",
+      "unde", "acum", "aici", "doar", "însă", "dacă", "pentru", "către",
+      "spre", "fiind", "toate"),
+    "id" -> Set("yang", "dan", "itu", "ini", "dengan", "untuk", "tidak",
+      "dari", "dalam", "akan", "pada", "juga", "saya", "kamu", "dia",
+      "kami", "mereka", "sudah", "belum", "bisa", "ada", "karena",
+      "tetapi", "seperti", "ketika", "sangat", "hanya", "atau", "kita",
+      "adalah", "orang", "tahu", "harus", "masih"),
+    "vi" -> Set("và", "của", "là", "có", "không", "được", "một", "người",
+      "trong", "đã", "cho", "những", "với", "này", "khi", "đến", "về",
+      "như", "cũng", "từ", "tôi", "anh", "em", "chúng", "rất", "nhưng",
+      "thì", "ra", "nên", "vẫn", "rồi", "lại", "đang", "nhiều", "phải")
   )
 
   private val diacritics: Map[String, Set[Char]] = Map(
@@ -95,7 +140,14 @@ object Lang {
     "it" -> Set('ì', 'ò'),
     "sv" -> Set('å'),
     "pl" -> Set('ł', 'ą', 'ę', 'ż', 'ź', 'ś', 'ć', 'ń'),
-    "tr" -> Set('ğ', 'ş', 'ı', 'İ')
+    "tr" -> Set('ğ', 'ş', 'ı', 'İ'),
+    // da/no share æ/ø — both profiles get them (tie; words decide)
+    "da" -> Set('æ', 'ø'),
+    "no" -> Set('æ', 'ø'),
+    "cs" -> Set('ř', 'ů', 'ě'), // letters Polish/Slovak neighbors lack
+    "hu" -> Set('ő', 'ű'),      // Hungarian-only double acutes
+    "ro" -> Set('ă', 'ș', 'ț'),
+    "vi" -> Set('đ', 'ư', 'ơ')  // pervasive in Vietnamese orthography
   )
 
   /** Detect the language of `text`; `und` when undeterminable. */
@@ -112,6 +164,8 @@ object Lang {
     // within-script distinguishers: letters unique to one orthography
     var ukChars = 0  // і ї є ґ  (absent from Russian/Bulgarian)
     var ruChars = 0  // ы э ё    (absent from Ukrainian/Bulgarian)
+    var hardSign = 0 // ъ: a full VOWEL in Bulgarian (~2% of letters),
+                     // a rare separator in Russian (<0.05%)
     var faChars = 0  // پ چ ژ گ (Persian additions to Arabic)
     var urChars = 0  // ٹ ڈ ڑ ں ے (Urdu additions)
     var letters = 0
@@ -124,6 +178,7 @@ object Lang {
         val lc = Character.toLowerCase(c)
         if (lc == 'і' || lc == 'ї' || lc == 'є' || lc == 'ґ') ukChars += 1
         if (lc == 'ы' || lc == 'э' || lc == 'ё') ruChars += 1
+        if (lc == 'ъ') hardSign += 1
         if (lc == 'پ' || lc == 'چ' || lc == 'ژ' || lc == 'گ') faChars += 1
         if (lc == 'ٹ' || lc == 'ڈ' || lc == 'ڑ' || lc == 'ں' || lc == 'ے') urChars += 1
         if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
@@ -156,9 +211,13 @@ object Lang {
     }
     if (cyr.toDouble / letters > 0.3) {
       // і/ї/є/ґ are Ukrainian-only; ы/э/ё are absent from Ukrainian and
-      // Bulgarian. Bulgarian (no distinguisher set of its own here)
-      // stays on the ru profile — documented nearest-profile behavior.
+      // Bulgarian. Bulgarian has no unique letters but uses ъ as a
+      // VOWEL (~2% of letters in running text — "българ^", "съ^м",
+      // "къ^де") where Russian's hard sign is <0.05%; a 1% density
+      // with no ru-unique letters is decisive.
       if (ukChars > 0 && ruChars == 0) return "uk"
+      if (ruChars == 0 && ukChars == 0 && hardSign.toDouble / cyr > 0.01)
+        return "bg"
       return "ru"
     }
     // single-language scripts: unambiguous at dominance (fa/ur vs ar and

@@ -110,6 +110,37 @@ class KernelSpec extends AnyFunSuite {
     assert(Lang.detect("الثلج في الغابة هادئ جدا في الشتاء") == "ar")
   }
 
+  test("D3: round-4 breadth — da/no/fi/cs/hu/ro/id/vi profiles, bg vs ru") {
+    // Danish vs Norwegian separate on orthographic doublets:
+    // da af/efter/hvad/ud/lidt vs no av/etter/hva/ut/litt
+    assert(Lang.detect(
+      "Han ville ikke være i skoven efter aftenen, men hvad med lidt sne og også hesten ud af landsbyen.") == "da")
+    assert(Lang.detect(
+      "Han ville ikke være i skogen etter kvelden, men hva med litt snø og også hesten ut av landsbyen.") == "no")
+    assert(Lang.detect(
+      "Tämä on suomeksi kirjoitettu teksti, jossa on paljon sanoja ja myös lauseita, mutta ei kaikkia.") == "fi")
+    assert(Lang.detect(
+      "To je text napsaný česky, když ještě není večer a může být velmi chladno mezi stromy.") == "cs")
+    assert(Lang.detect(
+      "Ez egy magyarul írt szöveg, amely nagyon sok szót tartalmaz és még mondatokat is, de nem minden van itt.") == "hu")
+    assert(Lang.detect(
+      "Acesta este un text scris în română care are foarte multe cuvinte și este doar un exemplu fără greșeli.") == "ro")
+    assert(Lang.detect(
+      "Ini adalah teks yang ditulis dalam bahasa dengan banyak kata dan juga kalimat, tetapi tidak semua orang tahu.") == "id")
+    assert(Lang.detect(
+      "Đây là một văn bản được viết với rất nhiều từ và cũng có những câu, nhưng không phải người nào cũng biết.") == "vi")
+    // Bulgarian: no ы/э/ё, no і/ї/є, but ъ as a running-text vowel
+    assert(Lang.detect(
+      "Това е текст на български език, който съдържа много думи и също така изречения за пример.") == "bg")
+    // Russian stays ru: ы/э present (and ъ rare)
+    assert(Lang.detect("Это текст на русском языке, в нём есть много слов и предложений.") == "ru")
+    // Swedish regression guard: the Scandinavian triple must not collide
+    assert(Lang.detect(
+      "Det här är en text på svenska och den har många ord som är vanliga.") == "sv")
+    // earlier profiles unaffected (cs \"je\" must not capture French)
+    assert(Lang.detect("Le cheval et la neige sont dans le bois pour le village, je ne sais pas.") == "fr")
+  }
+
   // ----------------------------------------------------------------- txt
   test("E1: plain text first line + content type (spec/rika/parser_spec.rb:149-151,225-227)") {
     val out = Extract.extractBytes("txt", fixture("document.txt"), Extract.Options())
