@@ -157,7 +157,13 @@ object Gen {
       stanzas = stanzas,
       useKernSpaces = rng.nextBoolean(),
       // 1-in-4 embed a real DCTDecode image XObject (text unaffected)
-      imageSeed = if (rng.nextInt(4) == 0) rng.nextLong() | 1L else 0L)
+      imageSeed = if (rng.nextInt(4) == 0) rng.nextLong() | 1L else 0L,
+      // 1-in-5 encrypted (empty user password): RC4-40 / RC4-128 / AESV2
+      encrypt = rng.nextInt(10) match {
+        case 0     => "rc4"
+        case 1     => "aes"
+        case _     => ""
+      })
     val bytes = PdfWriter.write(spec)
     val ref = s"m-$docId-$k"
     Piece("pdf", Span("pdf", null, ref, -1),

@@ -23,7 +23,11 @@ object PdfWriter {
       author: String,
       stanzas: Vector[Vector[String]], // title line is stanzas.head.head? no: body only
       useKernSpaces: Boolean,          // encode spaces as -250 TJ kerns instead of glyphs
-      imageSeed: Long = 0)             // != 0: embed a real DCTDecode image XObject
+      imageSeed: Long = 0,             // != 0: embed a real DCTDecode image XObject
+      // "" = plain; "rc4-40" = V1/R2, "rc4" = V2/R3 128-bit,
+      // "aes" = V4/R4 AESV2 — all with EMPTY user+owner passwords
+      // (PdfKernel must open them transparently)
+      encrypt: String = "")
 
   /** The text PdfKernel is expected to extract from write(spec). */
   def expectedText(spec: Spec): String = {
@@ -109,6 +113,46 @@ object PdfWriter {
       deflate(sb.toString.getBytes(StandardCharsets.ISO_8859_1))
     }
 
+    // encryption (standard security handler, empty user+owner password):
+    // streams and Info strings are encrypted per object; the Encrypt
+    // dict itself and the file ID are not
+    import graft.kernel.PdfCrypt
+    val docId: Array[Byte] =
+      PdfCrypt.md5((spec.title + "|" + spec.author + "|" + spec.stanzas.length)
+        .getBytes(StandardCharsets.UTF_8))
+    val (crypt, encDictBody): (Option[PdfCrypt.Crypt], String) = spec.encrypt match {
+      case "" => (None, "")
+      case mode =>
+        val (v, r, bits, aes) = mode match {
+          case "rc4-40" => (1, 2, 40, false)
+          case "rc4"    => (2, 3, 128, false)
+          case "aes"    => (4, 4, 128, true)
+          case other    => throw new IllegalArgumentException(s"encrypt=$other")
+        }
+        val p = -44
+        val o = PdfCrypt.oEntry(r, bits)
+        val key = PdfCrypt.fileKey(o, p, docId, r, bits)
+        val u = PdfCrypt.uEntry(key, r, docId)
+        def hx(b: Array[Byte]) = "<" + b.map(x => f"$x%02x").mkString + ">"
+        val cf =
+          if (v == 4)
+            " /CF << /StdCF << /CFM " + (if (aes) "/AESV2" else "/V2") +
+              " /AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+          else ""
+        val lenEntry = if (v == 1) "" else s" /Length $bits"
+        (Some(PdfCrypt.Crypt(key, aes)),
+          s"<< /Filter /Standard /V $v /R $r$lenEntry$cf " +
+            s"/O ${hx(o)} /U ${hx(u)} /P $p >>")
+    }
+    def encStream(num: Int, data: Array[Byte]): Array[Byte] =
+      crypt.map(_.encrypt(num, 0, data)).getOrElse(data)
+    def infoStr(num: Int, s: String): String = crypt match {
+      case Some(c) =>
+        "<" + c.encrypt(num, 0, s.getBytes(StandardCharsets.ISO_8859_1))
+          .map(x => f"$x%02x").mkString + ">"
+      case None => s"(${esc(s)})"
+    }
+
     // objects
     val out = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
@@ -118,8 +162,8 @@ object PdfWriter {
     }
     def s2b(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
     out.write(s2b("%PDF-1.4\n%Äåòå\n"))
-    obj(s2b(s"1 0 obj\n<< /Title (${esc(spec.title)}) /Author (${esc(spec.author)}) " +
-      s"/Creator (graftgen) /Producer (graft synthetic corpus) >>\nendobj\n"))
+    obj(s2b(s"1 0 obj\n<< /Title ${infoStr(1, spec.title)} /Author ${infoStr(1, spec.author)} " +
+      s"/Creator ${infoStr(1, "graftgen")} /Producer ${infoStr(1, "graft synthetic corpus")} >>\nendobj\n"))
     obj(s2b("2 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n"))
     obj(s2b("3 0 obj\n<< /Type /Pages /MediaBox [0 0 612 792] /Count 1 /Kids [ 4 0 R ] >>\nendobj\n"))
     val xobjRes = if (spec.imageSeed != 0) "/XObject << /Im1 8 0 R >> " else ""
@@ -128,16 +172,18 @@ object PdfWriter {
     obj(s2b("5 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /GRAFT+Synth " +
       "/FirstChar 33 /LastChar 255 /ToUnicode 7 0 R >>\nendobj\n"))
     obj {
+      val enc = encStream(6, content)
       val b = new ByteArrayOutputStream()
-      b.write(s2b(s"6 0 obj\n<< /Length ${content.length} /Filter /FlateDecode >>\nstream\n"))
-      b.write(content)
+      b.write(s2b(s"6 0 obj\n<< /Length ${enc.length} /Filter /FlateDecode >>\nstream\n"))
+      b.write(enc)
       b.write(s2b("\nendstream\nendobj\n"))
       b.toByteArray
     }
     obj {
+      val enc = encStream(7, cmap)
       val b = new ByteArrayOutputStream()
-      b.write(s2b(s"7 0 obj\n<< /Length ${cmap.length} /Filter /FlateDecode >>\nstream\n"))
-      b.write(cmap)
+      b.write(s2b(s"7 0 obj\n<< /Length ${enc.length} /Filter /FlateDecode >>\nstream\n"))
+      b.write(enc)
       b.write(s2b("\nendstream\nendobj\n"))
       b.toByteArray
     }
@@ -149,20 +195,31 @@ object PdfWriter {
         JpegWriterEx.Spec(jw, jh, spec.imageSeed, gray = true, quality = 85),
         PixelGen.bytes(spec.imageSeed, jw * jh))
       obj {
+        val enc = encStream(8, jpeg)
         val b = new ByteArrayOutputStream()
         b.write(s2b(s"8 0 obj\n<< /Type /XObject /Subtype /Image /Width $jw /Height $jh " +
           s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode " +
-          s"/Length ${jpeg.length} >>\nstream\n"))
-        b.write(jpeg)
+          s"/Length ${enc.length} >>\nstream\n"))
+        b.write(enc)
         b.write(s2b("\nendstream\nendobj\n"))
         b.toByteArray
       }
     }
+    var encTrailer = ""
+    if (crypt.isDefined) {
+      val encNum = offsets.length + 1
+      obj(s2b(s"$encNum 0 obj\n$encDictBody\nendobj\n"))
+      encTrailer = s" /Encrypt $encNum 0 R"
+    }
+    val idHex = docId.map(x => f"$x%02x").mkString
+    val idTrailer =
+      if (crypt.isDefined) s" /ID [<$idHex><$idHex>]" else ""
     val xrefPos = out.size()
     val xref = new StringBuilder
     xref.append(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
     offsets.foreach(o => xref.append(f"$o%010d 00000 n %n"))
-    xref.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 2 0 R /Info 1 0 R >>\n")
+    xref.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 2 0 R /Info 1 0 R" +
+      s"$encTrailer$idTrailer >>\n")
     xref.append(s"startxref\n$xrefPos\n%%EOF\n")
     out.write(s2b(xref.toString))
     out.toByteArray

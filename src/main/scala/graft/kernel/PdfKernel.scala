@@ -48,8 +48,11 @@ object PdfKernel {
       val head = new String(bytes, 0, math.min(16, bytes.length), StandardCharsets.ISO_8859_1)
       if (head.startsWith("%PDF-")) head.drop(5).takeWhile(c => c.isDigit || c == '.') else "1.4"
     }
-    if (doc.trailer.m.get("Encrypt").isDefined)
-      throw new PdfParseException("encrypted PDF not supported")
+    // Encrypted PDFs with an EMPTY user password decrypt transparently
+    // (standard security handler, RC4/AESV2 — see PdfCrypt); documents
+    // needing a real password degrade to a taxonomy row, not a crash.
+    if (doc.encryptedUnsupported)
+      throw new PdfParseException("encrypted PDF: password required or unsupported scheme")
 
     val pages = doc.pages
     val pageTexts = pages.map(p => pageText(doc, p))
@@ -631,7 +634,100 @@ object PdfKernel {
       while (matcher.find()) m += (matcher.group(1).toInt -> matcher.start())
       m.result()
     }
+    private val objGens: Map[Int, Int] = {
+      val m = Map.newBuilder[Int, Int]
+      val re = java.util.regex.Pattern.compile("""(?m)^\s*(\d+)\s+(\d+)\s+obj\b""")
+      val matcher = re.matcher(raw)
+      while (matcher.find()) m += (matcher.group(1).toInt -> matcher.group(2).toInt)
+      m.result()
+    }
     private val cache = scala.collection.mutable.HashMap[Int, PObj]()
+
+    // ---- standard security handler (empty user password) --------------
+    // Initialized AFTER trailer; objects parsed during init see
+    // cryptState = None (the /Encrypt dict itself is never encrypted)
+    // and the cache is cleared afterwards so everything re-parses
+    // decrypted. encryptedUnsupported: /Encrypt present but not openable
+    // (real password, or a scheme outside V1/V2/V4-AESV2).
+    private var cryptState: Option[PdfCrypt.Crypt] = None
+    private var encObjNum = -1
+    var encryptedUnsupported = false
+
+    private def initCrypt(): Unit = trailer.m.get("Encrypt").foreach { encRef =>
+      encryptedUnsupported = true // until proven openable
+      encObjNum = encRef match { case PRef(n, _) => n; case _ => -1 }
+      val enc: Map[String, PObj] = (encRef match {
+        case PRef(n, _) => obj(n)
+        case d: PDict   => d
+        case _          => PNull
+      }) match {
+        case PDict(m) => m
+        case _        => Map.empty
+      }
+      def num(k: String, dflt: Int): Int = enc.get(k) match {
+        case Some(PNum(v)) => v.toInt
+        case _             => dflt
+      }
+      def str(k: String): Array[Byte] = enc.get(k) match {
+        case Some(PStr(b)) => b
+        case _             => Array.emptyByteArray
+      }
+      if (!enc.get("Filter").contains(PName("Standard"))) return
+      val v = num("V", 0)
+      val r = num("R", 0)
+      if (!Set(1, 2, 4).contains(v) || r < 2 || r > 4) return
+      val lengthBits = if (v == 1) 40 else num("Length", if (v == 4) 128 else 40)
+      // V4: crypt filters — only the StdCF/Identity pair with CFM V2
+      // (RC4) or AESV2 is supported
+      var aes = false
+      if (v == 4) {
+        val cfm = for {
+          cf <- enc.get("CF").collect { case PDict(m) => m }
+          std <- cf.get("StdCF").collect { case PDict(m) => m }
+          m <- std.get("CFM").collect { case PName(n) => n }
+        } yield m
+        cfm match {
+          case Some("AESV2") => aes = true
+          case Some("V2")    => aes = false
+          case _             => return
+        }
+        val stmf = enc.get("StmF").collect { case PName(n) => n }.getOrElse("Identity")
+        if (stmf != "StdCF") return
+      }
+      val encryptMeta = enc.get("EncryptMetadata") match {
+        case Some(PBool(b)) => b
+        case _              => true
+      }
+      val id0 = trailer.m.get("ID") match {
+        case Some(PArr(PStr(b) +: _)) => b
+        case _                        => Array.emptyByteArray
+      }
+      val o = str("O")
+      val u = str("U")
+      if (o.length < 32 || u.length < 16) return
+      val key = PdfCrypt.fileKey(o, num("P", -1), id0, r, lengthBits, encryptMeta)
+      if (!PdfCrypt.verifyEmptyUser(key, r, id0, u)) return // real password
+      cryptState = Some(PdfCrypt.Crypt(key, aes))
+      encryptedUnsupported = false
+      cache.clear() // re-parse everything through the decryptor
+    }
+
+    /** Decrypt every string and stream payload in a freshly-parsed
+      * top-level object (strings inside object streams are NOT
+      * separately encrypted — the ObjStm payload already was; XRef
+      * streams are never encrypted).
+      */
+    private def decryptObj(c: PdfCrypt.Crypt, n: Int, g: Int, o: PObj): PObj =
+      o match {
+        case PStr(b)     => PStr(c.decrypt(n, g, b))
+        case PArr(items) => PArr(items.map(decryptObj(c, n, g, _)))
+        case PDict(m)    => PDict(m.map { case (k, v) => k -> decryptObj(c, n, g, v) })
+        case s @ PStream(d, rawBytes) =>
+          if (d.m.get("Type").contains(PName("XRef"))) s
+          else PStream(decryptObj(c, n, g, d).asInstanceOf[PDict],
+            c.decrypt(n, g, rawBytes))
+        case other => other
+      }
 
     /** PDF 1.5+ object streams (/Type /ObjStm): compressed objects are
       * invisible to the top-level brute scan, so every ObjStm is expanded
@@ -703,13 +799,24 @@ object PdfKernel {
       PDict(d)
     }
 
+    initCrypt() // after trailer: needs /Encrypt + /ID from it
+
     def obj(num: Int): PObj = cache.getOrElseUpdate(num, parseObjAt(num)) match {
       case PNull if !objOffsets.contains(num) =>
         objStmObjects.getOrElse(num, PNull) // compressed object streams
       case other => other
     }
 
-    private def parseObjAt(num: Int): PObj = objOffsets.get(num) match {
+    private def parseObjAt(num: Int): PObj = {
+      val parsed = parseObjRaw(num)
+      cryptState match {
+        case Some(c) if num != encObjNum =>
+          decryptObj(c, num, objGens.getOrElse(num, 0), parsed)
+        case _ => parsed
+      }
+    }
+
+    private def parseObjRaw(num: Int): PObj = objOffsets.get(num) match {
       case None => PNull
       case Some(off) =>
         val lex = new Lexer(bytes)

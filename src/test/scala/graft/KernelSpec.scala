@@ -226,6 +226,63 @@ class KernelSpec extends AnyFunSuite {
     assert(mae < 48, s"mae=$mae")
   }
 
+  test("E3++: encrypted PDFs (empty user password) extract transparently — RC4-40, RC4-128, AESV2") {
+    import graft.corpus.PdfWriter
+    val stanzas = Vector(Vector("Locked Title"),
+      Vector("first secret line", "second secret line", "third line here"),
+      Vector("another stanza line", "closing line of text", "final words here"))
+    val plain = PdfWriter.Spec("Locked Title", "Shy Author", stanzas,
+      useKernSpaces = false)
+    val outPlain = PdfKernel.extract(PdfWriter.write(plain))
+    for (mode <- Seq("rc4-40", "rc4", "aes")) {
+      val bytes = PdfWriter.write(plain.copy(encrypt = mode))
+      // the ciphertext really differs from the plaintext stream bytes
+      assert(!java.util.Arrays.equals(bytes, PdfWriter.write(plain)), mode)
+      val out = PdfKernel.extract(bytes)
+      // unencrypted behavior byte-identical: same text, same metadata
+      assert(out.text == outPlain.text, s"$mode text")
+      assert(out.text == PdfWriter.expectedText(plain), s"$mode expected")
+      assert(out.metadata("dc:title") == "Locked Title", s"$mode title")
+      assert(out.metadata("dc:creator") == "Shy Author", s"$mode creator")
+      // full Extract path: clean row, no issue
+      val ext = Extract.extractBytes("pdf", bytes, Extract.Options())
+      assert(ext.issue.isEmpty && ext.content == PdfWriter.expectedText(plain), mode)
+    }
+    // encrypted + embedded DCTDecode image: stream decrypts, image decodes
+    val imgBytes = PdfWriter.write(plain.copy(encrypt = "aes", imageSeed = 42L))
+    val outImg = PdfKernel.extract(imgBytes)
+    assert(outImg.metadata.get("pdf:imageCount").contains("1"))
+    assert(outImg.metadata.get("pdf:imageDimensions").contains("64x48"))
+  }
+
+  test("E3++: password-protected PDF degrades to a taxonomy row, not a crash") {
+    import graft.corpus.PdfWriter
+    val stanzas = Vector(Vector("No Entry"), Vector("hidden line one", "hidden line two"))
+    val bytes = PdfWriter.write(PdfWriter.Spec("No Entry", "A", stanzas,
+      useKernSpaces = false, encrypt = "rc4"))
+    // corrupt /U so the empty-password check fails (simulates a real
+    // user password): find the U entry's hex string and flip bytes
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uAt = raw.indexOf("/U <")
+    assert(uAt > 0)
+    val mutated = bytes.clone()
+    for (k <- 0 until 8) mutated(uAt + 4 + k) = (if (bytes(uAt + 4 + k) == '0') '1' else '0').toByte
+    val out = Extract.extractBytes("pdf", mutated, Extract.Options())
+    assert(out.issue.isDefined, "password-protected must be flagged")
+    assert(out.content.isEmpty)
+  }
+
+  test("RC4 matches the public test vectors (Wikipedia)") {
+    import graft.kernel.PdfCrypt
+    def hex(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString
+    assert(hex(PdfCrypt.rc4("Key".getBytes, "Plaintext".getBytes)) ==
+      "BBF316E8D940AF0AD3")
+    assert(hex(PdfCrypt.rc4("Wiki".getBytes, "pedia".getBytes)) ==
+      "1021BF0420")
+    assert(hex(PdfCrypt.rc4("Secret".getBytes, "Attack at dawn".getBytes)) ==
+      "45A01F645FC35B383552544B9BF5")
+  }
+
   test("E3: PDF body contains the full poem in reading order") {
     val out = Extract.extractBytes("pdf", fixture("document.pdf"), Extract.Options())
     val t = out.content
