@@ -413,16 +413,25 @@ object Gen {
     */
   private def webpPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
     mediaPiece("webp",
-      if (rng.nextInt(3) < 2)
-        WebpWriterEx.write(WebpWriterEx.Spec(
-          8 + rng.nextInt(120), 8 + rng.nextInt(120), seed = rng.nextLong(),
-          useLz77 = rng.nextBoolean(),
-          cacheBits = if (rng.nextBoolean()) 4 + rng.nextInt(3) else 0,
-          smooth = rng.nextInt(4) == 0,
-          subtractGreen = rng.nextBoolean(),
-          predictor = rng.nextBoolean(),
-          predSizeBits = 2 + rng.nextInt(3)))
-      else WebpWriter.write(WebpWriter.Spec(
+      if (rng.nextInt(3) < 2) {
+        if (rng.nextInt(4) == 0)
+          // 1-in-4 real streams are paletted (graphics/icons shape)
+          WebpWriterEx.write(WebpWriterEx.Spec(
+            8 + rng.nextInt(120), 8 + rng.nextInt(120), seed = rng.nextLong(),
+            useLz77 = rng.nextBoolean(),
+            paletteSize = Vector(2, 4, 9, 16, 48, 256)(rng.nextInt(6))))
+        else
+          WebpWriterEx.write(WebpWriterEx.Spec(
+            8 + rng.nextInt(120), 8 + rng.nextInt(120), seed = rng.nextLong(),
+            useLz77 = rng.nextBoolean(),
+            cacheBits = if (rng.nextBoolean()) 4 + rng.nextInt(3) else 0,
+            smooth = rng.nextInt(4) == 0,
+            subtractGreen = rng.nextBoolean(),
+            predictor = rng.nextBoolean(),
+            predSizeBits = 2 + rng.nextInt(3),
+            colorXform = rng.nextInt(3) == 0,
+            colorSizeBits = 2 + rng.nextInt(3)))
+      } else WebpWriter.write(WebpWriter.Spec(
         8 + rng.nextInt(500), 8 + rng.nextInt(500))), docId, k)
 
   /** Decode-grade WAV: complete PCM-16 sample stream (mono/stereo) so

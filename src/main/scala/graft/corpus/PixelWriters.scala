@@ -423,10 +423,42 @@ object WebpWriterEx {
   final case class Spec(width: Int, height: Int, seed: Long,
       useLz77: Boolean = true, cacheBits: Int = 0, smooth: Boolean = false,
       subtractGreen: Boolean = false, predictor: Boolean = false,
-      predSizeBits: Int = 4)
+      predSizeBits: Int = 4,
+      colorXform: Boolean = false, colorSizeBits: Int = 3,
+      paletteSize: Int = 0) // 2..256: color-indexing transform (alone)
+
+  /** Deterministic palette (alpha 255) for paletteSize > 0. */
+  def paletteOf(spec: Spec): Array[Int] = {
+    val b = PixelGen.bytes(spec.seed ^ 0x9A1E77EL, spec.paletteSize * 3)
+    Array.tabulate(spec.paletteSize) { i =>
+      0xff000000 | ((b(i * 3) & 0xff) << 16) | ((b(i * 3 + 1) & 0xff) << 8) |
+        (b(i * 3 + 2) & 0xff)
+    }
+  }
+
+  /** Per-pixel palette indices (row-major) for paletteSize > 0. */
+  def indicesOf(spec: Spec): Array[Int] = {
+    val raw = PixelGen.bytes(spec.seed ^ 0x1DCE5L, spec.width * spec.height)
+    raw.map(b => (b & 0xff) % spec.paletteSize)
+  }
 
   /** RGBA plane the decoder must reproduce (alpha 255). */
   def plane(spec: Spec): Array[Byte] = {
+    if (spec.paletteSize > 0) {
+      val pal = paletteOf(spec)
+      val idx = indicesOf(spec)
+      val out = new Array[Byte](idx.length * 4)
+      var i = 0
+      while (i < idx.length) {
+        val px = pal(idx(i))
+        out(i * 4) = ((px >> 16) & 0xff).toByte
+        out(i * 4 + 1) = ((px >> 8) & 0xff).toByte
+        out(i * 4 + 2) = (px & 0xff).toByte
+        out(i * 4 + 3) = ((px >>> 24) & 0xff).toByte
+        i += 1
+      }
+      return out
+    }
     val n = spec.width * spec.height
     val rgb =
       if (spec.smooth) {
@@ -620,17 +652,60 @@ object WebpWriterEx {
     (res, modes.map(m => 0xff000000 | (m << 8)))
   }
 
+  /** Forward cross-color transform: seeded per-block multipliers; red
+    * first (from green), then blue (from green + ORIGINAL red) — the
+    * exact inverse of the decoder's recovery order.
+    */
+  private def forwardColor(argb: Array[Int], w: Int, h: Int,
+      sizeBits: Int, seed: Long): (Array[Int], Array[Int]) = {
+    import graft.kernel.Vp8lDecoder.ctDelta
+    val cw = (w + (1 << sizeBits) - 1) >> sizeBits
+    val ch = (h + (1 << sizeBits) - 1) >> sizeBits
+    val mb = PixelGen.bytes(seed ^ 0xC0104L, cw * ch * 3)
+    val elems = Array.tabulate(cw * ch) { bi =>
+      0xff000000 | ((mb(bi * 3) & 0xff) << 16) | ((mb(bi * 3 + 1) & 0xff) << 8) |
+        (mb(bi * 3 + 2) & 0xff) // r2b | g2b | g2r
+    }
+    val res = new Array[Int](argb.length)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val e = elems((y >> sizeBits) * cw + (x >> sizeBits))
+        val g2r = e & 0xff
+        val g2b = (e >> 8) & 0xff
+        val r2b = (e >> 16) & 0xff
+        val px = argb(i)
+        val green = (px >> 8) & 0xff
+        val red0 = (px >> 16) & 0xff
+        val red = (red0 - ctDelta(g2r, green)) & 0xff
+        val blue = ((px & 0xff) - ctDelta(g2b, green) - ctDelta(r2b, red0)) & 0xff
+        res(i) = (px & 0xff00ff00) | (red << 16) | blue
+        x += 1
+        i += 1
+      }
+      y += 1
+    }
+    (res, elems)
+  }
+
   def write(spec: Spec): Array[Byte] = {
+    require(spec.paletteSize == 0 ||
+      !(spec.subtractGreen || spec.predictor || spec.colorXform),
+      "palette combines with no other transform (decoder subset)")
     val px = plane(spec)
     val n = spec.width * spec.height
     var argb = Array.tabulate(n) { i =>
       ((px(i * 4 + 3) & 0xff) << 24) | ((px(i * 4) & 0xff) << 16) |
         ((px(i * 4 + 1) & 0xff) << 8) | (px(i * 4 + 2) & 0xff)
     }
-    // forward transforms in bitstream order (SG then predictor — the
-    // decoder inverts in reverse read order, so reconstruction is
-    // predictor-inverse first, then add-green)
+    // forward transforms in bitstream order (SG -> predictor -> color,
+    // or palette alone — the decoder inverts in reverse read order)
     var modesArgb: Array[Int] = null
+    var colorArgb: Array[Int] = null
+    var paletteDeltas: Array[Int] = null
+    var mainW = spec.width
     if (spec.subtractGreen) {
       argb = argb.map { p =>
         val g = (p >> 8) & 0xff
@@ -645,6 +720,42 @@ object WebpWriterEx {
       argb = res
       modesArgb = m
     }
+    if (spec.colorXform) {
+      val (res, e) = forwardColor(argb, spec.width, spec.height,
+        spec.colorSizeBits, spec.seed)
+      argb = res
+      colorArgb = e
+    }
+    if (spec.paletteSize > 0) {
+      val pal = paletteOf(spec)
+      paletteDeltas = Array.tabulate(pal.length) { i =>
+        val prev = if (i == 0) 0 else pal(i - 1)
+        // per-channel difference mod 256 (decoder re-accumulates)
+        val d = Array(24, 16, 8, 0).map { sh =>
+          (((pal(i) >>> sh) - (prev >>> sh)) & 0xff) << sh
+        }
+        d(0) | d(1) | d(2) | d(3)
+      }
+      val idx = indicesOf(spec)
+      val widthBits =
+        if (pal.length <= 2) 3 else if (pal.length <= 4) 2
+        else if (pal.length <= 16) 1 else 0
+      val bpp = 8 >> widthBits
+      mainW = (spec.width + (1 << widthBits) - 1) >> widthBits
+      val packed = new Array[Int](mainW * spec.height)
+      var y = 0
+      while (y < spec.height) {
+        var x = 0
+        while (x < spec.width) {
+          val slot = y * mainW + (x >> widthBits)
+          val shift = (x & ((1 << widthBits) - 1)) * bpp
+          packed(slot) |= idx(y * spec.width + x) << shift
+          x += 1
+        }
+        y += 1
+      }
+      argb = packed.map(b => 0xff000000 | (b << 8)) // index byte in green
+    }
     val payload = new ByteArrayOutputStream()
     payload.write(0x2f)
     val bw = new Bw(payload)
@@ -657,6 +768,16 @@ object WebpWriterEx {
       bw.bits(1, 1); bw.bits(0, 2)
       bw.bits(spec.predSizeBits - 2, 3)
       codePixels(bw, modesArgb, cacheBits = 0, useLz77 = false, isMain = false)
+    }
+    if (spec.colorXform) {
+      bw.bits(1, 1); bw.bits(1, 2)
+      bw.bits(spec.colorSizeBits - 2, 3)
+      codePixels(bw, colorArgb, cacheBits = 0, useLz77 = false, isMain = false)
+    }
+    if (spec.paletteSize > 0) {
+      bw.bits(1, 1); bw.bits(3, 2)
+      bw.bits(spec.paletteSize - 1, 8)
+      codePixels(bw, paletteDeltas, cacheBits = 0, useLz77 = false, isMain = false)
     }
     bw.bits(0, 1)  // no more transforms
     codePixels(bw, argb, spec.cacheBits, spec.useLz77, isMain = true)

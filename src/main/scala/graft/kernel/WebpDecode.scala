@@ -1,16 +1,17 @@
 package graft.kernel
 
-/** WebP-VP8L (lossless) decoder — the real entropy layer plus the two
-  * dominant pixel transforms: canonical prefix codes (simple 1-2-symbol
-  * and full code-length-coded variants), LZ77 length/distance
-  * back-references with linear distance codes, the color cache, the
-  * PREDICTOR transform (all 14 spatial modes over a mode sub-image, the
-  * transform virtually every real-world lossless WebP uses) and the
-  * SUBTRACT-GREEN transform, inverted in reverse bitstream order per the
-  * spec. Scope boundary (clean None -> metadata tier): the color
-  * transform, palette (color-indexing) transform, meta prefix groups,
-  * and 2-D plane distance codes. Lossy VP8 remains the declared
-  * perceptual stub.
+/** WebP-VP8L (lossless) decoder — the real entropy layer plus ALL FOUR
+  * pixel transforms: canonical prefix codes (simple 1-2-symbol and full
+  * code-length-coded variants), LZ77 length/distance back-references
+  * with linear distance codes, the color cache, the PREDICTOR transform
+  * (all 14 spatial modes over a mode sub-image), the CROSS-COLOR
+  * transform (signed-multiplier green->red / green->blue / red->blue
+  * per block), SUBTRACT-GREEN, and COLOR-INDEXING (delta-coded palette
+  * with LSB-first sub-byte pixel bundling for <= 16 colors), inverted
+  * in reverse bitstream order per the spec. Scope boundary (clean None
+  * -> metadata tier): meta prefix groups, 2-D plane distance codes, and
+  * palette combined with a spatial transform (not produced by real
+  * encoders). Lossy VP8 remains the declared perceptual stub.
   *
   * Like every decoder here: malformed input -> None, never a throw.
   */
@@ -181,10 +182,14 @@ object Vp8lDecoder {
     if (br.bits(3) != 0) return None // version must be 0
     if (w.toLong * h > 64L * 1024 * 1024) return None
     // transforms (applied inversely in REVERSE bitstream order)
-    var useSubGreen = false
     var predSizeBits = 0
     var predModes: Array[Int] = null
     var predModesW = 0
+    var colorSizeBits = 0
+    var colorElems: Array[Int] = null
+    var colorElemsW = 0
+    var palette: Array[Int] = null
+    var paletteWidthBits = 0
     var xformOrder = List.empty[Int] // head = last read = first inverted
     var seen = 0
     var moreXf = br.bits(1) == 1
@@ -194,7 +199,6 @@ object Vp8lDecoder {
       seen |= 1 << t
       t match {
         case 2 => // subtract green: no payload
-          useSubGreen = true
           xformOrder ::= 2
         case 0 => // predictor: mode sub-image at block resolution
           predSizeBits = br.bits(3) + 2
@@ -203,15 +207,43 @@ object Vp8lDecoder {
           predModes = decodeCoded(br, predModesW, modesH, isMain = false)
             .getOrElse(return None)
           xformOrder ::= 0
-        case _ => // color transform (1) / palette (3): declared subset
-          return None
+        case 1 => // cross-color: transform-element sub-image per block
+          colorSizeBits = br.bits(3) + 2
+          colorElemsW = (w + (1 << colorSizeBits) - 1) >> colorSizeBits
+          val elemsH = (h + (1 << colorSizeBits) - 1) >> colorSizeBits
+          colorElems = decodeCoded(br, colorElemsW, elemsH, isMain = false)
+            .getOrElse(return None)
+          xformOrder ::= 1
+        case _ => // 3 = color indexing (palette), delta-coded entries
+          val size = br.bits(8) + 1
+          val raw = decodeCoded(br, size, 1, isMain = false).getOrElse(return None)
+          palette = new Array[Int](size)
+          var acc = 0
+          var k = 0
+          while (k < size) { // per-channel cumulative sum mod 256
+            acc = addPixels(acc, raw(k))
+            palette(k) = acc
+            k += 1
+          }
+          paletteWidthBits =
+            if (size <= 2) 3 else if (size <= 4) 2 else if (size <= 16) 1 else 0
+          xformOrder ::= 3
       }
       moreXf = br.bits(1) == 1
     }
-    val argb = decodeCoded(br, w, h, isMain = true).getOrElse(return None)
+    // palette changes image geometry; combining it with the spatial
+    // transforms is not produced by real encoders — declared subset
+    if (palette != null && xformOrder.length > 1) return None
+    val mainW =
+      if (palette != null)
+        (w + (1 << paletteWidthBits) - 1) >> paletteWidthBits
+      else w
+    var argb = decodeCoded(br, mainW, h, isMain = true).getOrElse(return None)
     xformOrder.foreach {
       case 0 => if (!inversePredictor(argb, w, h, predModes, predSizeBits, predModesW)) return None
+      case 1 => inverseColorTransform(argb, w, h, colorElems, colorSizeBits, colorElemsW)
       case 2 => addGreen(argb)
+      case 3 => argb = inversePalette(argb, mainW, w, h, palette, paletteWidthBits)
     }
     // ARGB -> RGBA plane
     val n = w * h
@@ -396,6 +428,70 @@ object Vp8lDecoder {
       y += 1
     }
     true
+  }
+
+  /** ColorTransformDelta (spec 4.2.3): signed-byte product >> 5. */
+  private[graft] def ctDelta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+
+  /** Inverse cross-color transform: per-block elements carry
+    * green_to_red (blue channel), green_to_blue (green channel),
+    * red_to_blue (red channel); red recovers first, then blue uses the
+    * recovered red (libwebp VP8LTransformColorInverse).
+    */
+  private def inverseColorTransform(argb: Array[Int], w: Int, h: Int,
+      elems: Array[Int], sizeBits: Int, elemsW: Int): Unit = {
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val e = elems((y >> sizeBits) * elemsW + (x >> sizeBits))
+        val g2r = e & 0xff
+        val g2b = (e >> 8) & 0xff
+        val r2b = (e >> 16) & 0xff
+        val px = argb(i)
+        val green = (px >> 8) & 0xff
+        val red = (((px >> 16) & 0xff) + ctDelta(g2r, green)) & 0xff
+        val blue = ((px & 0xff) + ctDelta(g2b, green) + ctDelta(r2b, red)) & 0xff
+        argb(i) = (px & 0xff00ff00) | (red << 16) | blue
+        x += 1
+        i += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Inverse color-indexing: expand the packed index image (green
+    * channel, LSB-first sub-pixel packing for palettes <= 16) through
+    * the delta-decoded palette; out-of-range indices map to transparent
+    * black per the spec.
+    */
+  private def inversePalette(packed: Array[Int], packedW: Int, w: Int,
+      h: Int, palette: Array[Int], widthBits: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    val bitsPerPixel = 8 >> widthBits
+    val countMask = (1 << widthBits) - 1
+    val bitMask = (1 << bitsPerPixel) - 1
+    var y = 0
+    while (y < h) {
+      var packedPixels = 0
+      var x = 0
+      while (x < w) {
+        if (widthBits == 0) {
+          val idx = (packed(y * packedW + x) >> 8) & 0xff
+          out(y * w + x) = if (idx < palette.length) palette(idx) else 0
+        } else {
+          if ((x & countMask) == 0)
+            packedPixels = (packed(y * packedW + (x >> widthBits)) >> 8) & 0xff
+          val idx = packedPixels & bitMask
+          out(y * w + x) = if (idx < palette.length) palette(idx) else 0
+          packedPixels >>>= bitsPerPixel
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Inverse subtract-green: add green back into red and blue. */

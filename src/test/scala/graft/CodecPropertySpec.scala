@@ -82,11 +82,23 @@ object CodecPropertySpec extends Properties("graft.codecs") {
         }
     }
 
-  property("VP8L transforms round-trip exact: SG x predictor x block size") =
-    forAll(dims, SGen.oneOf(false, true), SGen.oneOf(2, 3, 4)) {
-      case ((w, h, seed), sg, psb) =>
+  property("VP8L transforms round-trip exact: SG x predictor x color x block size") =
+    forAll(dims, SGen.oneOf(false, true), SGen.oneOf(false, true), SGen.oneOf(2, 3, 4)) {
+      case ((w, h, seed), sg, cx, psb) =>
         val spec = WebpWriterEx.Spec(w, h, seed, subtractGreen = sg,
-          predictor = true, predSizeBits = psb)
+          predictor = true, predSizeBits = psb,
+          colorXform = cx, colorSizeBits = psb)
+        Vp8lDecoder.decode(WebpWriterEx.write(spec)) match {
+          case None => false
+          case Some(img) => java.util.Arrays.equals(img.data, WebpWriterEx.plane(spec))
+        }
+    }
+
+  property("VP8L palette round-trip exact: every bundling width") =
+    forAll(dims, SGen.oneOf(2, 3, 4, 5, 11, 16, 17, 64, 256)) {
+      case ((w, h, seed), size) =>
+        val spec = WebpWriterEx.Spec(w, h, seed, useLz77 = size > 16,
+          paletteSize = size)
         Vp8lDecoder.decode(WebpWriterEx.write(spec)) match {
           case None => false
           case Some(img) => java.util.Arrays.equals(img.data, WebpWriterEx.plane(spec))

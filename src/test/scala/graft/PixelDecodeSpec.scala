@@ -249,7 +249,24 @@ class PixelDecodeSpec extends AnyFunSuite {
       "predictor 8x1 row" -> WebpWriterEx.Spec(8, 1, 17, predictor = true,
         predSizeBits = 2),
       "predictor 1x9 column" -> WebpWriterEx.Spec(1, 9, 18, predictor = true,
-        predSizeBits = 2))) {
+        predSizeBits = 2),
+      // cross-color: signed multipliers, alone and stacked on SG+pred
+      "color transform" -> WebpWriterEx.Spec(29, 22, 19, colorXform = true,
+        colorSizeBits = 2),
+      "SG + predictor + color (full spatial stack)" ->
+        WebpWriterEx.Spec(35, 27, 20, subtractGreen = true, predictor = true,
+          predSizeBits = 3, colorXform = true, colorSizeBits = 2),
+      // color indexing: every bundling width (8/4/2 px per byte + none)
+      "palette 2 colors (8 px/byte)" -> WebpWriterEx.Spec(37, 15, 21,
+        useLz77 = false, paletteSize = 2),
+      "palette 4 colors (4 px/byte)" -> WebpWriterEx.Spec(30, 19, 22,
+        useLz77 = false, paletteSize = 4),
+      "palette 13 colors (2 px/byte)" -> WebpWriterEx.Spec(25, 17, 23,
+        useLz77 = false, paletteSize = 13),
+      "palette 200 colors (unbundled) + lz77" -> WebpWriterEx.Spec(33, 24, 24,
+        paletteSize = 200),
+      "palette 16 odd width" -> WebpWriterEx.Spec(31, 9, 25,
+        useLz77 = false, paletteSize = 16))) {
     test(s"VP8L transform round-trip: $label (lossless, exact)") {
       val img = graft.kernel.Vp8lDecoder.decode(WebpWriterEx.write(spec))
         .getOrElse(fail(label))
