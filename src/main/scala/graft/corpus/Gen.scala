@@ -158,11 +158,12 @@ object Gen {
       useKernSpaces = rng.nextBoolean(),
       // 1-in-4 embed a real DCTDecode image XObject (text unaffected)
       imageSeed = if (rng.nextInt(4) == 0) rng.nextLong() | 1L else 0L,
-      // 1-in-5 encrypted (empty user password): RC4-40 / RC4-128 / AESV2
-      encrypt = rng.nextInt(10) match {
-        case 0     => "rc4"
-        case 1     => "aes"
-        case _     => ""
+      // ~1-in-4 encrypted (empty user password): RC4 / AESV2 / AES-256
+      encrypt = rng.nextInt(12) match {
+        case 0 => "rc4"
+        case 1 => "aes"
+        case 2 => "aes256"
+        case _ => ""
       })
     val bytes = PdfWriter.write(spec)
     val ref = s"m-$docId-$k"
@@ -293,9 +294,13 @@ object Gen {
   }
 
   private def mp3Piece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val bare = rng.nextInt(4) == 0 // legacy shape: no ID3v2, v1 trailer
     val bytes = Mp3Writer.write(Mp3Writer.Spec(
       TextGen.titleLine(rng, "en"), TextGen.titleLine(rng, "en"),
-      TextGen.titleLine(rng, "en")))
+      TextGen.titleLine(rng, "en"),
+      // 1-in-3 VBR with a Xing frame count (exact duration path)
+      vbrFrames = if (rng.nextInt(3) == 0) 8 + rng.nextInt(60) else 0,
+      id3v2 = !bare, id3v1 = bare || rng.nextInt(5) == 0))
     val ref = s"m-$docId-$k"
     Piece("mp3", Span("mp3", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
@@ -336,7 +341,21 @@ object Gen {
       } else
         PngWriterEx.Spec(8 + rng.nextInt(120), 8 + rng.nextInt(120),
           seed = rng.nextLong(), colorType = Vector(0, 2, 3, 4, 6)(rng.nextInt(5)),
-          cycleFilters = rng.nextBoolean(), interlaced = rng.nextInt(6) == 0)
+          cycleFilters = rng.nextBoolean(), interlaced = rng.nextInt(6) == 0,
+          // ancillary metadata with web-graphics frequency
+          texts =
+            if (rng.nextInt(3) == 0)
+              Seq("Software" -> s"graft-png-${rng.nextInt(10)}") ++
+                (if (rng.nextBoolean())
+                  Seq("Comment" -> TextGen.titleLine(rng, "en")) else Nil)
+            else Nil,
+          dpi = if (rng.nextInt(4) == 0) Vector(72, 96, 150, 300)(rng.nextInt(4)) else 0,
+          modified =
+            if (rng.nextInt(5) == 0)
+              f"20${10 + rng.nextInt(15)}%02d-${1 + rng.nextInt(12)}%02d-" +
+                f"${1 + rng.nextInt(28)}%02d ${rng.nextInt(24)}%02d:" +
+                f"${rng.nextInt(60)}%02d:${rng.nextInt(60)}%02d"
+            else "")
     val bytes = PngWriterEx.write(spec)
     val ref = s"m-$docId-$k"
     Piece("png", Span("png", null, ref, -1),
@@ -369,7 +388,20 @@ object Gen {
       quality = 75 + rng.nextInt(21),
       restartInterval =
         if (!progressive && rng.nextInt(8) == 0) 1 + rng.nextInt(4) else 0,
-      progressive = progressive))
+      progressive = progressive,
+      // EXIF breadth: orientation / capture time / GPS appear with
+      // camera-like frequency
+      orientation = if (rng.nextInt(3) == 0) Vector(1, 3, 6, 8)(rng.nextInt(4)) else 0,
+      dateTime =
+        if (rng.nextBoolean())
+          f"20${10 + rng.nextInt(15)}%02d:${1 + rng.nextInt(12)}%02d:" +
+            f"${1 + rng.nextInt(28)}%02d ${rng.nextInt(24)}%02d:" +
+            f"${rng.nextInt(60)}%02d:${rng.nextInt(60)}%02d"
+        else "",
+      gps =
+        if (rng.nextInt(4) == 0)
+          Some((rng.nextDouble() * 160 - 80, rng.nextDouble() * 360 - 180))
+        else None))
     val ref = s"m-$docId-$k"
     Piece("jpeg", Span("jpeg", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
@@ -452,12 +484,15 @@ object Gen {
 
   /** ICO / PSD / MIDI: real headers, typed media metadata rows. */
   private def miscMediaPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
-    val bytes = rng.nextInt(3) match {
+    val bytes = rng.nextInt(4) match {
       case 0 => MiscMediaWriters.writeIco(
         Vector.tabulate(1 + rng.nextInt(3))(_ => (16 << rng.nextInt(4), 16 << rng.nextInt(4))))
       case 1 => MiscMediaWriters.writePsd(
         16 + rng.nextInt(500), 16 + rng.nextInt(500), 3 + rng.nextInt(2),
         if (rng.nextBoolean()) 3 else 1)
+      case 2 => HeifWriter.write(HeifWriter.Spec(
+        Vector("heic", "mif1", "avif")(rng.nextInt(3)),
+        16 + rng.nextInt(4000), 16 + rng.nextInt(3000)))
       case _ => MiscMediaWriters.writeMidi(
         rng.nextInt(2), 1 + rng.nextInt(8), 96 * (1 + rng.nextInt(5)))
     }

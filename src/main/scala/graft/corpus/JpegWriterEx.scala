@@ -28,7 +28,11 @@ object JpegWriterEx {
   final case class Spec(width: Int, height: Int, seed: Long,
       software: String = "", gray: Boolean = false, subsample: Boolean = false,
       unitQuant: Boolean = false, quality: Int = 90, restartInterval: Int = 0,
-      smoothChroma: Boolean = false, progressive: Boolean = false)
+      smoothChroma: Boolean = false, progressive: Boolean = false,
+      // EXIF breadth (all optional; emitted only when set)
+      orientation: Int = 0,                   // 1-8 per EXIF
+      dateTime: String = "",                  // "yyyy:MM:dd HH:mm:ss"
+      gps: Option[(Double, Double)] = None)   // (lat, lon) decimal degrees
 
   // ---------------------------------------------------------------- input
   /** Deterministic input plane (gray: 1 ch; else RGB). When smoothChroma
@@ -93,7 +97,9 @@ object JpegWriterEx {
     m(0xff, 0xe0, 0x00, 0x10)
     out.write("JFIF".getBytes("ISO-8859-1"))
     m(0x00, 0x01, 0x01, 0x00, 0x00, 0x48, 0x00, 0x48, 0x00, 0x00)
-    if (spec.software.nonEmpty) writeExifSoftware(out, spec.software)
+    if (spec.software.nonEmpty || spec.orientation > 0 ||
+        spec.dateTime.nonEmpty || spec.gps.isDefined)
+      writeExifApp1(out, spec)
     // DQT
     def dqt(id: Int, q: Array[Int]): Unit = {
       m(0xff, 0xdb, 0x00, 0x43, id)
@@ -704,24 +710,91 @@ object JpegWriterEx {
     }
   }
 
-  /** APP1 EXIF with an IFD0 Software ASCII tag — byte-compatible with the
-    * legacy JpegWriter so JpegKernel's metadata extraction is unchanged.
+  // (tag, type, count, raw value bytes pre-offset-resolution)
+  private type TiffEntry = (Int, Int, Int, Array[Byte])
+
+  private def tAscii(s: String): Array[Byte] =
+    (s + 0.toChar).getBytes("ISO-8859-1")
+  private def tShort(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def tLong(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def tRational(v: Double, den: Long = 100000L): Array[Byte] =
+    tLong(math.round(v * den)) ++ tLong(den)
+
+  /** Serialize one IFD (entries sorted by tag, deferred values placed
+    * directly after the table) at absolute TIFF offset `ifdOff`.
     */
-  private def writeExifSoftware(out: ByteArrayOutputStream, software: String): Unit = {
+  private def ifdBytes(entries: Seq[TiffEntry], ifdOff: Int): Array[Byte] = {
+    val tableLen = 2 + entries.length * 12 + 4
+    val table = new ByteArrayOutputStream()
+    val deferred = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { table.write(v & 0xff); table.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    w16(entries.length)
+    for ((tag, typ, cnt, data) <- entries.sortBy(_._1)) {
+      w16(tag); w16(typ); w32(cnt.toLong)
+      if (data.length <= 4) {
+        table.write(data); (data.length until 4).foreach(_ => table.write(0))
+      } else {
+        w32(ifdOff.toLong + tableLen + deferred.size())
+        deferred.write(data)
+      }
+    }
+    w32(0L) // next IFD
+    table.toByteArray ++ deferred.toByteArray
+  }
+
+  private def ifdSize(entries: Seq[TiffEntry]): Int =
+    2 + entries.length * 12 + 4 + entries.map(_._4.length).filter(_ > 4).sum
+
+  /** APP1 EXIF: IFD0 (Software / Orientation / DateTime) with optional
+    * Exif sub-IFD (DateTimeOriginal) and GPS IFD (lat/lon as DMS
+    * rational triplets + reference letters). The Software-only default
+    * stays byte-compatible with the legacy layout.
+    */
+  private def writeExifApp1(out: ByteArrayOutputStream, spec: Spec): Unit = {
     def w(bs: Int*): Unit = bs.foreach(b => out.write(b & 0xff))
-    val sw = software.getBytes("ISO-8859-1") :+ 0.toByte
+    val exifEntries: Seq[TiffEntry] =
+      if (spec.dateTime.nonEmpty)
+        Seq((0x9003, 2, spec.dateTime.length + 1, tAscii(spec.dateTime)))
+      else Nil
+    val gpsEntries: Seq[TiffEntry] = spec.gps.toSeq.flatMap { case (lat, lon) =>
+      def dms(v: Double): Array[Byte] = {
+        val a = math.abs(v)
+        val d = a.toInt
+        val m = ((a - d) * 60).toInt
+        val s = (a - d - m / 60.0) * 3600
+        tRational(d, 1) ++ tRational(m, 1) ++ tRational(s)
+      }
+      Seq(
+        (0x0001, 2, 2, tAscii(if (lat < 0) "S" else "N")),
+        (0x0002, 5, 3, dms(lat)),
+        (0x0003, 2, 2, tAscii(if (lon < 0) "W" else "E")),
+        (0x0004, 5, 3, dms(lon)))
+    }
+    var ifd0: Seq[TiffEntry] = Nil
+    if (spec.software.nonEmpty)
+      ifd0 :+= ((0x0131, 2, spec.software.length + 1, tAscii(spec.software)))
+    if (spec.orientation > 0)
+      ifd0 :+= ((0x0112, 3, 1, tShort(spec.orientation)))
+    if (spec.dateTime.nonEmpty)
+      ifd0 :+= ((0x0132, 2, spec.dateTime.length + 1, tAscii(spec.dateTime)))
+    // pointer entries: sizes are fixed (LONG inline), offsets computed
+    // from the running layout 8 -> IFD0 -> Exif IFD -> GPS IFD
+    val n0 = ifd0.length + (if (exifEntries.nonEmpty) 1 else 0) +
+      (if (gpsEntries.nonEmpty) 1 else 0)
+    val ifd0Size = ifdSize(ifd0) + (n0 - ifd0.length) * 12
+    val exifOff = 8 + ifd0Size
+    val gpsOff = exifOff + (if (exifEntries.nonEmpty) ifdSize(exifEntries) else 0)
+    if (exifEntries.nonEmpty) ifd0 :+= ((0x8769, 4, 1, tLong(exifOff.toLong)))
+    if (gpsEntries.nonEmpty) ifd0 :+= ((0x8825, 4, 1, tLong(gpsOff.toLong)))
     val tiff = new ByteArrayOutputStream()
-    def t(bs: Int*): Unit = bs.foreach(b => tiff.write(b & 0xff))
-    def t16(v: Int): Unit = t(v & 0xff, (v >> 8) & 0xff)
-    def t32(v: Int): Unit = t(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
-    t('I', 'I', 42, 0); t32(8)
-    t16(1)
-    t16(0x0131); t16(2); t32(sw.length)
-    val valOff = 8 + 2 + 12 + 4
-    if (sw.length <= 4) sw.padTo(4, 0.toByte).foreach(b => tiff.write(b.toInt))
-    else t32(valOff)
-    t32(0)
-    if (sw.length > 4) tiff.write(sw)
+    tiff.write(Array('I', 'I', 42, 0).map(_.toByte))
+    tiff.write(tLong(8L))
+    tiff.write(ifdBytes(ifd0, 8))
+    if (exifEntries.nonEmpty) tiff.write(ifdBytes(exifEntries, exifOff))
+    if (gpsEntries.nonEmpty) tiff.write(ifdBytes(gpsEntries, gpsOff))
     val tiffB = tiff.toByteArray
     val app1len = 2 + 6 + tiffB.length
     w(0xff, 0xe1, (app1len >> 8) & 0xff, app1len & 0xff)

@@ -299,6 +299,51 @@ object Mp4Writer {
   }
 }
 
+object HeifWriter {
+
+  final case class Spec(brand: String, width: Int, height: Int)
+
+  /** HEIC/AVIF container: ftyp(brand) + meta FULLBOX(hdlr pict,
+    * iprp(ipco(ispe w h))) + opaque coded payload in mdat — the real
+    * structural skeleton iPhone/AV1 still images use; HeifKernel reads
+    * brand + ispe dimensions from it.
+    */
+  def write(spec: Spec): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val size = 8 + body.length
+      out.write((size >> 24) & 0xff); out.write((size >> 16) & 0xff)
+      out.write((size >> 8) & 0xff); out.write(size & 0xff)
+      out.write(typ.getBytes(StandardCharsets.US_ASCII))
+      out.write(body)
+      out.toByteArray
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftyp = box("ftyp",
+      spec.brand.take(4).padTo(4, ' ').getBytes(StandardCharsets.US_ASCII) ++
+        u32(0L) ++ "mif1".getBytes(StandardCharsets.US_ASCII))
+    val hdlr = box("hdlr", u32(0L) ++ u32(0L) ++
+      "pict".getBytes(StandardCharsets.US_ASCII) ++
+      new Array[Byte](12) ++ Array(0.toByte))
+    val ispe = box("ispe", u32(0L) ++ u32(spec.width.toLong) ++ u32(spec.height.toLong))
+    val ipco = box("ipco", ispe)
+    val iprp = box("iprp", ipco)
+    val metaBox = box("meta", u32(0L) ++ hdlr ++ iprp) // FULLBOX: version+flags
+    val mdat = {
+      val b = new ByteArrayOutputStream()
+      var x = (spec.width * 31L) ^ (spec.height * 17L) ^ spec.brand.hashCode
+      for (_ <- 0 until 256 + (spec.width % 256)) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        b.write(((x >>> 33) & 0xff).toInt)
+      }
+      box("mdat", b.toByteArray)
+    }
+    ftyp ++ metaBox ++ mdat
+  }
+}
+
 object FlacWriter {
 
   final case class Spec(sampleRate: Int, channels: Int, nSamples: Long)

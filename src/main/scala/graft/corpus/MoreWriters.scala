@@ -268,7 +268,15 @@ object TiffWriter {
 object Mp3Writer {
 
   final case class Spec(title: String, artist: String, album: String,
-      nFrames: Int = 8)
+      nFrames: Int = 8,
+      // > 0: VBR stream — first frame carries a Xing header with this
+      // frame count (exact duration = vbrFrames * 1152 / 44100), the
+      // rest cycle through different bitrates like a real VBR encode
+      vbrFrames: Int = 0,
+      // id3v2=false: bare frame-synced stream (no leading tag);
+      // id3v1=true: 128-byte "TAG" trailer with the same fields
+      id3v2: Boolean = true,
+      id3v1: Boolean = false)
 
   /** ID3v2.3 tag + a few sync-marked dummy audio frames. */
   def write(spec: Spec): Array[Byte] = {
@@ -283,26 +291,67 @@ object Mp3Writer {
       out.write(data)
       out.toByteArray
     }
-    val frames = frame("TIT2", spec.title) ++ frame("TPE1", spec.artist) ++
-      frame("TALB", spec.album)
     val out = new ByteArrayOutputStream()
-    out.write("ID3".getBytes(StandardCharsets.US_ASCII))
-    out.write(3); out.write(0); out.write(0) // v2.3, flags
-    val size = frames.length
-    out.write((size >> 21) & 0x7f); out.write((size >> 14) & 0x7f)
-    out.write((size >> 7) & 0x7f); out.write(size & 0x7f)
-    out.write(frames)
-    // CONSISTENT MPEG-1 Layer III frames: bitrate index 1 (32 kbps) at
-    // 44.1 kHz -> frame size floor(144*32000/44100) = 104 bytes incl.
-    // the 4-byte header, so a header-derived duration estimate
-    // (audio_bytes*8/bitrate) matches the actual frame count
+    if (spec.id3v2) {
+      val frames = frame("TIT2", spec.title) ++ frame("TPE1", spec.artist) ++
+        frame("TALB", spec.album)
+      out.write("ID3".getBytes(StandardCharsets.US_ASCII))
+      out.write(3); out.write(0); out.write(0) // v2.3, flags
+      val size = frames.length
+      out.write((size >> 21) & 0x7f); out.write((size >> 14) & 0x7f)
+      out.write((size >> 7) & 0x7f); out.write(size & 0x7f)
+      out.write(frames)
+    }
     var x = spec.title.hashCode.toLong
-    for (_ <- 0 until spec.nFrames) {
-      out.write(0xff); out.write(0xfb); out.write(0x10); out.write(0x00)
-      for (_ <- 0 until 100) {
+    def junk(n: Int): Unit = {
+      var i = 0
+      while (i < n) {
         x = x * 6364136223846793005L + 1442695040888963407L
         out.write(((x >>> 33) & 0xff).toInt)
+        i += 1
       }
+    }
+    if (spec.vbrFrames > 0) {
+      // VBR: first frame (128 kbps stereo @44.1k -> 417 bytes) carries
+      // "Xing" + flags(FRAMES) + the frame count after the 32-byte side
+      // info; remaining frames cycle bitrates like a real VBR encode
+      val firstSize = 144 * 128000 / 44100 // 417
+      out.write(0xff); out.write(0xfb); out.write(0x90); out.write(0x00)
+      for (_ <- 0 until 32) out.write(0) // side info (stereo)
+      out.write("Xing".getBytes(StandardCharsets.US_ASCII))
+      out.write(0); out.write(0); out.write(0); out.write(1) // flags: FRAMES
+      val n = spec.vbrFrames
+      out.write((n >> 24) & 0xff); out.write((n >> 16) & 0xff)
+      out.write((n >> 8) & 0xff); out.write(n & 0xff)
+      junk(firstSize - 4 - 32 - 12) // header + side info + Xing(4+4+4)
+      val cycle = Array((0x10, 32), (0x60, 80), (0x90, 128), (0xb0, 192))
+      for (f <- 1 until spec.vbrFrames) {
+        val (nib, kbps) = cycle(f % 4)
+        out.write(0xff); out.write(0xfb); out.write(nib); out.write(0x00)
+        junk(144 * kbps * 1000 / 44100 - 4)
+      }
+    } else {
+      // CONSISTENT MPEG-1 Layer III frames: bitrate index 1 (32 kbps) at
+      // 44.1 kHz -> frame size floor(144*32000/44100) = 104 bytes incl.
+      // the 4-byte header, so a header-derived duration estimate
+      // (audio_bytes*8/bitrate) matches the actual frame count
+      for (_ <- 0 until spec.nFrames) {
+        out.write(0xff); out.write(0xfb); out.write(0x10); out.write(0x00)
+        junk(100)
+      }
+    }
+    if (spec.id3v1) { // 128-byte legacy trailer
+      def pad(v: String, n: Int): Array[Byte] = {
+        val b = v.getBytes(StandardCharsets.ISO_8859_1).take(n)
+        b ++ new Array[Byte](n - b.length)
+      }
+      out.write("TAG".getBytes(StandardCharsets.US_ASCII))
+      out.write(pad(spec.title, 30))
+      out.write(pad(spec.artist, 30))
+      out.write(pad(spec.album, 30))
+      out.write(pad("1999", 4))
+      out.write(new Array[Byte](30)) // comment
+      out.write(255)                 // genre: none
     }
     out.toByteArray
   }

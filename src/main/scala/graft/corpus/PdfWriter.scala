@@ -122,6 +122,26 @@ object PdfWriter {
         .getBytes(StandardCharsets.UTF_8))
     val (crypt, encDictBody): (Option[PdfCrypt.Crypt], String) = spec.encrypt match {
       case "" => (None, "")
+      case "aes256" => // PDF 2.0 R6/AESV3, empty user+owner password
+        val (u, ue, o, oe, fileKey) = PdfCrypt.r6Credentials(docId)
+        def hx(b: Array[Byte]) = "<" + b.map(x => f"$x%02x").mkString + ">"
+        // Perms: AES-256-ECB of the permission block — readers that
+        // validate it need the exact layout; emit the spec shape
+        val permBlock = Array[Byte](
+          (-44 & 0xff).toByte, ((-44 >> 8) & 0xff).toByte,
+          ((-44 >> 16) & 0xff).toByte, ((-44 >> 24) & 0xff).toByte,
+          0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+          'T', 'a', 'd', 'b', 0, 0, 0, 0)
+        val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+        ecb.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+        val perms = ecb.doFinal(permBlock)
+        (Some(PdfCrypt.Crypt(fileKey, aes = true, v5 = true)),
+          "<< /Filter /Standard /V 5 /R 6 /Length 256" +
+            " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>" +
+            " /StmF /StdCF /StrF /StdCF" +
+            s" /U ${hx(u)} /UE ${hx(ue)} /O ${hx(o)} /OE ${hx(oe)}" +
+            s" /Perms ${hx(perms)} /P -44 >>")
       case mode =>
         val (v, r, bits, aes) = mode match {
           case "rc4-40" => (1, 2, 40, false)

@@ -79,7 +79,11 @@ object PngWriterEx {
     * interlaced=true emits Adam7 seven-pass layout (per-pass scanlines).
     */
   final case class Spec(width: Int, height: Int, seed: Long, colorType: Int = 0,
-      cycleFilters: Boolean = false, interlaced: Boolean = false)
+      cycleFilters: Boolean = false, interlaced: Boolean = false,
+      // ancillary metadata chunks (PngKernel surfaces these)
+      texts: Seq[(String, String)] = Nil, // tEXt keyword/value pairs
+      dpi: Int = 0,                       // pHYs (dots per inch), 0 = absent
+      modified: String = "")              // tIME "yyyy-MM-dd HH:mm:ss"
 
   /** Adam7 pass grid — must mirror PngDecoder's. */
   private val Adam7 = Seq(
@@ -177,6 +181,26 @@ object PngWriterEx {
     ihdr.write(8); ihdr.write(spec.colorType)
     ihdr.write(0); ihdr.write(0); ihdr.write(if (spec.interlaced) 1 else 0)
     chunk("IHDR", ihdr.toByteArray)
+    spec.texts.foreach { case (k, v) =>
+      chunk("tEXt", (k + 0.toChar + v).getBytes(StandardCharsets.ISO_8859_1))
+    }
+    if (spec.dpi > 0) {
+      val ppm = math.round(spec.dpi * 39.3701).toInt // dots/inch -> dots/m
+      val b = new ByteArrayOutputStream()
+      def w32(v: Int): Unit = { b.write(v >> 24); b.write((v >> 16) & 0xff)
+        b.write((v >> 8) & 0xff); b.write(v & 0xff) }
+      w32(ppm); w32(ppm); b.write(1)
+      chunk("pHYs", b.toByteArray)
+    }
+    if (spec.modified.nonEmpty) {
+      // "yyyy-MM-dd HH:mm:ss"
+      val t = spec.modified
+      val b = new ByteArrayOutputStream()
+      val yr = t.substring(0, 4).toInt
+      b.write(yr >> 8); b.write(yr & 0xff)
+      Seq(5, 8, 11, 14, 17).foreach(o => b.write(t.substring(o, o + 2).toInt))
+      chunk("tIME", b.toByteArray)
+    }
     if (spec.colorType == 3) chunk("PLTE", palette(spec))
     val d = new java.util.zip.Deflater()
     d.setInput(raw); d.finish()

@@ -64,24 +64,45 @@ object JpegKernel {
 
     val tagNames = Map(
       0x0100 -> "Image Width", 0x0101 -> "Image Height", // baseline TIFF dims
-      0x010f -> "Make", 0x0110 -> "Model", 0x0131 -> "Software",
+      0x010e -> "Image Description",
+      0x010f -> "Make", 0x0110 -> "Model", 0x0112 -> "Orientation",
+      0x0131 -> "Software",
       0x0132 -> "Date/Time", 0x013b -> "Artist", 0x8298 -> "Copyright",
       0x9003 -> "Date/Time Original", 0x9004 -> "Date/Time Digitized",
       0xa002 -> "Exif Image Width", 0xa003 -> "Exif Image Height")
     val pixelTags = Set(0x0100, 0x0101)
+    // EXIF orientation values 1-8 (metadata-extractor-style labels)
+    val orientations = Map(
+      1 -> "Top, left side (Horizontal / normal)",
+      2 -> "Top, right side (Mirror horizontal)",
+      3 -> "Bottom, right side (Rotate 180)",
+      4 -> "Bottom, left side (Mirror vertical)",
+      5 -> "Left side, top (Mirror horizontal and rotate 270 CW)",
+      6 -> "Right side, top (Rotate 90 CW)",
+      7 -> "Right side, bottom (Mirror horizontal and rotate 90 CW)",
+      8 -> "Left side, bottom (Rotate 270 CW)")
 
     var meta = Map.empty[String, String]
-    def readIfd(ifdOff: Int): Option[Int] = {
+    /** One RATIONAL (2 x u32) at a value offset. */
+    def rational(vOff: Int): Option[Double] =
+      if (vOff >= 0 && vOff + 8 <= end) {
+        val den = u32(vOff + 4)
+        if (den != 0) Some(u32(vOff).toDouble / den) else Some(0.0)
+      } else None
+
+    def readIfd(ifdOff: Int): (Option[Int], Option[Int]) = {
       val p0 = off + ifdOff
-      if (p0 < off || p0 + 2 > end) return None
+      if (p0 < off || p0 + 2 > end) return (None, None)
       val count = u16(p0)
       var e = 0
       var exifIfd: Option[Int] = None
+      var gpsIfd: Option[Int] = None
       while (e < count) {
         val p = p0 + 2 + e * 12
         if (p + 12 <= end) {
           val tag = u16(p); val typ = u16(p + 2); val cnt = u32(p + 4).toInt
           if (tag == 0x8769) exifIfd = Some(u32(p + 8).toInt)
+          else if (tag == 0x8825) gpsIfd = Some(u32(p + 8).toInt)
           else tagNames.get(tag).foreach { name =>
             val value: Option[String] = typ match {
               case 2 => // ASCII, NUL-terminated
@@ -95,16 +116,70 @@ object JpegKernel {
               case _ => None
             }
             value.filter(_.nonEmpty).foreach { v =>
-              meta += (name -> (if (pixelTags.contains(tag)) s"$v pixels" else v))
+              val rendered =
+                if (tag == 0x0112)
+                  v.toIntOption.flatMap(orientations.get).getOrElse(v)
+                else if (pixelTags.contains(tag)) s"$v pixels"
+                else v
+              meta += (name -> rendered)
             }
           }
         }
         e += 1
       }
-      exifIfd
+      (exifIfd, gpsIfd)
     }
+
+    /** GPS IFD: latitude/longitude as deg/min/sec RATIONAL triplets +
+      * N/S/E/W reference letters -> signed decimal degrees.
+      */
+    def readGps(ifdOff: Int): Unit = {
+      val p0 = off + ifdOff
+      if (p0 < off || p0 + 2 > end) return
+      val count = u16(p0)
+      var latRef = ""; var lonRef = ""
+      var lat: Option[Double] = None
+      var lon: Option[Double] = None
+      var e = 0
+      while (e < count) {
+        val p = p0 + 2 + e * 12
+        if (p + 12 <= end) {
+          val tag = u16(p); val typ = u16(p + 2); val cnt = u32(p + 4).toInt
+          def refLetter: String =
+            if (typ == 2 && cnt <= 4) new String(b, p + 8, 1, "ISO-8859-1") else ""
+          def dms: Option[Double] =
+            if (typ == 5 && cnt == 3) {
+              val vOff = off + u32(p + 8).toInt
+              for {
+                d <- rational(vOff)
+                m <- rational(vOff + 8)
+                s <- rational(vOff + 16)
+              } yield d + m / 60.0 + s / 3600.0
+            } else None
+          tag match {
+            case 0x0001 => latRef = refLetter
+            case 0x0002 => lat = dms
+            case 0x0003 => lonRef = refLetter
+            case 0x0004 => lon = dms
+            case _      => ()
+          }
+        }
+        e += 1
+      }
+      lat.foreach { v =>
+        val sign = if (latRef == "S") -1 else 1
+        meta += ("GPS Latitude" -> f"${sign * v}%.6f")
+      }
+      lon.foreach { v =>
+        val sign = if (lonRef == "W") -1 else 1
+        meta += ("GPS Longitude" -> f"${sign * v}%.6f")
+      }
+    }
+
     val first = u32(off + 4).toInt
-    readIfd(first).foreach(sub => readIfd(sub))
+    val (exifSub, gpsSub) = readIfd(first)
+    exifSub.foreach(sub => readIfd(sub))
+    gpsSub.foreach(readGps)
     meta
   }
 }

@@ -33,6 +33,8 @@ object Magic {
     case object Mp3     extends Kind("mp3")
     case object Wav     extends Kind("wav")
     case object Mp4     extends Kind("mp4")
+    case object Heic    extends Kind("heic")  // ISO-BMFF still image (HEVC)
+    case object Avif    extends Kind("avif")  // ISO-BMFF still image (AV1)
     case object Bmp     extends Kind("bmp")
     case object Webp    extends Kind("webp")
     case object Html    extends Kind("html")
@@ -70,11 +72,33 @@ object Magic {
     */
   private val ZipScanWindow = 4096
 
+  /** Bare MPEG-1 Layer III stream (no ID3v2): a valid frame header at
+    * offset 0 AND a second sync word exactly one computed frame later —
+    * the double-sync rule real sniffers use, because a lone 0xFFFB can
+    * occur in any binary but a correctly-spaced second frame cannot.
+    */
+  private def bareMp3(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 8) return false
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xfe) != 0xfa) return false
+    val b2 = bytes(2) & 0xff
+    val brIdx = (b2 >> 4) & 0xf
+    val srIdx = (b2 >> 2) & 3
+    val padding = (b2 >> 1) & 1
+    if (brIdx < 1 || brIdx > 14 || srIdx > 2) return false
+    val bitrate = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320)(brIdx) * 1000
+    val sampleRate = Array(44100, 48000, 32000)(srIdx)
+    val frameSize = 144 * bitrate / sampleRate + padding
+    frameSize >= 24 && frameSize + 2 <= bytes.length &&
+      (bytes(frameSize) & 0xff) == 0xff && (bytes(frameSize + 1) & 0xe0) == 0xe0
+  }
+
   def sniff(bytes: Array[Byte]): Kind = {
     if (bytes == null || bytes.length == 0) return Kind.Unknown
     if (startsWith(bytes, "%PDF-")) return Kind.Pdf
     if (startsWith(bytes, "{\\rtf")) return Kind.Rtf
     if (startsWith(bytes, "ID3")) return Kind.Mp3
+    if (bareMp3(bytes)) return Kind.Mp3 // frame-synced stream, no ID3v2
     if (bytes.length >= 4 &&
         ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 0x2a && bytes(3) == 0) ||
          (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 0x2a)))
@@ -101,7 +125,15 @@ object Magic {
       if (four == "WEBP") return Kind.Webp
     }
     if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
-        bytes(6) == 'y' && bytes(7) == 'p') return Kind.Mp4
+        bytes(6) == 'y' && bytes(7) == 'p') {
+      // ISO-BMFF: still-image brands route to HEIC/AVIF, rest to MP4
+      val brand = new String(bytes, 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      return brand match {
+        case "heic" | "heix" | "hevc" | "hevx" | "mif1" | "msf1" => Kind.Heic
+        case "avif" | "avis" => Kind.Avif
+        case _ => Kind.Mp4
+      }
+    }
     if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
       val dib = (bytes(14) & 0xff) | ((bytes(15) & 0xff) << 8) |
         ((bytes(16) & 0xff) << 16) | ((bytes(17) & 0xff) << 24)
@@ -254,6 +286,8 @@ object Magic {
     case Kind.Mp3  => "audio/mpeg"
     case Kind.Wav  => "audio/vnd.wave"
     case Kind.Mp4  => "video/mp4"
+    case Kind.Heic => "image/heic"
+    case Kind.Avif => "image/avif"
     case Kind.Bmp  => "image/bmp"
     case Kind.Webp => "image/webp"
     case Kind.Html => s"text/html; charset=${charset.getOrElse("UTF-8")}"

@@ -309,6 +309,59 @@ object Mp4Kernel {
   }
 }
 
+/** HEIF-family still images (HEIC = HEVC payload, AVIF = AV1 payload):
+  * ISO-BMFF box walk to the ispe (image spatial extents) property —
+  * meta is a FULLBOX (4 version/flags bytes before children), then
+  * iprp/ipco/ispe. The coded payload stays the declared perceptual
+  * stub (HEVC/AV1 decoders are out of from-scratch scope); dimensions
+  * and brand metadata are real, same contract as the other containers.
+  */
+object HeifKernel {
+
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    var meta = Map.empty[String, String]
+    def u32(p: Int): Long =
+      ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
+
+    def walk(start: Long, limit: Long, depth: Int): Unit = {
+      if (depth > 8) return
+      var p = start
+      while (p + 8 <= limit) {
+        var size = u32(p.toInt)
+        val typ = new String(bytes, p.toInt + 4, 4,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        var hdr = 8L
+        if (size == 1 && p + 16 <= limit) { size = u64(p.toInt + 8); hdr = 16L }
+        else if (size == 0) size = limit - p
+        if (size < hdr || p + size > limit) return
+        val body = p + hdr
+        typ match {
+          case "ftyp" if size >= hdr + 4 =>
+            meta += ("major_brand" -> new String(bytes, body.toInt, 4,
+              java.nio.charset.StandardCharsets.ISO_8859_1))
+          case "meta" => walk(body + 4, p + size, depth + 1) // FULLBOX
+          case "iprp" | "ipco" => walk(body, p + size, depth + 1)
+          case "ispe" if size >= hdr + 12 =>
+            val w = u32(body.toInt + 4)
+            val h = u32(body.toInt + 8)
+            // first ispe wins (the primary item's property in practice)
+            if (w > 0 && h > 0 && !meta.contains("Image Width")) {
+              meta += ("Image Width" -> s"$w pixels")
+              meta += ("Image Height" -> s"$h pixels")
+            }
+          case _ => ()
+        }
+        p += size
+      }
+    }
+    try walk(0L, bytes.length.toLong, 0)
+    catch { case _: ArrayIndexOutOfBoundsException => () }
+    meta
+  }
+}
+
 /** Ogg container: first-page Vorbis/Opus identification header ->
   * channels + sample rate (the audio facts; comments/frames stay opaque).
   */

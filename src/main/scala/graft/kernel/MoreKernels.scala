@@ -454,50 +454,72 @@ object TiffKernel {
 object Mp3Kernel {
 
   def extract(bytes: Array[Byte]): Map[String, String] = {
-    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
-      return Map.empty
-    val verMajor = bytes(3) & 0xff
-    def syncsafe(p: Int): Int =
-      ((bytes(p) & 0x7f) << 21) | ((bytes(p + 1) & 0x7f) << 14) |
-        ((bytes(p + 2) & 0x7f) << 7) | (bytes(p + 3) & 0x7f)
-    val tagSize = syncsafe(6)
-    val end = math.min(bytes.length, 10 + tagSize)
-    val frameKeys = Map(
-      "TIT2" -> "dc:title", "TPE1" -> "xmpDM:artist", "TALB" -> "xmpDM:album",
-      "TDRC" -> "xmpDM:releaseDate", "TYER" -> "xmpDM:releaseDate",
-      "TCON" -> "xmpDM:genre", "TRCK" -> "xmpDM:trackNumber")
     var meta = Map.empty[String, String]
-    var p = 10
-    while (p + 10 <= end) {
-      val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      if (!id.forall(c => c.isUpper || c.isDigit)) p = end // padding reached
-      else {
-        val size = if (verMajor >= 4) syncsafe(p + 4)
-          else ((bytes(p + 4) & 0xff) << 24) | ((bytes(p + 5) & 0xff) << 16) |
-            ((bytes(p + 6) & 0xff) << 8) | (bytes(p + 7) & 0xff)
-        if (size <= 0 || p + 10 + size > end) p = end
+    var audioStart = 0
+    val hasId3v2 =
+      bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'
+    if (hasId3v2) {
+      val verMajor = bytes(3) & 0xff
+      def syncsafe(p: Int): Int =
+        ((bytes(p) & 0x7f) << 21) | ((bytes(p + 1) & 0x7f) << 14) |
+          ((bytes(p + 2) & 0x7f) << 7) | (bytes(p + 3) & 0x7f)
+      val tagSize = syncsafe(6)
+      val end = math.min(bytes.length, 10 + tagSize)
+      val frameKeys = Map(
+        "TIT2" -> "dc:title", "TPE1" -> "xmpDM:artist", "TALB" -> "xmpDM:album",
+        "TDRC" -> "xmpDM:releaseDate", "TYER" -> "xmpDM:releaseDate",
+        "TCON" -> "xmpDM:genre", "TRCK" -> "xmpDM:trackNumber")
+      var p = 10
+      while (p + 10 <= end) {
+        val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (!id.forall(c => c.isUpper || c.isDigit)) p = end // padding reached
         else {
-          frameKeys.get(id).foreach { key =>
-            val enc = bytes(p + 10) & 0xff
-            val data = java.util.Arrays.copyOfRange(bytes, p + 11, p + 10 + size)
-            val v = enc match {
-              case 0 => new String(data, java.nio.charset.Charset.forName("windows-1252"))
-              case 1 => new String(data, java.nio.charset.StandardCharsets.UTF_16)
-              case 2 => new String(data, java.nio.charset.StandardCharsets.UTF_16BE)
-              case _ => new String(data, java.nio.charset.StandardCharsets.UTF_8)
+          val size = if (verMajor >= 4) syncsafe(p + 4)
+            else ((bytes(p + 4) & 0xff) << 24) | ((bytes(p + 5) & 0xff) << 16) |
+              ((bytes(p + 6) & 0xff) << 8) | (bytes(p + 7) & 0xff)
+          if (size <= 0 || p + 10 + size > end) p = end
+          else {
+            frameKeys.get(id).foreach { key =>
+              val enc = bytes(p + 10) & 0xff
+              val data = java.util.Arrays.copyOfRange(bytes, p + 11, p + 10 + size)
+              val v = enc match {
+                case 0 => new String(data, java.nio.charset.Charset.forName("windows-1252"))
+                case 1 => new String(data, java.nio.charset.StandardCharsets.UTF_16)
+                case 2 => new String(data, java.nio.charset.StandardCharsets.UTF_16BE)
+                case _ => new String(data, java.nio.charset.StandardCharsets.UTF_8)
+              }
+              val clean = v.takeWhile(_ != 0.toChar).trim
+              if (clean.nonEmpty) meta += (key -> clean)
             }
-            val clean = v.takeWhile(_ != 0.toChar).trim
-            if (clean.nonEmpty) meta += (key -> clean)
+            p += 10 + size
           }
-          p += 10 + size
         }
       }
+      audioStart = math.min(bytes.length, 10 + tagSize)
+    } else if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xe0) != 0xe0) {
+      return Map.empty // neither ID3v2 nor a frame-synced stream
+    }
+    // ID3v1 trailer ("TAG" in the last 128 bytes): the fallback fields
+    // many bare/legacy MP3s carry; ID3v2 values win where both exist
+    var audioEnd = bytes.length
+    if (bytes.length >= audioStart + 128 && bytes(bytes.length - 128) == 'T' &&
+        bytes(bytes.length - 127) == 'A' && bytes(bytes.length - 126) == 'G') {
+      val t0 = bytes.length - 128
+      audioEnd = t0
+      def field(off: Int, len: Int): String =
+        new String(bytes, t0 + off, len, java.nio.charset.Charset.forName("windows-1252"))
+          .takeWhile(_ != 0.toChar).trim
+      Seq("dc:title" -> field(3, 30), "xmpDM:artist" -> field(33, 30),
+        "xmpDM:album" -> field(63, 30), "xmpDM:releaseDate" -> field(93, 4))
+        .foreach { case (k, v) =>
+          if (v.nonEmpty && !meta.contains(k)) meta += (k -> v)
+        }
     }
     if (meta.nonEmpty) meta += ("xmpDM:audioCompressor" -> "MP3")
     // audio-region duration estimate from the first MPEG frame header
     // (the CBR convention: audio_bytes * 8 / bitrate — Tika's shortcut
     // for unwalked streams), plus version/samplerate facts
-    val audioStart = math.min(bytes.length, 10 + tagSize)
     var q = audioStart
     var done = false
     while (!done && q + 4 <= bytes.length && q < audioStart + 4096) {
@@ -512,14 +534,44 @@ object Mp3Kernel {
           val bitrate = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
             160, 192, 224, 256, 320)(brIdx) * 1000
           val sampleRate = Array(44100, 48000, 32000)(srIdx)
-          val audioBytes = bytes.length - q
           meta += ("xmpDM:audioSampleRate" -> sampleRate.toString)
-          meta += ("xmpDM:duration" -> f"${audioBytes.toDouble * 8 / bitrate}%.3f")
           meta += ("version" -> "MPEG 3 Layer 3 version 1.0")
+          // VBR: a Xing/Info header in the first frame (after the side
+          // info: 17 bytes mono, 32 otherwise) carries the true frame
+          // count -> exact duration at 1152 samples/frame; without it,
+          // fall back to the CBR byte/bitrate estimate
+          val chMode = (bytes(q + 3) >> 6) & 3
+          val xp = q + 4 + (if (chMode == 3) 17 else 32)
+          def u32be(p: Int): Long =
+            ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+              ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+          val vbrDur: Option[Double] =
+            if (xp + 12 <= bytes.length &&
+                ((bytes(xp) == 'X' && bytes(xp + 1) == 'i' &&
+                  bytes(xp + 2) == 'n' && bytes(xp + 3) == 'g') ||
+                 (bytes(xp) == 'I' && bytes(xp + 1) == 'n' &&
+                  bytes(xp + 2) == 'f' && bytes(xp + 3) == 'o')) &&
+                (u32be(xp + 4) & 1) != 0) {
+              val frames = u32be(xp + 8)
+              if (frames > 0 && frames < (1L << 32))
+                Some(frames * 1152.0 / sampleRate)
+              else None
+            } else None
+          vbrDur match {
+            case Some(d) =>
+              meta += ("xmpDM:duration" -> f"$d%.3f")
+              meta += ("xmpDM:audioChannelType" ->
+                (if (chMode == 3) "Mono" else "Stereo"))
+            case None =>
+              val audioBytes = audioEnd - q // v1 trailer excluded
+              meta += ("xmpDM:duration" -> f"${audioBytes.toDouble * 8 / bitrate}%.3f")
+          }
           done = true
         } else q += 1
       } else q += 1
     }
+    if (meta.nonEmpty && !meta.contains("xmpDM:audioCompressor"))
+      meta += ("xmpDM:audioCompressor" -> "MP3") // bare frame-synced stream
     meta
   }
 }

@@ -120,13 +120,102 @@ private[graft] object PdfCrypt {
     u.length >= cmp && expect.take(cmp).sameElements(u.take(cmp))
   }
 
+  // ---------------- R6 / AES-256 (PDF 2.0, Algorithm 2.A/2.B) ----------
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def aesCbcNoPad(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Algorithm 2.B: the R6 hardened hash (SHA-256/384/512 rounds driven
+    * by AES-128-CBC of the repeated input). `udata` = the 48-byte /U for
+    * owner-password hashes, empty for user-password hashes.
+    */
+  def hash2B(password: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", password, salt, udata)
+    var round = 0
+    var lastE = 0
+    var done = false
+    while (!done) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(block, 0, k1, i * block.length, block.length)
+        i += 1
+      }
+      val e = aesCbcNoPad(encrypt = true, k.take(16), k.slice(16, 32), k1)
+      var mod = 0
+      i = 0
+      while (i < 16) { mod += e(i) & 0xff; i += 1 }
+      k = (mod % 3) match {
+        case 0 => sha("SHA-256", e)
+        case 1 => sha("SHA-384", e)
+        case _ => sha("SHA-512", e)
+      }
+      lastE = e(e.length - 1) & 0xff
+      round += 1
+      done = round >= 64 && lastE <= round - 32
+    }
+    k.take(32)
+  }
+
+  /** R6 empty-user-password check + file key recovery: U = hash(32) ||
+    * validationSalt(8) || keySalt(8); UE = AES-256-CBC(iv=0) of the file
+    * key under the intermediate key. None when the password is real.
+    */
+  def r6FileKey(u: Array[Byte], ue: Array[Byte]): Option[Array[Byte]] = {
+    if (u.length < 48 || ue.length < 32) return None
+    val valSalt = u.slice(32, 40)
+    val keySalt = u.slice(40, 48)
+    if (!hash2B(Array.emptyByteArray, valSalt, Array.emptyByteArray)
+        .sameElements(u.take(32))) return None
+    val inter = hash2B(Array.emptyByteArray, keySalt, Array.emptyByteArray)
+    Some(aesCbcNoPad(encrypt = false, inter, new Array[Byte](16), ue.take(32)))
+  }
+
+  /** Writer-side R6 credentials for the empty password: deterministic
+    * salts from `seed`; returns (U, UE, O, OE, fileKey).
+    */
+  def r6Credentials(seed: Array[Byte]): (Array[Byte], Array[Byte],
+      Array[Byte], Array[Byte], Array[Byte]) = {
+    val fileKey = sha("SHA-256", seed, Array[Byte]('f', 'k'))
+    val uValSalt = sha("SHA-256", seed, Array[Byte]('u', 'v')).take(8)
+    val uKeySalt = sha("SHA-256", seed, Array[Byte]('u', 'k')).take(8)
+    val u = hash2B(Array.emptyByteArray, uValSalt, Array.emptyByteArray) ++
+      uValSalt ++ uKeySalt
+    val uInter = hash2B(Array.emptyByteArray, uKeySalt, Array.emptyByteArray)
+    val ue = aesCbcNoPad(encrypt = true, uInter, new Array[Byte](16), fileKey)
+    val oValSalt = sha("SHA-256", seed, Array[Byte]('o', 'v')).take(8)
+    val oKeySalt = sha("SHA-256", seed, Array[Byte]('o', 'k')).take(8)
+    val o = hash2B(Array.emptyByteArray, oValSalt, u) ++ oValSalt ++ oKeySalt
+    val oInter = hash2B(Array.emptyByteArray, oKeySalt, u)
+    val oe = aesCbcNoPad(encrypt = true, oInter, new Array[Byte](16), fileKey)
+    (u, ue, o, oe, fileKey)
+  }
+
   private val AesSalt = Array('s', 'A', 'l', 'T').map(_.toByte)
 
-  /** Per-document decryptor/encryptor state. */
-  final case class Crypt(key: Array[Byte], aes: Boolean) {
+  /** Per-document decryptor/encryptor state. v5 = AES-256 (AESV3): the
+    * file key is used directly, with no per-object derivation.
+    */
+  final case class Crypt(key: Array[Byte], aes: Boolean, v5: Boolean = false) {
 
-    /** Algorithm 1: the per-object key. */
+    /** Algorithm 1: the per-object key (identity for AESV3). */
     def objKey(num: Int, gen: Int): Array[Byte] = {
+      if (v5) return key
       val tail = Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
         ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
       val h = md5(key, tail, if (aes) AesSalt else Array.emptyByteArray)

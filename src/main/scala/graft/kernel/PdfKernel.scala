@@ -675,6 +675,22 @@ object PdfKernel {
       if (!enc.get("Filter").contains(PName("Standard"))) return
       val v = num("V", 0)
       val r = num("R", 0)
+      if (v == 5 && r == 6) { // PDF 2.0: AES-256 (AESV3)
+        val cfm = for {
+          cf <- enc.get("CF").collect { case PDict(m) => m }
+          std <- cf.get("StdCF").collect { case PDict(m) => m }
+          m <- std.get("CFM").collect { case PName(n) => n }
+        } yield m
+        if (!cfm.contains("AESV3")) return
+        PdfCrypt.r6FileKey(str("U"), str("UE")) match {
+          case Some(key) =>
+            cryptState = Some(PdfCrypt.Crypt(key, aes = true, v5 = true))
+            encryptedUnsupported = false
+            cache.clear()
+          case None => () // real password
+        }
+        return
+      }
       if (!Set(1, 2, 4).contains(v) || r < 2 || r > 4) return
       val lengthBits = if (v == 1) 40 else num("Length", if (v == 4) 128 else 40)
       // V4: crypt filters — only the StdCF/Identity pair with CFM V2

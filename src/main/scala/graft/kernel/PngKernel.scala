@@ -32,11 +32,51 @@ object PngKernel {
       case 6 => "True Color with Alpha"
       case _ => s"Unknown ($colorType)"
     }
-    Map(
+    var meta = Map(
       "Image Width" -> s"$w pixels",
       "Image Height" -> s"$h pixels",
       "Bits Per Sample" -> bitDepth.toString,
       "Color Type" -> colorName)
+    // ancillary chunks: tEXt key/value pairs (Tika surfaces these as
+    // metadata), pHYs physical density, tIME last-modification
+    var p = 8
+    var texts = 0
+    while (p + 12 <= bytes.length && texts < 32) { // bounded walk
+      val len = u32(p)
+      if (len < 0 || len > Int.MaxValue - 12 || p + 12 + len > bytes.length)
+        p = bytes.length
+      else {
+        val typ = new String(bytes, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        typ match {
+          case "tEXt" if len >= 2 && len <= 4096 =>
+            val body = new String(bytes, p + 8, len.toInt,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val nul = body.indexOf(0.toChar) // NUL separates keyword/text
+            if (nul > 0 && nul < 80) {
+              meta += (s"png:${body.substring(0, nul)}" -> body.substring(nul + 1))
+              texts += 1
+            }
+          case "pHYs" if len >= 9 =>
+            val px = u32(p + 8)
+            val py = u32(p + 12)
+            val unit = bytes(p + 16) & 0xff
+            if (unit == 1 && px > 0) { // metre -> dpi
+              meta += ("X Resolution" -> f"${px / 39.3701}%.0f dots per inch")
+              meta += ("Y Resolution" -> f"${py / 39.3701}%.0f dots per inch")
+            }
+          case "tIME" if len >= 7 =>
+            val yr = ((bytes(p + 8) & 0xff) << 8) | (bytes(p + 9) & 0xff)
+            val ts = f"$yr%04d-${bytes(p + 10) & 0xff}%02d-" +
+              f"${bytes(p + 11) & 0xff}%02d ${bytes(p + 12) & 0xff}%02d:" +
+              f"${bytes(p + 13) & 0xff}%02d:${bytes(p + 14) & 0xff}%02d"
+            meta += ("Last Modified" -> ts)
+          case "IEND" => p = bytes.length - 12 // stop
+          case _      => ()
+        }
+        if (p < bytes.length) p += 12 + len.toInt
+      }
+    }
+    meta
   }
 }
 

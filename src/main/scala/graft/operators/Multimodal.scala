@@ -78,6 +78,8 @@ object Multimodal {
             case Magic.Kind.Webp => graft.kernel.WebpKernel.extract(bytes)
             case Magic.Kind.Tiff => graft.kernel.TiffKernel.extract(bytes)
             case Magic.Kind.Mp4  => graft.kernel.Mp4Kernel.extract(bytes)
+            case Magic.Kind.Heic | Magic.Kind.Avif =>
+              graft.kernel.HeifKernel.extract(bytes)
             case _               => Map.empty
           }
           val pixels = decodePixels(bytes, kind)

@@ -226,7 +226,7 @@ class KernelSpec extends AnyFunSuite {
     assert(mae < 48, s"mae=$mae")
   }
 
-  test("E3++: encrypted PDFs (empty user password) extract transparently — RC4-40, RC4-128, AESV2") {
+  test("E3++: encrypted PDFs (empty user password) extract transparently — RC4-40, RC4-128, AESV2, AES-256") {
     import graft.corpus.PdfWriter
     val stanzas = Vector(Vector("Locked Title"),
       Vector("first secret line", "second secret line", "third line here"),
@@ -234,7 +234,7 @@ class KernelSpec extends AnyFunSuite {
     val plain = PdfWriter.Spec("Locked Title", "Shy Author", stanzas,
       useKernSpaces = false)
     val outPlain = PdfKernel.extract(PdfWriter.write(plain))
-    for (mode <- Seq("rc4-40", "rc4", "aes")) {
+    for (mode <- Seq("rc4-40", "rc4", "aes", "aes256")) {
       val bytes = PdfWriter.write(plain.copy(encrypt = mode))
       // the ciphertext really differs from the plaintext stream bytes
       assert(!java.util.Arrays.equals(bytes, PdfWriter.write(plain)), mode)
@@ -446,6 +446,54 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("E6+: EXIF breadth — Orientation, DateTime(Original), GPS IFD") {
+    import graft.corpus.{JpegWriterEx, PixelGen}
+    val spec = JpegWriterEx.Spec(40, 30, seed = 5, gray = true, quality = 85,
+      software = "graft-cam-7", orientation = 6,
+      dateTime = "2023:06:14 09:41:00",
+      gps = Some((48.858370, 2.294481))) // Eiffel Tower
+    val bytes = JpegWriterEx.encode(spec,
+      PixelGen.bytes(5, 40 * 30))
+    val out = Extract.extractBytes("jpeg", bytes, Extract.Options())
+    assert(out.metadata("Software") == "graft-cam-7")
+    assert(out.metadata("Orientation") == "Right side, top (Rotate 90 CW)")
+    assert(out.metadata("Date/Time") == "2023:06:14 09:41:00")
+    assert(out.metadata("Date/Time Original") == "2023:06:14 09:41:00")
+    assert(math.abs(out.metadata("GPS Latitude").toDouble - 48.858370) < 1e-4)
+    assert(math.abs(out.metadata("GPS Longitude").toDouble - 2.294481) < 1e-4)
+    // southern/western hemisphere signs
+    val sw = JpegWriterEx.encode(spec.copy(gps = Some((-33.8568, -70.6483))),
+      PixelGen.bytes(5, 40 * 30))
+    val out2 = Extract.extractBytes("jpeg", sw, Extract.Options())
+    assert(out2.metadata("GPS Latitude").toDouble < 0)
+    assert(out2.metadata("GPS Longitude").toDouble < 0)
+    // Software-only stays byte-compatible (legacy layout) and decodable
+    val legacy = JpegWriterEx.encode(
+      JpegWriterEx.Spec(24, 18, 6, gray = true, software = "Picasa"),
+      PixelGen.bytes(6, 24 * 18))
+    assert(Extract.extractBytes("jpeg", legacy, Extract.Options())
+      .metadata("Software") == "Picasa")
+    assert(JpegDecoder.decode(bytes).isDefined) // APP1 doesn't break decode
+  }
+
+  test("E11+: PNG ancillary chunks — tEXt, pHYs density, tIME") {
+    import graft.corpus.PngWriterEx
+    val bytes = PngWriterEx.write(PngWriterEx.Spec(20, 15, seed = 9,
+      texts = Seq("Title" -> "Winter Lake", "Author" -> "graftgen"),
+      dpi = 300, modified = "2024-11-05 14:30:59"))
+    val out = Extract.extractBytes("png", bytes, Extract.Options())
+    assert(out.metadata("png:Title") == "Winter Lake")
+    assert(out.metadata("png:Author") == "graftgen")
+    assert(out.metadata("X Resolution") == "300 dots per inch")
+    assert(out.metadata("Y Resolution") == "300 dots per inch")
+    assert(out.metadata("Last Modified") == "2024-11-05 14:30:59")
+    // ancillary chunks before IDAT must not break pixel decode
+    val img = graft.kernel.PngDecoder.decode(bytes).getOrElse(fail("decode"))
+    assert(img.width == 20 && img.height == 15)
+    assert(java.util.Arrays.equals(img.data, PngWriterEx.plane(
+      PngWriterEx.Spec(20, 15, seed = 9))))
+  }
+
   // ------------------------------------------------------------- unknown
   test("E9: XLSX text extraction (shared strings + inline numerics) + routing") {
     import graft.corpus.XlsxWriter
@@ -566,6 +614,63 @@ class KernelSpec extends AnyFunSuite {
     assert(out.metadata("dc:title") == "Track Title")
     assert(out.metadata("xmpDM:artist") == "The Artist")
     assert(out.metadata("xmpDM:album") == "An Album")
+  }
+
+  test("E16++: MP3 VBR — Xing frame count gives the exact duration") {
+    import graft.corpus.Mp3Writer
+    val nFrames = 77
+    val bytes = Mp3Writer.write(Mp3Writer.Spec("V", "A", "B", vbrFrames = nFrames))
+    val out = Extract.extractBytes("mp3", bytes, Extract.Options())
+    // exact: frames * 1152 samples / 44100 Hz — NOT the byte estimate
+    // (the VBR stream's mixed bitrates would skew that badly)
+    val expect = nFrames * 1152.0 / 44100
+    assert(out.metadata("xmpDM:duration") == f"$expect%.3f")
+    assert(out.metadata("xmpDM:audioChannelType") == "Stereo")
+    assert(out.metadata("xmpDM:audioSampleRate") == "44100")
+    // CBR stream (no Xing) still uses the byte estimate
+    val cbr = Mp3Writer.write(Mp3Writer.Spec("T", "A", "B", nFrames = 20))
+    val cout = Extract.extractBytes("mp3", cbr, Extract.Options())
+    assert(cout.metadata("xmpDM:duration") == f"${20 * 104.0 * 8 / 32000}%.3f")
+  }
+
+  test("E16+++: bare MP3 (no ID3v2) sniffs by double frame sync; ID3v1 trailer read") {
+    import graft.corpus.Mp3Writer
+    // bare CBR stream with an ID3v1 trailer only
+    val bytes = Mp3Writer.write(Mp3Writer.Spec("Old Song", "Tape Artist",
+      "Garage Album", nFrames = 20, id3v2 = false, id3v1 = true))
+    assert(Magic.sniff(bytes) == Magic.Kind.Mp3, "double-sync detection")
+    val out = Extract.extractBytes("mp3", bytes, Extract.Options())
+    assert(out.contentType == "audio/mpeg")
+    assert(out.metadata("dc:title") == "Old Song")
+    assert(out.metadata("xmpDM:artist") == "Tape Artist")
+    assert(out.metadata("xmpDM:album") == "Garage Album")
+    assert(out.metadata("xmpDM:releaseDate") == "1999")
+    // duration excludes the 128-byte v1 trailer from the byte estimate
+    assert(out.metadata("xmpDM:duration") == f"${20 * 104.0 * 8 / 32000}%.3f")
+    // ID3v2 wins over v1 when both are present
+    val both = Mp3Writer.write(Mp3Writer.Spec("New Title", "A", "B",
+      nFrames = 8, id3v1 = true))
+    assert(Extract.extractBytes("mp3", both, Extract.Options())
+      .metadata("dc:title") == "New Title")
+    // bare stream with no tags at all: still audio/mpeg with duration
+    val bare = Mp3Writer.write(Mp3Writer.Spec("X", "Y", "Z",
+      nFrames = 12, id3v2 = false))
+    assert(Magic.sniff(bare) == Magic.Kind.Mp3)
+    val bout = Extract.extractBytes("mp3", bare, Extract.Options())
+    assert(bout.metadata("xmpDM:audioSampleRate") == "44100")
+    assert(bout.metadata("xmpDM:audioCompressor") == "MP3")
+    // bare + VBR: the Xing first frame must be EXACTLY its declared
+    // size or the double-sync check fails (caught by the 100k sweep:
+    // a 4-byte Xing-length slip made every bare VBR stream unsniffable)
+    val bareVbr = Mp3Writer.write(Mp3Writer.Spec("W", "A", "B",
+      vbrFrames = 33, id3v2 = false, id3v1 = true))
+    assert(Magic.sniff(bareVbr) == Magic.Kind.Mp3, "bare VBR double-sync")
+    val vout = Extract.extractBytes("mp3", bareVbr, Extract.Options())
+    assert(vout.metadata("xmpDM:duration") == f"${33 * 1152.0 / 44100}%.3f")
+    // a lone 0xFFFB in random bytes must NOT sniff as mp3 (single sync)
+    val noise = Array[Byte](0xff.toByte, 0xfb.toByte, 0x10, 0x00) ++
+      Array.fill[Byte](200)(0x41)
+    assert(Magic.sniff(noise) != Magic.Kind.Mp3)
   }
 
   test("E16+: MP3 frame-header duration (CBR estimate matches frame count)") {
@@ -925,6 +1030,31 @@ class KernelSpec extends AnyFunSuite {
     // mvhd metadata still real on the sample-table shape
     val meta = Mp4Kernel.extract(bytes)
     assert(meta("xmpDM:duration") == "1.500")
+  }
+
+  test("E30: HEIC/AVIF — brand routing + ispe dimensions (iPhone/AV1 stills)") {
+    import graft.corpus.HeifWriter
+    val heic = HeifWriter.write(HeifWriter.Spec("heic", 4032, 3024))
+    assert(Magic.sniff(heic) == Magic.Kind.Heic)
+    val out = Extract.extractBytes("heic", heic, Extract.Options())
+    assert(out.contentType == "image/heic" && out.isMedia)
+    assert(out.metadata("major_brand") == "heic")
+    assert(out.metadata("Image Width") == "4032 pixels")
+    assert(out.metadata("Image Height") == "3024 pixels")
+    val avif = HeifWriter.write(HeifWriter.Spec("avif", 1280, 720))
+    assert(Magic.sniff(avif) == Magic.Kind.Avif)
+    val aout = Extract.extractBytes("avif", avif, Extract.Options())
+    assert(aout.contentType == "image/avif")
+    assert(aout.metadata("Image Width") == "1280 pixels")
+    // mif1 brand also routes to heic; plain mp4 brands do NOT
+    assert(Magic.sniff(HeifWriter.write(HeifWriter.Spec("mif1", 8, 8))) ==
+      Magic.Kind.Heic)
+    import graft.corpus.Mp4Writer
+    assert(Magic.sniff(Mp4Writer.write(
+      Mp4Writer.Spec("isom", 1000, 1000L, 64, 64))) == Magic.Kind.Mp4)
+    // truncated/garbage never throws
+    Extract.extractBytes("heic", heic.take(20), Extract.Options())
+    Extract.extractBytes("heic", Array.fill(64)(0x7f.toByte), Extract.Options())
   }
 
   test("D1: text subtyping by content hints (CSV/TSV/Markdown/XML/Python)") {
