@@ -25,8 +25,25 @@ private[graft] object PdfCrypt {
     0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
+  // getInstance does a provider lookup per call; the R6 KDF makes 64+
+  // digest + cipher calls PER DOCUMENT, so executor threads cache their
+  // instances (all are stateful-but-resettable; threads never share)
+  private val digests = new ThreadLocal[java.util.HashMap[String, java.security.MessageDigest]] {
+    override def initialValue() = new java.util.HashMap()
+  }
+  private def digest(alg: String): java.security.MessageDigest = {
+    val m = digests.get()
+    var d = m.get(alg)
+    if (d == null) { d = java.security.MessageDigest.getInstance(alg); m.put(alg, d) }
+    d.reset()
+    d
+  }
+  private val aesCbc = new ThreadLocal[javax.crypto.Cipher] {
+    override def initialValue() = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+  }
+
   def md5(parts: Array[Byte]*): Array[Byte] = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = digest("MD5")
     parts.foreach(d.update)
     d.digest()
   }
@@ -123,14 +140,14 @@ private[graft] object PdfCrypt {
   // ---------------- R6 / AES-256 (PDF 2.0, Algorithm 2.A/2.B) ----------
 
   private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
-    val d = java.security.MessageDigest.getInstance(alg)
+    val d = digest(alg)
     parts.foreach(d.update)
     d.digest()
   }
 
   private def aesCbcNoPad(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
       data: Array[Byte]): Array[Byte] = {
-    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    val c = aesCbc.get()
     c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
       else javax.crypto.Cipher.DECRYPT_MODE,
       new javax.crypto.spec.SecretKeySpec(key, "AES"),
@@ -227,7 +244,7 @@ private[graft] object PdfCrypt {
       if (!aes) rc4(k, data)
       else {
         if (data.length < 32 || data.length % 16 != 0) return data // malformed
-        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        val cipher = aesCbc.get()
         cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
           new javax.crypto.spec.SecretKeySpec(k, "AES"),
           new javax.crypto.spec.IvParameterSpec(data.take(16)))
@@ -247,7 +264,7 @@ private[graft] object PdfCrypt {
         val padLen = 16 - (data.length % 16)
         val padded = data ++ Array.fill(padLen)(padLen.toByte)
         val iv = md5(k, Array(num.toByte, gen.toByte)).take(16) // deterministic
-        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        val cipher = aesCbc.get()
         cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
           new javax.crypto.spec.SecretKeySpec(k, "AES"),
           new javax.crypto.spec.IvParameterSpec(iv))
