@@ -280,6 +280,30 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    "q8_anti_semi" -> ((s, dir) => {
+      // semi/anti-join coverage: every customer labeled by order presence
+      // (left_semi and left_anti are first-class Spark join types; the
+      // oracle mirrors them with EXISTS / NOT EXISTS)
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val has = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      val non = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      has.unionAll(non).orderBy("c_custkey")
+    }),
+    "q9_brand_volume" -> ((s, dir) => {
+      // broadcast dim join + HAVING: per-brand shipped volume with
+      // supplier breadth, small side broadcast explicitly
+      val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+        .filter(col("total_qty") > 100)
+        .orderBy("p_brand")
+    }),
+
     // ---- dedup suite (oracled)
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docsWithDups(s, dir), 0.5)),
@@ -623,6 +647,21 @@ object SparkEntry {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q8_anti_semi" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_brand_volume" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand HAVING total_qty > 100
+        |ORDER BY p_brand""".stripMargin,
     "dedup_exact" ->
       s"""WITH $dupDocs
          |SELECT md5(text) AS text_hash, count(*) AS n_docs,

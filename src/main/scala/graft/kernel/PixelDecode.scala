@@ -211,8 +211,15 @@ object PngDecoder {
     Some(out)
   }
 
+  // one Inflater per executor thread, reset between images — a fresh
+  // native zlib context per PNG was measurable in decode-heavy queries
+  private val inflaters = new ThreadLocal[Inflater] {
+    override def initialValue() = new Inflater()
+  }
+
   private def inflate(in: Array[Byte], expect: Int): Option[Array[Byte]] = {
-    val inf = new Inflater()
+    val inf = inflaters.get()
+    inf.reset()
     try {
       inf.setInput(in)
       val out = new Array[Byte](expect)
@@ -225,7 +232,7 @@ object PngDecoder {
       if (off == expect) Some(out) else None
     } catch {
       case _: java.util.zip.DataFormatException => None
-    } finally inf.end()
+    } // no end(): thread-local instance is reused
   }
 }
 
