@@ -9,8 +9,9 @@ package graft.kernel
   * evidence (zh/ja/ko/ar/fa/ur/el/he/th/hi/ta/bn/ka/hy from Unicode
   * block census; uk/ru/bg separated inside Cyrillic by unique letters
   * and ъ-as-vowel density) plus function-word + diacritic profiles
-  * for 19 latin-script languages (en/de/fr/es/pt/it/nl/sv/pl/tr/da/no/
-  * fi/cs/hu/ro/id/vi). Profiles are compile-time constants held in
+  * for 27 latin-script languages (en/de/fr/es/pt/it/nl/sv/pl/tr/da/no/
+  * fi/cs/hu/ro/id/vi/sk/sl/hr/et/lv/lt/ca/af). Profiles are
+  * compile-time constants held in
   * this object — one per JVM/executor, the same memoization the reference
   * does once per process (reference: lib/rika.rb:104-107).
   *
@@ -26,7 +27,8 @@ object Lang {
   val Undetermined = "und"
 
   private val langs = Array("en", "de", "fr", "es", "ru", "pt", "it", "nl",
-    "sv", "pl", "tr", "da", "no", "fi", "cs", "hu", "ro", "id", "vi")
+    "sv", "pl", "tr", "da", "no", "fi", "cs", "hu", "ro", "id", "vi",
+    "sk", "sl", "hr", "et", "lv", "lt", "ca", "af")
 
   private val stop: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "a", "i", "is", "in", "it", "that",
@@ -129,7 +131,43 @@ object Lang {
     "vi" -> Set("và", "của", "là", "có", "không", "được", "một", "người",
       "trong", "đã", "cho", "những", "với", "này", "khi", "đến", "về",
       "như", "cũng", "từ", "tôi", "anh", "em", "chúng", "rất", "nhưng",
-      "thì", "ra", "nên", "vẫn", "rồi", "lại", "đang", "nhiều", "phải")
+      "thì", "ra", "nên", "vẫn", "rồi", "lại", "đang", "nhiều", "phải"),
+    // round-4 second batch: close relatives separate on unique forms
+    // (sk vs cs: som/sú/aj/keď/ešte vs jsem/jsou/také/když/ještě;
+    // et vs fi: aga/kui/siis/või vs mutta/kun/sitten; shared words sit
+    // in both profiles and tie — earlier-indexed neighbor wins bare ties)
+    "sk" -> Set("je", "že", "ale", "som", "si", "sú", "aj", "ako", "keď",
+      "už", "nie", "čo", "iba", "veľmi", "môže", "tiež", "ešte", "kde",
+      "ja", "ty", "my", "oni", "ktorý", "ktorá", "alebo", "až", "bol",
+      "bola", "bolo", "tu", "tam", "potom", "pre", "od"),
+    "sl" -> Set("je", "in", "se", "na", "da", "ne", "so", "za", "ki",
+      "pa", "tudi", "kot", "še", "bo", "bi", "smo", "ste", "ali",
+      "samo", "zelo", "lahko", "ker", "kaj", "kdo", "kje", "ta", "to",
+      "z", "pri", "po", "bil", "bila", "bilo", "čez", "med"),
+    "hr" -> Set("je", "i", "u", "se", "na", "da", "ne", "su", "za",
+      "koji", "koja", "što", "ali", "kao", "još", "bio", "bila", "biti",
+      "ili", "samo", "vrlo", "može", "jer", "kada", "gdje", "ovo",
+      "ovaj", "ta", "od", "do", "iz", "s", "po", "nije", "će"),
+    "et" -> Set("ja", "on", "ei", "et", "see", "ta", "ma", "aga", "kui",
+      "siis", "ka", "oli", "mis", "seda", "oma", "üle", "või", "nii",
+      "veel", "juba", "ainult", "väga", "pärast", "sest", "kes", "kus",
+      "olen", "oled", "olla", "ning", "kõik", "need", "selle"),
+    "lv" -> Set("ir", "un", "ka", "es", "tu", "bet", "ar", "par", "kā",
+      "tas", "šis", "vai", "tikai", "ļoti", "jau", "vēl", "pēc", "kad",
+      "kur", "arī", "bija", "būt", "savu", "viņš", "viņa", "mēs", "jūs",
+      "no", "uz", "pie", "tad", "šī", "visi", "katrs"),
+    "lt" -> Set("ir", "yra", "kad", "jis", "ji", "bet", "su", "apie",
+      "kaip", "tai", "šis", "arba", "tik", "labai", "jau", "dar", "po",
+      "kai", "kur", "taip", "pat", "buvo", "būti", "savo", "aš", "mes",
+      "jūs", "iš", "į", "prie", "tada", "ši", "visi", "kiekvienas"),
+    "ca" -> Set("el", "la", "els", "les", "i", "de", "que", "es", "en",
+      "un", "una", "amb", "per", "més", "com", "però", "molt", "això",
+      "aquest", "aquesta", "també", "quan", "són", "està", "ser", "hi",
+      "ha", "fer", "tot", "si", "ja", "bé", "només", "després"),
+    "af" -> Set("die", "en", "van", "het", "is", "nie", "ek", "jy",
+      "hy", "sy", "ons", "hulle", "maar", "vir", "met", "aan", "ook",
+      "baie", "al", "wat", "om", "te", "so", "daar", "gaan", "kan",
+      "sal", "word", "was", "my", "jou", "na", "uit", "oor")
   )
 
   private val diacritics: Map[String, Set[Char]] = Map(
@@ -145,6 +183,10 @@ object Lang {
     "da" -> Set('æ', 'ø'),
     "no" -> Set('æ', 'ø'),
     "cs" -> Set('ř', 'ů', 'ě'), // letters Polish/Slovak neighbors lack
+    "sk" -> Set('ľ', 'ô', 'ŕ'), // Slovak-only letters (Czech lacks them)
+    "et" -> Set('õ'),
+    "lv" -> Set('ā', 'ē', 'ī', 'ū'), // Latvian long vowels
+    "lt" -> Set('ė', 'ų', 'į'),
     "hu" -> Set('ő', 'ű'),      // Hungarian-only double acutes
     "ro" -> Set('ă', 'ș', 'ț'),
     "vi" -> Set('đ', 'ư', 'ơ')  // pervasive in Vietnamese orthography

@@ -141,6 +141,36 @@ class KernelSpec extends AnyFunSuite {
     assert(Lang.detect("Le cheval et la neige sont dans le bois pour le village, je ne sais pas.") == "fr")
   }
 
+  test("D3: second breadth batch — sk/sl/hr/et/lv/lt/ca/af (39 languages + und)") {
+    // Slovak vs Czech: som/sú/aj/keď/ešte + ľ/ô vs jsem/jsou/když/ještě + ř/ů
+    assert(Lang.detect(
+      "Toto je text napísaný po slovensky, keď som tu bol a veľmi sa mi páčil, ešte aj sú tu slová.") == "sk")
+    assert(Lang.detect(
+      "To je text napsaný česky, když ještě není večer a může být velmi chladno mezi stromy.") == "cs")
+    assert(Lang.detect(
+      "To je besedilo v slovenščini, ki ima zelo veliko besed, pa tudi samo nekaj stavkov, kot še kaj.") == "sl")
+    assert(Lang.detect(
+      "Ovo je tekst koji je napisan vrlo pažljivo, ali još ne znamo što može biti samo jer kao primjer.") == "hr")
+    // Estonian vs Finnish: aga/kui/siis/väga/või vs mutta/kun/sitten
+    assert(Lang.detect(
+      "See on eesti keeles kirjutatud tekst, aga kui siis väga palju sõnu on, siis see ei ole kõik.") == "et")
+    assert(Lang.detect(
+      "Tämä on suomeksi kirjoitettu teksti, jossa on paljon sanoja ja myös lauseita, mutta ei kaikkia.") == "fi")
+    assert(Lang.detect(
+      "Tas ir teksts latviešu valodā, kas ir ļoti garš un arī tikai kā piemērs, bet vēl jau pēc tam.") == "lv")
+    assert(Lang.detect(
+      "Tai yra tekstas lietuvių kalba, kuris yra labai ilgas ir taip pat tik kaip pavyzdys, bet dar jau.") == "lt")
+    // Catalan vs Spanish: amb/més/però/això/també unique forms
+    assert(Lang.detect(
+      "Això és un text en català amb més paraules, però també només un exemple, quan són aquí.") == "ca")
+    assert(Lang.detect("El bosque y la nieve son de la aldea, sin su caballo.") == "es")
+    // Afrikaans vs Dutch: ek/jy/hulle/baie/vir/nie vs ik/je/hun/veel/voor/niet
+    assert(Lang.detect(
+      "Hierdie is baie woorde wat ek en jy en hulle vir die toets gaan skryf, om te sien of dit werk, nie waar nie.") == "af")
+    assert(Lang.detect(
+      "Het paard en de sneeuw zijn niet voor het dorp, maar voor de winter.") == "nl")
+  }
+
   // ----------------------------------------------------------------- txt
   test("E1: plain text first line + content type (spec/rika/parser_spec.rb:149-151,225-227)") {
     val out = Extract.extractBytes("txt", fixture("document.txt"), Extract.Options())
