@@ -502,11 +502,15 @@ object Gen {
       Seq(Span("media", null, ref, -1)), bytes.length.toLong)
   }
 
-  /** Ogg with a real Vorbis/Opus identification header. */
+  /** Ogg with a real Vorbis/Opus identification header; 2-in-3 carry an
+    * EOS page whose granule position gives the exact duration.
+    */
   private def oggPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
     mediaPiece("ogg", OggWriter.write(OggWriter.Spec(
       Vector(44100, 48000)(rng.nextInt(2)), 1 + rng.nextInt(2),
-      opus = rng.nextBoolean())), docId, k)
+      opus = rng.nextBoolean(),
+      nSamples = if (rng.nextInt(3) < 2) 10000L + rng.nextInt(1 << 22) else 0L)),
+      docId, k)
 
   /** MP4 with a REAL sample-table track (stts/stsc/stsz/stco/stss):
     * non-uniform frame deltas (variable-frame-rate pattern), ragged chunk

@@ -385,7 +385,10 @@ object FlacWriter {
 
 object OggWriter {
 
-  final case class Spec(sampleRate: Int, channels: Int, opus: Boolean = false)
+  final case class Spec(sampleRate: Int, channels: Int, opus: Boolean = false,
+      // > 0: append an EOS page whose granule position encodes the total
+      // samples (Vorbis: at sampleRate; Opus: at 48 kHz) -> exact duration
+      nSamples: Long = 0L)
 
   /** First Ogg page with a real Vorbis (or Opus) identification header;
     * later pages opaque noise. OggKernel reads channels + sample rate.
@@ -430,6 +433,21 @@ object OggWriter {
     for (_ <- 0 until 256) {
       x = x * 6364136223846793005L + 1442695040888963407L
       out.write(((x >>> 33) & 0xff).toInt)
+    }
+    if (spec.nSamples > 0) { // EOS page with the final granule position
+      out.write("OggS".getBytes(StandardCharsets.US_ASCII))
+      out.write(0)    // version
+      out.write(0x04) // EOS
+      var g = spec.nSamples
+      for (_ <- 0 until 8) { out.write((g & 0xff).toInt); g >>= 8 }
+      u32(out, 0x6772L); u32(out, 1L)  // serial, seq
+      u32(out, 0L)                     // crc
+      out.write(1)                     // one segment
+      out.write(16)
+      for (_ <- 0 until 16) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        out.write(((x >>> 33) & 0xff).toInt)
+      }
     }
     out.toByteArray
   }

@@ -420,8 +420,11 @@ object Magic {
   }
 
   /** Central-directory start offset via the EOCD record (PK\0x05\0x06 in
-    * the last 64 KiB + 22 bytes — the max zip-comment span). None when
-    * absent or out of range (e.g. zip64's 0xffffffff sentinel).
+    * the last 64 KiB + 22 bytes — the max zip-comment span). When the
+    * offset field holds the zip64 sentinel (0xffffffff), the EOCD64
+    * locator (PK\0x06\0x07, 20 bytes before the EOCD) points at the
+    * EOCD64 record (PK\0x06\0x06) whose 8-byte field has the real
+    * offset — large OOXML/archive routing keeps working past 4 GiB.
     */
   private def eocdCdStart(bytes: Array[Byte]): Option[Int] = {
     val lo = math.max(0, bytes.length - (65536 + 22))
@@ -429,12 +432,35 @@ object Magic {
     while (q >= lo) {
       if (bytes(q) == 'P' && bytes(q + 1) == 'K' && bytes(q + 2) == 5 && bytes(q + 3) == 6) {
         val cdOff = zu32(bytes, q + 16)
+        if (cdOff == 0xffffffffL) return eocd64CdStart(bytes, q)
         if (cdOff >= 0 && cdOff < q) return Some(cdOff.toInt)
         return None
       }
       q -= 1
     }
     None
+  }
+
+  /** zip64: EOCD64 locator sits immediately before the EOCD and carries
+    * the absolute offset of the EOCD64 record; the CD offset is the
+    * 8-byte field at +48 in that record. (In-memory payloads are Int-
+    * bounded, so a > 2 GiB offset cannot occur here by construction.)
+    */
+  private def eocd64CdStart(bytes: Array[Byte], eocd: Int): Option[Int] = {
+    val loc = eocd - 20
+    if (loc < 0 || !(bytes(loc) == 'P' && bytes(loc + 1) == 'K' &&
+        bytes(loc + 2) == 6 && bytes(loc + 3) == 7)) return None
+    var rec = 0L
+    var i = 0
+    while (i < 8) { rec |= (bytes(loc + 8 + i) & 0xffL) << (8 * i); i += 1 }
+    if (rec < 0 || rec + 56 > loc) return None
+    val r = rec.toInt
+    if (!(bytes(r) == 'P' && bytes(r + 1) == 'K' && bytes(r + 2) == 6 && bytes(r + 3) == 6))
+      return None
+    var cd = 0L
+    i = 0
+    while (i < 8) { cd |= (bytes(r + 48 + i) & 0xffL) << (8 * i); i += 1 }
+    if (cd >= 0 && cd < r) Some(cd.toInt) else None
   }
 
   /** Content of the first entry when it is STORED (the ODF/EPUB

@@ -378,24 +378,46 @@ object OggKernel {
     def u32le(p: Int): Long =
       (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
         ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    // last page's granule position = total samples -> exact duration
+    // (Vorbis counts at the stream rate; Opus granules are always 48 kHz)
+    def lastGranule: Long = {
+      var q = bytes.length - 27
+      while (q >= 0) {
+        if (bytes(q) == 'O' && bytes(q + 1) == 'g' && bytes(q + 2) == 'g' &&
+            bytes(q + 3) == 'S') {
+          var g = 0L
+          var i = 7
+          while (i >= 0) { g = (g << 8) | (bytes(q + 6 + i) & 0xffL); i -= 1 }
+          return g
+        }
+        q -= 1
+      }
+      0L
+    }
+    def withDuration(m: Map[String, String], rate: Long): Map[String, String] = {
+      val g = lastGranule
+      if (g > 0 && rate > 0 && g < (1L << 48))
+        m + ("xmpDM:duration" -> f"${g.toDouble / rate}%.3f")
+      else m
+    }
     // Vorbis: 0x01 "vorbis" version(4) channels(1) rate(4 LE) ...
     if ((bytes(payload) & 0xff) == 1 && payload + 16 <= bytes.length &&
         new String(bytes, payload + 1, 6, java.nio.charset.StandardCharsets.US_ASCII) == "vorbis") {
       val channels = bytes(payload + 11) & 0xff
       val rate = u32le(payload + 12)
       if (channels < 1 || rate <= 0) return Map.empty
-      Map("xmpDM:audioSampleRate" -> rate.toString,
+      withDuration(Map("xmpDM:audioSampleRate" -> rate.toString,
         "channels" -> channels.toString,
-        "xmpDM:audioCompressor" -> "Vorbis")
+        "xmpDM:audioCompressor" -> "Vorbis"), rate)
     } else if (payload + 19 <= bytes.length &&
         new String(bytes, payload, 8, java.nio.charset.StandardCharsets.US_ASCII) == "OpusHead") {
       // OpusHead: version(1) channels(1) preskip(2) inputRate(4 LE)
       val channels = bytes(payload + 9) & 0xff
       val rate = u32le(payload + 12)
       if (channels < 1 || rate <= 0) return Map.empty
-      Map("xmpDM:audioSampleRate" -> rate.toString,
+      withDuration(Map("xmpDM:audioSampleRate" -> rate.toString,
         "channels" -> channels.toString,
-        "xmpDM:audioCompressor" -> "Opus")
+        "xmpDM:audioCompressor" -> "Opus"), 48000L)
     } else Map.empty
   }
 }

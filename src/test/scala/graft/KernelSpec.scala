@@ -760,6 +760,23 @@ class KernelSpec extends AnyFunSuite {
     assert(!out2.isMedia && out2.contentType == "application/ogg" && out2.metadata.isEmpty)
   }
 
+  test("E28+: Ogg duration from the EOS page's granule position") {
+    import graft.corpus.OggWriter
+    // Vorbis: granule counts at the stream's sample rate
+    val v = Extract.extractBytes("ogg", OggWriter.write(
+      OggWriter.Spec(44100, 2, nSamples = 132300L)), Extract.Options())
+    assert(v.metadata("xmpDM:duration") == "3.000")
+    // Opus: granules are ALWAYS 48 kHz regardless of input rate
+    val o = Extract.extractBytes("ogg", OggWriter.write(
+      OggWriter.Spec(16000, 1, opus = true, nSamples = 96000L)), Extract.Options())
+    assert(o.metadata("xmpDM:duration") == "2.000")
+    // no EOS page (legacy writer shape): no duration key, rest unchanged
+    val n = Extract.extractBytes("ogg", OggWriter.write(
+      OggWriter.Spec(48000, 2)), Extract.Options())
+    assert(!n.metadata.contains("xmpDM:duration"))
+    assert(n.metadata("xmpDM:audioSampleRate") == "48000")
+  }
+
   test("E27: FLAC STREAMINFO metadata (exact duration)") {
     import graft.corpus.FlacWriter
     val bytes = FlacWriter.write(FlacWriter.Spec(48000, 2, nSamples = 96000))
@@ -1085,6 +1102,48 @@ class KernelSpec extends AnyFunSuite {
     // truncated/garbage never throws
     Extract.extractBytes("heic", heic.take(20), Extract.Options())
     Extract.extractBytes("heic", Array.fill(64)(0x7f.toByte), Extract.Options())
+  }
+
+  test("D1 zip64: EOCD64-routed OOXML classifies (CD offset behind the sentinel)") {
+    import graft.corpus.DocxWriter
+    val docx = DocxWriter.write(DocxWriter.Spec("Zip64 Doc", "A",
+      Vector("some paragraph text here"), pages = 1))
+    // locate the EOCD and the real central-directory offset
+    var e = docx.length - 22
+    while (!(docx(e) == 'P' && docx(e + 1) == 'K' && docx(e + 2) == 5 && docx(e + 3) == 6))
+      e -= 1
+    def u32(p: Int): Long = (docx(p) & 0xffL) | ((docx(p + 1) & 0xffL) << 8) |
+      ((docx(p + 2) & 0xffL) << 16) | ((docx(p + 3) & 0xffL) << 24)
+    val cdOff = u32(e + 16)
+    val cdSize = u32(e + 12)
+    val nEntries = (docx(e + 10) & 0xff) | ((docx(e + 11) & 0xff) << 8)
+    // rebuild as zip64: [..cd..] EOCD64 locator EOCD(cdOff=ffffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(docx, 0, e)
+    def w32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def w64(v: Long): Unit = (0 until 8).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    // EOCD64 record at offset e
+    out.write('P'); out.write('K'); out.write(6); out.write(6)
+    w64(44L)          // size of remainder
+    w16(45); w16(45)  // version made/needed
+    w32(0L); w32(0L)  // this disk / cd disk
+    w64(nEntries.toLong); w64(nEntries.toLong)
+    w64(cdSize); w64(cdOff)
+    // EOCD64 locator
+    out.write('P'); out.write('K'); out.write(6); out.write(7)
+    w32(0L); w64(e.toLong); w32(1L)
+    // EOCD with sentinel offset
+    out.write(docx, e, 16)
+    w32(0xffffffffL)
+    out.write(docx(e + 20)); out.write(docx(e + 21)) // comment length
+    val z64 = out.toByteArray
+    assert(Magic.sniff(z64) == Magic.Kind.Docx, "zip64 EOCD64 routing")
+    // extraction still works (ZipInputStream walks local headers)
+    val ext = Extract.extractBytes("docx", z64, Extract.Options())
+    assert(ext.content.contains("some paragraph text here"))
+    // a truncated locator degrades to None routing, never throws
+    Magic.sniff(z64.take(z64.length - 30))
   }
 
   test("D1: text subtyping by content hints (CSV/TSV/Markdown/XML/Python)") {
