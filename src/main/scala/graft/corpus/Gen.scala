@@ -462,7 +462,9 @@ object Gen {
             predictor = rng.nextBoolean(),
             predSizeBits = 2 + rng.nextInt(3),
             colorXform = rng.nextInt(3) == 0,
-            colorSizeBits = 2 + rng.nextInt(3)))
+            colorSizeBits = 2 + rng.nextInt(3),
+            metaGroups = if (rng.nextInt(4) == 0) 2 + rng.nextInt(4) else 0,
+            metaGroupBits = 2 + rng.nextInt(3)))
       } else WebpWriter.write(WebpWriter.Spec(
         8 + rng.nextInt(500), 8 + rng.nextInt(500))), docId, k)
 

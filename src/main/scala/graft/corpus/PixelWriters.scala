@@ -449,7 +449,11 @@ object WebpWriterEx {
       subtractGreen: Boolean = false, predictor: Boolean = false,
       predSizeBits: Int = 4,
       colorXform: Boolean = false, colorSizeBits: Int = 3,
-      paletteSize: Int = 0) // 2..256: color-indexing transform (alone)
+      paletteSize: Int = 0, // 2..256: color-indexing transform (alone)
+      // >= 2: meta prefix groups — a coded entropy sub-image selects a
+      // per-block prefix-code group; group green-code lengths DIFFER so
+      // the decoder's per-symbol group selection is pinned by the oracle
+      metaGroups: Int = 0, metaGroupBits: Int = 4)
 
   /** Deterministic palette (alpha 255) for paletteSize > 0. */
   def paletteOf(spec: Spec): Array[Int] = {
@@ -582,23 +586,58 @@ object WebpWriterEx {
     * meta-prefix bit, uniform prefix codes, literal/LZ77/cache loop.
     */
   private def codePixels(bw: Bw, argb: Array[Int], cacheBits: Int,
-      useLz77: Boolean, isMain: Boolean): Unit = {
+      useLz77: Boolean, isMain: Boolean,
+      w: Int = 0, metaGroups: Int = 0, metaGroupBits: Int = 4): Unit = {
     val n = argb.length
     if (cacheBits > 0) { bw.bits(1, 1); bw.bits(cacheBits, 4) }
     else bw.bits(0, 1)
-    if (isMain) bw.bits(0, 1)  // no meta prefix (sub-images carry no bit)
+    // meta prefix groups (main image only): entropy sub-image whose
+    // (red<<8)|green picks the per-block group. The number of code sets
+    // in the stream is EXACTLY max-referenced-index + 1 (the decoder
+    // derives it from the sub-image), so tiny images that only ever
+    // reference group 0 emit one set regardless of metaGroups.
+    val useGroups = isMain && metaGroups >= 2
+    var nGroups = 1
+    def groupOf(i: Int): Int =
+      if (!useGroups) 0
+      else {
+        val gx = (i % w) >> metaGroupBits
+        val gy = (i / w) >> metaGroupBits
+        (gx + 2 * gy) % metaGroups
+      }
+    if (isMain) {
+      if (useGroups) {
+        bw.bits(1, 1)
+        bw.bits(metaGroupBits - 2, 3)
+        val gw = (w + (1 << metaGroupBits) - 1) >> metaGroupBits
+        val gh = (n / w + (1 << metaGroupBits) - 1) >> metaGroupBits
+        val gIdx = Array.tabulate(gw * gh)(bi => (bi % gw + 2 * (bi / gw)) % metaGroups)
+        nGroups = gIdx.max + 1
+        val gImg = gIdx.map(idx =>
+          0xff000000 | (((idx >> 8) & 0xff) << 16) | ((idx & 0xff) << 8))
+        codePixels(bw, gImg, cacheBits = 0, useLz77 = false, isMain = false)
+      } else bw.bits(0, 1)
+    }
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val greenAlpha = 256 + 24 + cacheSize
-    val greenLen = 9 + (if (greenAlpha > 512) 2 else 0) // 11 covers +2048 cache
-    writeUniformCode(bw, greenAlpha, greenLen)
-    writeUniformCode(bw, 256, 8) // red
-    writeUniformCode(bw, 256, 8) // blue
-    writeUniformCode(bw, 256, 8) // alpha
-    writeUniformCode(bw, 40, 6)  // distance
+    val baseLen = 9 + (if (greenAlpha > 512) 2 else 0) // 11 covers +2048 cache
+    // per-group green lengths alternate so a wrong group selection in
+    // the decoder cannot round-trip
+    val greenLens = Array.tabulate(nGroups)(g => baseLen + (g % 2))
+    var gi = 0
+    while (gi < nGroups) {
+      writeUniformCode(bw, greenAlpha, greenLens(gi))
+      writeUniformCode(bw, 256, 8) // red
+      writeUniformCode(bw, 256, 8) // blue
+      writeUniformCode(bw, 256, 8) // alpha
+      writeUniformCode(bw, 40, 6)  // distance
+      gi += 1
+    }
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
     def cacheIdx(v: Int): Int = ((v * 0x1e35a7bd) >>> (32 - cacheBits)) % cacheSize
     var i = 0
     while (i < n) {
+      val greenLen = greenLens(groupOf(i)) // group chosen per symbol
       val cur = argb(i)
       // LZ77: longest run of pixels equal to their d=1 predecessor
       var runLen = 0
@@ -804,7 +843,9 @@ object WebpWriterEx {
       codePixels(bw, paletteDeltas, cacheBits = 0, useLz77 = false, isMain = false)
     }
     bw.bits(0, 1)  // no more transforms
-    codePixels(bw, argb, spec.cacheBits, spec.useLz77, isMain = true)
+    codePixels(bw, argb, spec.cacheBits, spec.useLz77, isMain = true,
+      w = mainW, metaGroups = spec.metaGroups,
+      metaGroupBits = spec.metaGroupBits)
     bw.flush()
     val body = payload.toByteArray
     val out = new ByteArrayOutputStream()

@@ -8,10 +8,14 @@ package graft.kernel
   * transform (signed-multiplier green->red / green->blue / red->blue
   * per block), SUBTRACT-GREEN, and COLOR-INDEXING (delta-coded palette
   * with LSB-first sub-byte pixel bundling for <= 16 colors), inverted
-  * in reverse bitstream order per the spec. Scope boundary (clean None
-  * -> metadata tier): meta prefix groups, 2-D plane distance codes, and
-  * palette combined with a spatial transform (not produced by real
-  * encoders). Lossy VP8 remains the declared perceptual stub.
+  * in reverse bitstream order per the spec, plus META PREFIX GROUPS
+  * (per-block prefix-code group selection through a coded entropy
+  * sub-image). Scope boundary (clean None -> metadata tier): 2-D plane
+  * distance codes (the spec's 120-entry offset table is not re-derivable
+  * without reference vectors — silently-wrong pixels would be worse than
+  * a declared subset) and palette combined with a spatial transform (not
+  * produced by real encoders). Lossy VP8 remains the declared perceptual
+  * stub.
   *
   * Like every decoder here: malformed input -> None, never a throw.
   */
@@ -260,10 +264,15 @@ object Vp8lDecoder {
     Some(RawImage(w, h, 4, out))
   }
 
-  /** One spatially-coded image: color-cache header, prefix codes, pixel
-    * loop (literals, LZ77 with linear distances, cache refs). The main
-    * image additionally carries the meta-prefix bit (multiple prefix
-    * groups stay outside the subset); transform sub-images do not.
+  /** One prefix-code group: the five codes a pixel's symbols draw from. */
+  private final class Group(val green: Prefix, val red: Prefix,
+    val blue: Prefix, val alpha: Prefix, val dist: Prefix)
+
+  /** One spatially-coded image: color-cache header, (main-image only)
+    * META PREFIX GROUPS — a coded entropy sub-image whose (red<<8)|green
+    * selects the per-block prefix-code group, each group carrying its
+    * own five codes — then the pixel loop (literals, LZ77 with linear
+    * distances, cache refs). Transform sub-images carry no meta bit.
     */
   private def decodeCoded(br: Br, w: Int, h: Int,
       isMain: Boolean): Option[Array[Int]] = {
@@ -272,34 +281,73 @@ object Vp8lDecoder {
       cacheBits = br.bits(4)
       if (cacheBits < 1 || cacheBits > 11) return None
     }
-    if (isMain && br.bits(1) == 1) return None // meta prefix groups
+    var groupImg: Array[Int] = null
+    var groupBits = 0
+    var groupW = 0
+    var numGroups = 1
+    if (isMain && br.bits(1) == 1) {
+      groupBits = br.bits(3) + 2
+      groupW = (w + (1 << groupBits) - 1) >> groupBits
+      val gh = (h + (1 << groupBits) - 1) >> groupBits
+      groupImg = decodeCoded(br, groupW, gh, isMain = false).getOrElse(return None)
+      var maxIdx = 0
+      var k = 0
+      while (k < groupImg.length) {
+        val idx = (groupImg(k) >> 8) & 0xffff
+        if (idx > maxIdx) maxIdx = idx
+        k += 1
+      }
+      numGroups = maxIdx + 1
+      if (numGroups > 256) return None // sanity bound
+    }
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-    val green = readPrefix(br, 256 + 24 + cacheSize)
-    val red = readPrefix(br, 256)
-    val blue = readPrefix(br, 256)
-    val alpha = readPrefix(br, 256)
-    val dist = readPrefix(br, 40)
-    if (green == null || red == null || blue == null || alpha == null || dist == null)
-      return None
+    val groups = new Array[Group](numGroups)
+    var gi = 0
+    while (gi < numGroups) {
+      val green = readPrefix(br, 256 + 24 + cacheSize)
+      val red = readPrefix(br, 256)
+      val blue = readPrefix(br, 256)
+      val alpha = readPrefix(br, 256)
+      val dist = readPrefix(br, 40)
+      if (green == null || red == null || blue == null || alpha == null || dist == null)
+        return None
+      groups(gi) = new Group(green, red, blue, alpha, dist)
+      gi += 1
+    }
     val n = w * h
     val argb = new Array[Int](n)
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
     def cacheInsert(px: Int): Unit =
       if (cache != null) cache(((px * 0x1e35a7bd) >>> (32 - cacheBits)) % cacheSize) = px
     var i = 0
+    var x = 0
+    var y = 0
+    def advance(k: Int): Unit = {
+      i += k
+      x += k
+      while (x >= w) { x -= w; y += 1 }
+    }
     while (i < n) {
-      val g = green.decode(br)
+      // group selection is per SYMBOL at the current pixel position
+      val grp =
+        if (groupImg == null) groups(0)
+        else {
+          val idx = (groupImg((y >> groupBits) * groupW + (x >> groupBits)) >> 8) & 0xffff
+          if (idx >= numGroups) return None
+          groups(idx)
+        }
+      val g = grp.green.decode(br)
       if (g < 0 || br.overflow) return None
       if (g < 256) {
-        val r = red.decode(br); val b = blue.decode(br); val a = alpha.decode(br)
+        val r = grp.red.decode(br); val b = grp.blue.decode(br); val a = grp.alpha.decode(br)
         if (r < 0 || b < 0 || a < 0) return None
         val px = (a << 24) | (r << 16) | (g << 8) | b
         argb(i) = px
         cacheInsert(px)
-        i += 1
+        advance(1)
       } else if (g < 256 + 24) {
         val len = lengthFromSymbol(br, g - 256)
-        val dSym = dist.decode(br)
+        val dSym = grp.dist.decode(br)
         if (dSym < 0) return None
         val dCode = lengthFromSymbol(br, dSym)
         // plane (2-D neighborhood) codes 1..120: outside the subset
@@ -308,17 +356,17 @@ object Vp8lDecoder {
         if (d <= 0 || d > i || i + len > n) return None
         var k = 0
         while (k < len) {
-          argb(i) = argb(i - d)
-          cacheInsert(argb(i))
-          i += 1
+          argb(i + k) = argb(i + k - d)
+          cacheInsert(argb(i + k))
           k += 1
         }
+        advance(len)
       } else {
         if (cache == null) return None
         val idx = g - 256 - 24
         if (idx >= cacheSize) return None
         argb(i) = cache(idx)
-        i += 1
+        advance(1)
       }
     }
     Some(argb)

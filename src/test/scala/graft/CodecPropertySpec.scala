@@ -94,6 +94,17 @@ object CodecPropertySpec extends Properties("graft.codecs") {
         }
     }
 
+  property("VP8L meta prefix groups round-trip exact: group count x block size") =
+    forAll(dims, SGen.oneOf(2, 3, 4, 7), SGen.oneOf(2, 3, 4)) {
+      case ((w, h, seed), groups, gbits) =>
+        val spec = WebpWriterEx.Spec(w, h, seed, metaGroups = groups,
+          metaGroupBits = gbits, cacheBits = if (seed % 2 == 0) 4 else 0)
+        Vp8lDecoder.decode(WebpWriterEx.write(spec)) match {
+          case None => false
+          case Some(img) => java.util.Arrays.equals(img.data, WebpWriterEx.plane(spec))
+        }
+    }
+
   property("VP8L palette round-trip exact: every bundling width") =
     forAll(dims, SGen.oneOf(2, 3, 4, 5, 11, 16, 17, 64, 256)) {
       case ((w, h, seed), size) =>

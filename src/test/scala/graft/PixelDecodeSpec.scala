@@ -266,7 +266,19 @@ class PixelDecodeSpec extends AnyFunSuite {
       "palette 200 colors (unbundled) + lz77" -> WebpWriterEx.Spec(33, 24, 24,
         paletteSize = 200),
       "palette 16 odd width" -> WebpWriterEx.Spec(31, 9, 25,
-        useLz77 = false, paletteSize = 16))) {
+        useLz77 = false, paletteSize = 16),
+      // meta prefix groups: per-block code-group selection; group green
+      // lengths differ, so a wrong selection cannot round-trip
+      "meta groups x2" -> WebpWriterEx.Spec(40, 28, 26, metaGroups = 2,
+        metaGroupBits = 3),
+      "meta groups x5 small blocks + lz77 + cache" ->
+        WebpWriterEx.Spec(53, 37, 27, metaGroups = 5, metaGroupBits = 2,
+          cacheBits = 4),
+      "meta groups + SG + predictor" ->
+        WebpWriterEx.Spec(44, 30, 28, metaGroups = 3, metaGroupBits = 2,
+          subtractGreen = true, predictor = true, predSizeBits = 3),
+      "meta groups + palette" -> WebpWriterEx.Spec(35, 21, 29,
+        useLz77 = false, paletteSize = 9, metaGroups = 2, metaGroupBits = 2))) {
     test(s"VP8L transform round-trip: $label (lossless, exact)") {
       val img = graft.kernel.Vp8lDecoder.decode(WebpWriterEx.write(spec))
         .getOrElse(fail(label))
