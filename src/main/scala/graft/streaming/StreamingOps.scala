@@ -30,6 +30,20 @@ object StreamingOps {
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication: drop re-deliveries of the same
+    * content hash with bounded state — `dropDuplicates` over (hash)
+    * with a watermark on the event-time column, so state for hashes
+    * older than the delay is garbage-collected (the unbounded-state
+    * trap of naive streaming dedup). This is the ingestion-side twin
+    * of the batch dedup_exact operator: at 10^12 docs/day the dedup
+    * state must be windowed or it IS the dataset.
+    */
+  def dedupStream(docs: DataFrame, hashCol: String = "text_hash",
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(hashCol)
+
   final case class Evt(user_id: Long, event_id: Long, ts: Timestamp)
   final case class SessionState(startMs: Long, lastMs: Long, n: Int)
   final case class SessionOut(

@@ -122,6 +122,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("win_start") === ts(23, 0)).count() == 0)
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark drops re-deliveries, state expires") {
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val schema = Seq(("h", ts(0, 0))).toDF("text_hash", "ts").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = StreamingOps.dedupStream(stream, watermark = "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // batch 1: two copies of hashA within one batch + hashB -> one each;
+    // committed watermark stays at 09:40 (max 10:10 - 30m), so hashA
+    // state (expires 10:30) is still live for the next batch
+    Seq(("hashA", ts(10, 0)), ("hashA", ts(10, 5)), ("hashB", ts(10, 10)))
+      .toDF("text_hash", "ts").repartition(1).write.parquet(s"$dir/in")
+    run()
+    // batch 2: a re-delivery of hashA while its state is live is
+    // dropped; a fresh hashC passes
+    Seq(("hashA", ts(10, 20)), ("hashC", ts(10, 25)))
+      .toDF("text_hash", "ts").repartition(1).write.mode("append").parquet(s"$dir/in")
+    run()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.filter(col("text_hash") === "hashA").count() == 1, "re-delivery must dedup")
+    assert(out.filter(col("text_hash") === "hashB").count() == 1)
+    assert(out.filter(col("text_hash") === "hashC").count() == 1)
+    // batch 3: advance the watermark past hashA's expiry (12:00 - 30m =
+    // 11:30 > 10:00 + 30m) so its state is GC'd...
+    Seq(("hashD", ts(12, 0)))
+      .toDF("text_hash", "ts").repartition(1).write.mode("append").parquet(s"$dir/in")
+    run()
+    // ...batch 4: hashA re-appears long after expiry and passes —
+    // bounded-state semantics, not an eternal global set
+    Seq(("hashA", ts(20, 0)))
+      .toDF("text_hash", "ts").repartition(1).write.mode("append").parquet(s"$dir/in")
+    run()
+    val out2 = spark.read.parquet(s"$dir/out")
+    assert(out2.filter(col("text_hash") === "hashA").count() == 2,
+      "expired state must re-admit the hash (bounded-state contract)")
+  }
+
   test("flatMapGroupsWithState sessionization: gap-closed and timeout-closed sessions") {
     import graft.streaming.StreamingOps
     import spark.implicits._
