@@ -151,7 +151,7 @@ object HtmlKernel {
           val decoded = decodeEntities(raw)
           if (inTitle) title += decoded
           else {
-            val ws = decoded.split("\\s+").count(_.nonEmpty)
+            val ws = countWords(decoded)
             cur.append(decoded)
             curWords += ws
             if (inAnchor > 0) curLinked += ws
@@ -186,8 +186,45 @@ object HtmlKernel {
     all.indices.collect { case i if keep(i) => all(i).text }.toVector
   }
 
-  private def normalizeWs(s: String): String =
-    s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+  /** number of maximal non-whitespace runs == split("\\s+") count. */
+  private def countWords(s: String): Int = {
+    var n = 0
+    var inWord = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == 11.toChar ||
+        c == '\f' || c == '\r'
+      if (!ws && !inWord) { n += 1; inWord = true }
+      else if (ws) inWord = false
+      i += 1
+    }
+    n
+  }
+
+  // single-pass equivalent of s.split("\\s+").filter(_.nonEmpty)
+  // .mkString(" ") — the regex split was ~40% of HTML kernel time.
+  // Matches java-regex \s exactly (ASCII only; NOT Character
+  // .isWhitespace, which would also fold U+2002 etc. and shift goldens).
+  private def normalizeWs(s: String): String = {
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == 11.toChar /* VT */ || c == '\f' || c == '\r'
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   private def attr(tag: String, name: String): Option[String] = {
     val p = java.util.regex.Pattern.compile(
