@@ -383,8 +383,12 @@ object OggKernel {
     def lastGranule: Long = {
       var q = bytes.length - 27
       while (q >= 0) {
+        // "OggS" can occur inside payload bytes; require the version
+        // byte (0) and a sane header-type flag field too, like real
+        // demuxers do before trusting a capture pattern
         if (bytes(q) == 'O' && bytes(q + 1) == 'g' && bytes(q + 2) == 'g' &&
-            bytes(q + 3) == 'S') {
+            bytes(q + 3) == 'S' && bytes(q + 4) == 0 &&
+            (bytes(q + 5) & 0xf8) == 0) {
           var g = 0L
           var i = 7
           while (i >= 0) { g = (g << 8) | (bytes(q + 6 + i) & 0xffL); i -= 1 }
