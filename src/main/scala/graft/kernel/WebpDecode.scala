@@ -50,7 +50,6 @@ object Vp8lDecoder {
     private val counts = new Array[Int](MaxLen + 1)
     lengths.foreach(l => if (l > 0 && l <= MaxLen) counts(l) += 1)
     private val firstCode = new Array[Int](MaxLen + 1)
-    private val firstSym = new Array[Int](MaxLen + 1)
     private val symsByLen: Array[Array[Int]] = {
       val by = Array.fill(MaxLen + 1)(Vector.newBuilder[Int])
       for (s <- lengths.indices if lengths(s) > 0 && lengths(s) <= MaxLen)
