@@ -482,7 +482,11 @@ object Gen {
   private def flacPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
     mediaPiece("flac", FlacWriter.write(FlacWriter.Spec(
       Vector(44100, 48000, 96000)(rng.nextInt(3)), 1 + rng.nextInt(2),
-      nSamples = 1000L + rng.nextInt(1 << 20))), docId, k)
+      nSamples = 1000L + rng.nextInt(1 << 20),
+      // half carry VORBIS_COMMENT tags (the FLAC tag container)
+      title = if (rng.nextBoolean()) TextGen.titleLine(rng, "en") else "",
+      artist = if (rng.nextBoolean()) TextGen.titleLine(rng, "en") else "")),
+      docId, k)
 
   /** ICO / PSD / MIDI: real headers, typed media metadata rows. */
   private def miscMediaPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {

@@ -346,16 +346,20 @@ object HeifWriter {
 
 object FlacWriter {
 
-  final case class Spec(sampleRate: Int, channels: Int, nSamples: Long)
+  final case class Spec(sampleRate: Int, channels: Int, nSamples: Long,
+      // non-empty: append a VORBIS_COMMENT block with these tags
+      title: String = "", artist: String = "", album: String = "")
 
   /** Real STREAMINFO metadata block (the mandatory first block) +
-    * deterministic opaque frame bytes: FlacKernel derives sample rate,
-    * channels, bit depth and exact duration from the header alone.
+    * optional VORBIS_COMMENT tags + deterministic opaque frame bytes:
+    * FlacKernel derives sample rate, channels, bit depth, exact duration
+    * and dc:title/artist/album from the headers alone.
     */
   def write(spec: Spec): Array[Byte] = {
+    val hasTags = spec.title.nonEmpty || spec.artist.nonEmpty || spec.album.nonEmpty
     val out = new ByteArrayOutputStream()
     out.write("fLaC".getBytes(StandardCharsets.US_ASCII))
-    out.write(0x80) // last-block flag + type 0 (STREAMINFO)
+    out.write(if (hasTags) 0x00 else 0x80) // type 0, last unless tags follow
     out.write(0); out.write(0); out.write(34)
     def u16be(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def u24be(v: Int): Unit = { out.write((v >> 16) & 0xff); u16be(v & 0xffff) }
@@ -373,6 +377,25 @@ object FlacWriter {
     out.write(((spec.nSamples >> 8) & 0xff).toInt)
     out.write((spec.nSamples & 0xff).toInt)
     for (_ <- 0 until 16) out.write(0) // md5 (unset)
+    if (hasTags) { // VORBIS_COMMENT (type 4, last): vendor + KEY=value
+      val body = new ByteArrayOutputStream()
+      def u32le(v: Int): Unit = { body.write(v & 0xff); body.write((v >> 8) & 0xff)
+        body.write((v >> 16) & 0xff); body.write((v >> 24) & 0xff) }
+      def lpStr(t: String): Unit = {
+        val b = t.getBytes(StandardCharsets.UTF_8)
+        u32le(b.length); body.write(b)
+      }
+      lpStr("graftgen")
+      val tags = Seq("TITLE" -> spec.title, "ARTIST" -> spec.artist,
+        "ALBUM" -> spec.album).filter(_._2.nonEmpty)
+      u32le(tags.length)
+      tags.foreach { case (k, v) => lpStr(s"$k=$v") }
+      val bb = body.toByteArray
+      out.write(0x84) // last + type 4
+      out.write((bb.length >> 16) & 0xff); out.write((bb.length >> 8) & 0xff)
+      out.write(bb.length & 0xff)
+      out.write(bb)
+    }
     // opaque audio frames (deterministic noise; decode is out of scope)
     var x = spec.sampleRate * 31L ^ spec.nSamples
     for (_ <- 0 until 512) {

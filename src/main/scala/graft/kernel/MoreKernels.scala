@@ -607,6 +607,55 @@ object FlacKernel {
       "xmpDM:audioCompressor" -> "FLAC")
     if (totalSamples > 0)
       meta += ("xmpDM:duration" -> f"${totalSamples.toDouble / sampleRate}%.3f")
+    // walk the remaining metadata blocks for VORBIS_COMMENT (type 4):
+    // vendor string + KEY=value pairs (the FLAC tag container)
+    def u32le(q: Int): Long =
+      (bytes(q) & 0xffL) | ((bytes(q + 1) & 0xffL) << 8) |
+        ((bytes(q + 2) & 0xffL) << 16) | ((bytes(q + 3) & 0xffL) << 24)
+    val tagKeys = Map("TITLE" -> "dc:title", "ARTIST" -> "xmpDM:artist",
+      "ALBUM" -> "xmpDM:album", "DATE" -> "xmpDM:releaseDate",
+      "GENRE" -> "xmpDM:genre", "TRACKNUMBER" -> "xmpDM:trackNumber")
+    var q = 8 + blockLen
+    var last = (bytes(4) & 0x80) != 0
+    var blocks = 0
+    while (!last && q + 4 <= bytes.length && blocks < 64) {
+      val typ = bytes(q) & 0x7f
+      last = (bytes(q) & 0x80) != 0
+      val len = ((bytes(q + 1) & 0xff) << 16) | ((bytes(q + 2) & 0xff) << 8) |
+        (bytes(q + 3) & 0xff)
+      val body = q + 4
+      if (len < 0 || body + len > bytes.length) last = true
+      else if (typ == 4 && len >= 8) {
+        var c = body
+        val vendorLen = u32le(c)
+        if (vendorLen >= 0 && c + 4 + vendorLen + 4 <= body + len) {
+          c += 4 + vendorLen.toInt
+          val nComments = u32le(c)
+          c += 4
+          var k = 0L
+          while (k < nComments && k < 64 && c + 4 <= body + len) {
+            val cl = u32le(c)
+            c += 4
+            if (cl >= 0 && c + cl <= body + len) {
+              val comment = new String(bytes, c, cl.toInt,
+                java.nio.charset.StandardCharsets.UTF_8)
+              val eq = comment.indexOf('=')
+              if (eq > 0) {
+                val key = comment.substring(0, eq).toUpperCase
+                val v = comment.substring(eq + 1).trim
+                tagKeys.get(key).foreach { mk =>
+                  if (v.nonEmpty && !meta.contains(mk)) meta += (mk -> v)
+                }
+              }
+              c += cl.toInt
+            } else k = 64 // malformed length: stop
+            k += 1
+          }
+        }
+      }
+      q = body + len
+      blocks += 1
+    }
     meta
   }
 }

@@ -777,6 +777,22 @@ class KernelSpec extends AnyFunSuite {
     assert(n.metadata("xmpDM:audioSampleRate") == "48000")
   }
 
+  test("E27+: FLAC VORBIS_COMMENT tags (title/artist/album)") {
+    import graft.corpus.FlacWriter
+    val bytes = FlacWriter.write(FlacWriter.Spec(44100, 2, 441000L,
+      title = "Winter Lake", artist = "The Graft Ensemble", album = "Corpus"))
+    val out = Extract.extractBytes("flac", bytes, Extract.Options())
+    assert(out.metadata("dc:title") == "Winter Lake")
+    assert(out.metadata("xmpDM:artist") == "The Graft Ensemble")
+    assert(out.metadata("xmpDM:album") == "Corpus")
+    assert(out.metadata("xmpDM:duration") == "10.000") // STREAMINFO intact
+    // legacy single-block shape unchanged: no tag keys
+    val legacy = Extract.extractBytes("flac",
+      FlacWriter.write(FlacWriter.Spec(44100, 2, 441000L)), Extract.Options())
+    assert(!legacy.metadata.contains("dc:title"))
+    assert(legacy.metadata("xmpDM:duration") == "10.000")
+  }
+
   test("E27: FLAC STREAMINFO metadata (exact duration)") {
     import graft.corpus.FlacWriter
     val bytes = FlacWriter.write(FlacWriter.Spec(48000, 2, nSamples = 96000))
