@@ -300,6 +300,19 @@ class KernelSpec extends AnyFunSuite {
     val out = Extract.extractBytes("pdf", mutated, Extract.Options())
     assert(out.issue.isDefined, "password-protected must be flagged")
     assert(out.content.isEmpty)
+    // same for AES-256/R6: corrupt the /U validation hash -> the empty
+    // password fails Algorithm 2.B verification -> taxonomy row
+    val b256 = PdfWriter.write(PdfWriter.Spec("No Entry", "A", stanzas,
+      useKernSpaces = false, encrypt = "aes256"))
+    val raw256 = new String(b256, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uAt256 = raw256.indexOf("/U <")
+    assert(uAt256 > 0)
+    val mut256 = b256.clone()
+    for (k <- 0 until 8) mut256(uAt256 + 4 + k) =
+      (if (b256(uAt256 + 4 + k) == '0') '1' else '0').toByte
+    val out256 = Extract.extractBytes("pdf", mut256, Extract.Options())
+    assert(out256.issue.isDefined, "aes256 password-protected must be flagged")
+    assert(out256.content.isEmpty)
   }
 
   test("RC4 matches the public test vectors (Wikipedia)") {
