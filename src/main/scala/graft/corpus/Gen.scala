@@ -114,8 +114,8 @@ object Gen {
   }
 
   private def pickLang(rng: SplittableRandom): String = {
-    val r = rng.nextInt(17)
-    if (r < 4) "en" else TextGen.languages(r - 3) // en ~1/4, 13 others equal
+    val r = rng.nextInt(19)
+    if (r < 4) "en" else TextGen.languages(r - 3) // en ~1/5, 15 others equal
   }
 
   /** One input span + its side-media + its expected output spans. */

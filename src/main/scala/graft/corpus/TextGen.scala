@@ -10,7 +10,7 @@ object TextGen {
 
   val languages: Vector[String] =
     Vector("en", "de", "fr", "es", "ru", "pt", "it", "nl", "zh", "ja",
-      "da", "fi", "cs", "vi")
+      "da", "fi", "cs", "vi", "sk", "lv")
 
   private val pools: Map[String, (Vector[String], Vector[String])] = Map(
     // (function words — high frequency, content words — low frequency)
@@ -92,7 +92,22 @@ object TextGen {
       "cũng", "rất", "nhưng", "vẫn"),
       Vector("rừng", "làng", "ngựa", "tuyết", "tối", "hồ", "gió",
         "nhà", "đường", "mùa", "bóng", "đèn", "đồng", "sương",
-        "tiếng", "yên", "chuông", "giấc", "lạnh", "xa")))
+        "tiếng", "yên", "chuông", "giấc", "lạnh", "xa")),
+    // Slovak (ľ/ô exercise writers' latin-2 range) and Latvian (macrons)
+    "sk" -> (Vector("je", "že", "som", "si", "sú", "aj", "ako", "keď",
+      "už", "nie", "čo", "iba", "veľmi", "môže", "tiež", "ešte", "kde",
+      "ktorý", "alebo", "potom"),
+      Vector("hora", "dedina", "kôň", "sneh", "večer", "zvony",
+        "jazero", "vietor", "vločka", "sľuby", "dom", "cesta",
+        "spánok", "zima", "tieň", "lampa", "lúka", "mráz", "zvuk",
+        "ticho")),
+    "lv" -> (Vector("ir", "un", "ka", "es", "tu", "bet", "ar", "par",
+      "kā", "tas", "vai", "tikai", "ļoti", "jau", "vēl", "pēc", "kad",
+      "kur", "arī", "bija"),
+      Vector("mežs", "ciems", "zirgs", "sniegs", "vakars", "zvani",
+        "ezers", "vējš", "pārsla", "solījumi", "māja", "ceļš",
+        "miegs", "ziema", "ēna", "laterna", "pļava", "sals", "skaņa",
+        "klusums")))
 
   /** One sentence: 6..14 words, ~55% function words, capitalized, period. */
   def sentence(rng: SplittableRandom, lang: String): String = {
