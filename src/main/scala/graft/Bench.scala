@@ -106,11 +106,27 @@ object Bench {
       bytesIn = agg.getLong(1)
       (wall, diag)
     }
-    val passBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, Diag)]
-    (1 to 3).foreach(_ => passBuf += onePass())
-    while (spread(passBuf.map(_._1).toSeq) > 1.5 && passBuf.size < 7) {
-      System.err.println(f"[bench] pass spread ${spread(passBuf.map(_._1).toSeq)}%.2f > 1.5 — running an extra pass")
-      passBuf += onePass()
+    def collectWindow(): scala.collection.mutable.ArrayBuffer[(Double, Diag)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Diag)]
+      (1 to 3).foreach(_ => buf += onePass())
+      while (spread(buf.map(_._1).toSeq) > 1.5 && buf.size < 7) {
+        System.err.println(f"[bench] pass spread ${spread(buf.map(_._1).toSeq)}%.2f > 1.5 — running an extra pass")
+        buf += onePass()
+      }
+      buf
+    }
+    var passBuf = collectWindow()
+    // a whole window that stayed noisy through 7 passes is external load,
+    // not a code property: back off once and re-measure, keep the calmer
+    // window (r4 VERDICT item 5)
+    var retriedWindow = false
+    if (spread(passBuf.map(_._1).toSeq) > 1.5) {
+      System.err.println("[bench] window stayed noisy after 7 passes — 45 s backoff, one full retry")
+      Thread.sleep(45000)
+      val second = collectWindow()
+      retriedWindow = true
+      if (spread(second.map(_._1).toSeq) < spread(passBuf.map(_._1).toSeq))
+        passBuf = second
     }
     val passes = passBuf.map(_._1).toSeq
     val diags = passBuf.map(_._2).toSeq
@@ -147,9 +163,23 @@ object Bench {
     val cpuStr = diags.map(d => f"${d.cpuSec}%.1f").mkString("[", ",", "]")
     val loadStr = diags.map(d => f"${d.load}%.1f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$outDocs,"docs_per_sec":$docsPerSec%.1f,"bytes_per_sec":$bytesPerSec%.0f,"cpus":$cpus,"corpus_docs":$nDocs,"extract_passes_sec":$passStr,"extract_stat":"median_of_fastest_3","pass_gc_ms":$gcStr,"pass_cpu_sec":$cpuStr,"pass_load_avg":$loadStr,"pass_spread":${f"${spread(passes)}%.2f"},"noisy_window":$noisy}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$outDocs,"docs_per_sec":$docsPerSec%.1f,"bytes_per_sec":$bytesPerSec%.0f,"cpus":$cpus,"corpus_docs":$nDocs,"extract_passes_sec":$passStr,"extract_stat":"median_of_fastest_3","pass_gc_ms":$gcStr,"pass_cpu_sec":$cpuStr,"pass_load_avg":$loadStr,"pass_spread":${f"${spread(passes)}%.2f"},"noisy_window":$noisy,"retried_window":$retriedWindow}"""
     println(json)
-    writeJson(s"${SparkEntry.DataRoot}/bench.json", json)
+    // a noisy window must never replace a clean tracked headline
+    // (r4 VERDICT item 5): keep the last clean data/bench.json, park the
+    // degraded measurement alongside as bench_noisy.json
+    val benchPath = s"${SparkEntry.DataRoot}/bench.json"
+    if (!noisy) writeJson(benchPath, json)
+    else {
+      writeJson(s"${SparkEntry.DataRoot}/bench_noisy.json", json)
+      val prev = new java.io.File(benchPath)
+      val prevClean = prev.exists && {
+        val src = scala.io.Source.fromFile(prev, "UTF-8")
+        try src.mkString.contains("\"noisy_window\":false") finally src.close()
+      }
+      if (!prevClean) writeJson(benchPath, json) // no clean headline exists yet
+      else System.err.println(s"[bench] noisy window — headline kept at last clean $benchPath; this run in bench_noisy.json")
+    }
     spark.stop()
   }
 

@@ -464,7 +464,10 @@ object Gen {
             colorXform = rng.nextInt(3) == 0,
             colorSizeBits = 2 + rng.nextInt(3),
             metaGroups = if (rng.nextInt(4) == 0) 2 + rng.nextInt(4) else 0,
-            metaGroupBits = 2 + rng.nextInt(3)))
+            metaGroupBits = 2 + rng.nextInt(3),
+            // ~1-in-3 real streams use 2-D plane distance codes, like
+            // cwebp output
+            use2dDist = rng.nextInt(3) == 0))
       } else WebpWriter.write(WebpWriter.Spec(
         8 + rng.nextInt(500), 8 + rng.nextInt(500))), docId, k)
 

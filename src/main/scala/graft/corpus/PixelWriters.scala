@@ -453,7 +453,11 @@ object WebpWriterEx {
       // >= 2: meta prefix groups — a coded entropy sub-image selects a
       // per-block prefix-code group; group green-code lengths DIFFER so
       // the decoder's per-symbol group selection is pinned by the oracle
-      metaGroups: Int = 0, metaGroupBits: Int = 4)
+      metaGroups: Int = 0, metaGroupBits: Int = 4,
+      // back-references emit 2-D plane distance codes (1..120) whenever
+      // the distance maps into the spec's neighborhood table; vertical
+      // (distance = width) runs are planted so codes with dy > 0 occur
+      use2dDist: Boolean = false)
 
   /** Deterministic palette (alpha 255) for paletteSize > 0. */
   def paletteOf(spec: Spec): Array[Int] = {
@@ -510,6 +514,19 @@ object WebpWriterEx {
           k += 1
         }
         r += math.max(16, n / 10)
+      }
+    }
+    // plant vertical (copy-from-row-above) segments so 2-D distance
+    // codes with dy > 0 are emitted; offset by row parity so horizontal
+    // and vertical runs interleave
+    if (spec.use2dDist && spec.height > 3 && spec.width > 10) {
+      var y = 2
+      while (y < spec.height) {
+        val x0 = 1 + (y % 3)
+        val x1 = math.min(spec.width - 1, x0 + 6)
+        System.arraycopy(out, ((y - 1) * spec.width + x0) * 4,
+          out, (y * spec.width + x0) * 4, (x1 - x0) * 4)
+        y += 2
       }
     }
     out
@@ -587,7 +604,8 @@ object WebpWriterEx {
     */
   private def codePixels(bw: Bw, argb: Array[Int], cacheBits: Int,
       useLz77: Boolean, isMain: Boolean,
-      w: Int = 0, metaGroups: Int = 0, metaGroupBits: Int = 4): Unit = {
+      w: Int = 0, metaGroups: Int = 0, metaGroupBits: Int = 4,
+      use2dDist: Boolean = false): Unit = {
     val n = argb.length
     if (cacheBits > 0) { bw.bits(1, 1); bw.bits(cacheBits, 4) }
     else bw.bits(0, 1)
@@ -635,29 +653,46 @@ object WebpWriterEx {
     }
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
     def cacheIdx(v: Int): Int = ((v * 0x1e35a7bd) >>> (32 - cacheBits)) % cacheSize
+    // 2-D plane codes: distance -> code (1..120) for this coded width;
+    // distances outside the neighborhood fall back to linear (+120)
+    val planeCode: Map[Int, Int] =
+      if (use2dDist && w > 0) graft.kernel.Vp8lDecoder.planeCodesFor(w)
+      else Map.empty
     var i = 0
     while (i < n) {
       val greenLen = greenLens(groupOf(i)) // group chosen per symbol
       val cur = argb(i)
-      // LZ77: longest run of pixels equal to their d=1 predecessor
+      // LZ77: longest run of pixels equal to their d=1 predecessor, or
+      // (2-D mode) to the pixel one row above (distance = width)
       var runLen = 0
       if (useLz77 && i > 0) {
         while (i + runLen < n && runLen < 100 && argb(i + runLen) == argb(i + runLen - 1))
           runLen += 1
       }
-      if (runLen >= 3) {
-        val (ls, leb, lev) = lzSym(runLen)
+      var vertLen = 0
+      if (use2dDist && w > 0 && i >= w) {
+        while (i + vertLen < n && vertLen < 100 && argb(i + vertLen) == argb(i + vertLen - w))
+          vertLen += 1
+      }
+      // prefer the vertical reference when it is at least as long — it is
+      // the one that exercises dy > 0 plane codes
+      val useVert = vertLen >= 3 && vertLen >= runLen
+      val len = if (useVert) vertLen else runLen
+      if (len >= 3) {
+        val dist = if (useVert) w else 1
+        val (ls, leb, lev) = lzSym(len)
         bw.code(256 + ls, greenLen)
         if (leb > 0) bw.bits(lev, leb)
-        val (ds, deb, dev) = lzSym(1 + 120) // distance 1, linear code
+        val dCode = planeCode.getOrElse(dist, dist + 120)
+        val (ds, deb, dev) = lzSym(dCode)
         bw.code(ds, 6)
         if (deb > 0) bw.bits(dev, deb)
         var k = 0
-        while (k < runLen) {
+        while (k < len) {
           if (cache != null) cache(cacheIdx(argb(i + k))) = argb(i + k)
           k += 1
         }
-        i += runLen
+        i += len
       } else if (cache != null && cache(cacheIdx(cur)) == cur) {
         bw.code(256 + 24 + cacheIdx(cur), greenLen)
         i += 1
@@ -845,7 +880,7 @@ object WebpWriterEx {
     bw.bits(0, 1)  // no more transforms
     codePixels(bw, argb, spec.cacheBits, spec.useLz77, isMain = true,
       w = mainW, metaGroups = spec.metaGroups,
-      metaGroupBits = spec.metaGroupBits)
+      metaGroupBits = spec.metaGroupBits, use2dDist = spec.use2dDist)
     bw.flush()
     val body = payload.toByteArray
     val out = new ByteArrayOutputStream()

@@ -108,7 +108,7 @@ object Extract {
         case Magic.Kind.Mp4  =>
           Out("", Vector.empty, "video/mp4", Mp4Kernel.extract(bytes),
             isMedia = true, issue = None)
-        case k @ (Magic.Kind.Heic | Magic.Kind.Avif) =>
+        case k @ (Magic.Kind.Heic | Magic.Kind.Heif | Magic.Kind.Avif) =>
           Out("", Vector.empty, Magic.contentTypeOf(k, None),
             HeifKernel.extract(bytes), isMedia = true, issue = None)
         case Magic.Kind.Bmp  =>

@@ -34,6 +34,7 @@ object Magic {
     case object Wav     extends Kind("wav")
     case object Mp4     extends Kind("mp4")
     case object Heic    extends Kind("heic")  // ISO-BMFF still image (HEVC)
+    case object Heif    extends Kind("heif")  // generic HEIF brand (mif1/msf1)
     case object Avif    extends Kind("avif")  // ISO-BMFF still image (AV1)
     case object Bmp     extends Kind("bmp")
     case object Webp    extends Kind("webp")
@@ -129,7 +130,11 @@ object Magic {
       // ISO-BMFF: still-image brands route to HEIC/AVIF, rest to MP4
       val brand = new String(bytes, 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
       return brand match {
-        case "heic" | "heix" | "hevc" | "hevx" | "mif1" | "msf1" => Kind.Heic
+        // mif1/msf1 are generic HEIF brands (payload may be HEVC, AV1,
+        // or other) — image/heif, matching Tika; explicit HEVC brands
+        // stay image/heic
+        case "heic" | "heix" | "hevc" | "hevx" => Kind.Heic
+        case "mif1" | "msf1" => Kind.Heif
         case "avif" | "avis" => Kind.Avif
         case _ => Kind.Mp4
       }
@@ -287,6 +292,7 @@ object Magic {
     case Kind.Wav  => "audio/vnd.wave"
     case Kind.Mp4  => "video/mp4"
     case Kind.Heic => "image/heic"
+    case Kind.Heif => "image/heif"
     case Kind.Avif => "image/avif"
     case Kind.Bmp  => "image/bmp"
     case Kind.Webp => "image/webp"

@@ -270,6 +270,10 @@ object Mp4Kernel {
           c += 1
         }
       }
+      // a co64 box can encode a negative Long offset (high bit set);
+      // such a table is garbage — degrade to the block fallback rather
+      // than hand consumers out-of-range offsets (never-throw contract)
+      if (stco.exists(_ < 0)) return None
       // expand stsc: samples-per-chunk for each chunk 1..stco.length
       val nChunks = stco.length
       if (nChunks == 0 || stsc.isEmpty || stsc.head._1 != 1) return None

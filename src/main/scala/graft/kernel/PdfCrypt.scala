@@ -228,7 +228,11 @@ private[graft] object PdfCrypt {
   /** Per-document decryptor/encryptor state. v5 = AES-256 (AESV3): the
     * file key is used directly, with no per-object derivation.
     */
-  final case class Crypt(key: Array[Byte], aes: Boolean, v5: Boolean = false) {
+  /** `strings = false` when /StrF is Identity (ISO 32000 §7.6.5): stream
+    * payloads decrypt with StdCF but string objects pass through verbatim.
+    */
+  final case class Crypt(key: Array[Byte], aes: Boolean, v5: Boolean = false,
+      strings: Boolean = true) {
 
     /** Algorithm 1: the per-object key (identity for AESV3). */
     def objKey(num: Int, gen: Int): Array[Byte] = {

@@ -10,12 +10,11 @@ package graft.kernel
   * with LSB-first sub-byte pixel bundling for <= 16 colors), inverted
   * in reverse bitstream order per the spec, plus META PREFIX GROUPS
   * (per-block prefix-code group selection through a coded entropy
-  * sub-image). Scope boundary (clean None -> metadata tier): 2-D plane
-  * distance codes (the spec's 120-entry offset table is not re-derivable
-  * without reference vectors — silently-wrong pixels would be worse than
-  * a declared subset) and palette combined with a spatial transform (not
-  * produced by real encoders). Lossy VP8 remains the declared perceptual
-  * stub.
+  * sub-image), and 2-D PLANE DISTANCE CODES (the spec's 120-entry
+  * near-neighborhood mapping, generated from its closed form below).
+  * Scope boundary (clean None -> metadata tier): palette combined with a
+  * spatial transform (not produced by real encoders). Lossy VP8 remains
+  * the declared perceptual stub.
   *
   * Like every decoder here: malformed input -> None, never a throw.
   */
@@ -143,6 +142,37 @@ object Vp8lDecoder {
       new Prefix(lengths)
     }
   }
+
+  /** Distance mapping (spec 4.2.1.3 / 5.2.4): codes 1..120 address the
+    * 2-D near neighborhood of the current pixel. The published table is
+    * exactly the set {(x,0): 1<=x<=8} ∪ {(x,y): 1<=y<=7, -7<=x<=8}
+    * ordered by increasing x²+y², ties broken by larger y first, then
+    * positive x before negative — so it is generated from that closed
+    * form rather than transcribed. Packed as (dy << 8) | (dx & 0xff).
+    */
+  private[graft] val DistTable: Array[Int] = {
+    val pairs = (1 to 8).map(x => (x, 0)) ++
+      (for { y <- 1 to 7; x <- -7 to 8 } yield (x, y))
+    pairs.sortBy { case (x, y) => (x * x + y * y, -y, -x) }
+      .map { case (x, y) => (y << 8) | (x & 0xff) }
+      .toArray
+  }
+
+  /** Code (1..120) -> scan-line distance at image width `w`; floor 1. */
+  private[graft] def planeDist(code: Int, w: Int): Int = {
+    val packed = DistTable(code - 1)
+    val dx = packed.toByte.toInt
+    val dy = packed >> 8
+    math.max(1, dy * w + dx)
+  }
+
+  /** Inverse mapping for the corpus writer: every distance reachable via
+    * a 2-D code at width `w` -> one code that decodes to it. Largest code
+    * wins, so at narrow widths the writer emits floor-clamped codes
+    * (dy*w+dx < 1 -> distance 1) and pins that decoder rule too.
+    */
+  private[graft] def planeCodesFor(w: Int): Map[Int, Int] =
+    (1 to 120).map(c => planeDist(c, w) -> c).toMap
 
   private def lengthFromSymbol(br: Br, sym: Int): Int = {
     // prefix-coded lengths/distances: symbol -> value with extra bits
@@ -349,9 +379,9 @@ object Vp8lDecoder {
         val dSym = grp.dist.decode(br)
         if (dSym < 0) return None
         val dCode = lengthFromSymbol(br, dSym)
-        // plane (2-D neighborhood) codes 1..120: outside the subset
-        if (dCode <= 120) return None
-        val d = dCode - 120
+        // codes 1..120 are 2-D neighborhood references; above that the
+        // code is the scan-line distance + 120
+        val d = if (dCode > 120) dCode - 120 else planeDist(dCode, w)
         if (d <= 0 || d > i || i + len > n) return None
         var k = 0
         while (k < len) {

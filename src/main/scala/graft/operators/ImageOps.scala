@@ -153,13 +153,19 @@ object ImageOps {
 
   def imageHashesCached(spark: SparkSession, media: DataFrame,
       key: String): DataFrame = synchronized {
+    // scope the key to the session: a later SparkSession in the same JVM
+    // (old one stopped) must not receive a DataFrame bound to the dead
+    // session, and a regenerated dir under a fresh session re-decodes
+    val sessionKey = spark.sparkContext.applicationId + "|" + key
     hashCache match {
-      case Some((k, df)) if k == key => df
+      case Some((k, df)) if k == sessionKey && (df.sparkSession eq spark) => df
       case prev =>
-        prev.foreach(_._2.unpersist())
+        // only safe to unpersist through a live session; a dead entry's
+        // blocks died with its context
+        prev.filter(_._2.sparkSession eq spark).foreach(_._2.unpersist())
         val df = imageHashes(spark, media)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        hashCache = Some((key, df))
+        hashCache = Some((sessionKey, df))
         df
     }
   }

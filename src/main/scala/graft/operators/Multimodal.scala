@@ -78,7 +78,7 @@ object Multimodal {
             case Magic.Kind.Webp => graft.kernel.WebpKernel.extract(bytes)
             case Magic.Kind.Tiff => graft.kernel.TiffKernel.extract(bytes)
             case Magic.Kind.Mp4  => graft.kernel.Mp4Kernel.extract(bytes)
-            case Magic.Kind.Heic | Magic.Kind.Avif =>
+            case Magic.Kind.Heic | Magic.Kind.Heif | Magic.Kind.Avif =>
               graft.kernel.HeifKernel.extract(bytes)
             case _               => Map.empty
           }
@@ -226,8 +226,10 @@ object Multimodal {
             samples.indices.by(stride).map { i =>
               val sm = samples(i)
               var s = 0L
-              var p = sm.offset
-              val end = math.min(sm.offset + sm.size, bytes.length.toLong)
+              // clamp both ends: a crafted/truncated table must degrade
+              // (checksum over the in-file range only), never throw
+              var p = math.max(0L, sm.offset)
+              val end = math.min(math.max(p, sm.offset + sm.size), bytes.length.toLong)
               while (p < end) { s += (bytes(p.toInt) & 0xff); p += 1 }
               (ref, i, s, sm.tsMs, sm.offset, sm.size, sm.keyframe)
             }

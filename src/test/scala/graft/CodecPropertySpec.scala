@@ -105,6 +105,17 @@ object CodecPropertySpec extends Properties("graft.codecs") {
         }
     }
 
+  property("VP8L 2-D distance codes round-trip exact: transforms x cache") =
+    forAll(dims, SGen.oneOf(false, true), SGen.oneOf(0, 4)) {
+      case ((w, h, seed), sg, cb) =>
+        val spec = WebpWriterEx.Spec(w, h, seed, use2dDist = true,
+          subtractGreen = sg, cacheBits = cb)
+        Vp8lDecoder.decode(WebpWriterEx.write(spec)) match {
+          case None => false
+          case Some(img) => java.util.Arrays.equals(img.data, WebpWriterEx.plane(spec))
+        }
+    }
+
   property("VP8L palette round-trip exact: every bundling width") =
     forAll(dims, SGen.oneOf(2, 3, 4, 5, 11, 16, 17, 64, 256)) {
       case ((w, h, seed), size) =>

@@ -1122,9 +1122,12 @@ class KernelSpec extends AnyFunSuite {
     val aout = Extract.extractBytes("avif", avif, Extract.Options())
     assert(aout.contentType == "image/avif")
     assert(aout.metadata("Image Width") == "1280 pixels")
-    // mif1 brand also routes to heic; plain mp4 brands do NOT
-    assert(Magic.sniff(HeifWriter.write(HeifWriter.Spec("mif1", 8, 8))) ==
-      Magic.Kind.Heic)
+    // mif1/msf1 are generic HEIF brands -> image/heif (Tika parity);
+    // plain mp4 brands do NOT route to the still-image kinds
+    val mif = HeifWriter.write(HeifWriter.Spec("mif1", 8, 8))
+    assert(Magic.sniff(mif) == Magic.Kind.Heif)
+    assert(Extract.extractBytes("m.heif", mif,
+      Extract.Options()).contentType == "image/heif")
     import graft.corpus.Mp4Writer
     assert(Magic.sniff(Mp4Writer.write(
       Mp4Writer.Spec("isom", 1000, 1000L, 64, 64))) == Magic.Kind.Mp4)

@@ -278,13 +278,47 @@ class PixelDecodeSpec extends AnyFunSuite {
         WebpWriterEx.Spec(44, 30, 28, metaGroups = 3, metaGroupBits = 2,
           subtractGreen = true, predictor = true, predSizeBits = 3),
       "meta groups + palette" -> WebpWriterEx.Spec(35, 21, 29,
-        useLz77 = false, paletteSize = 9, metaGroups = 2, metaGroupBits = 2))) {
+        useLz77 = false, paletteSize = 9, metaGroups = 2, metaGroupBits = 2),
+      // 2-D plane distance codes: vertical (dy>0) refs planted; a wrong
+      // neighborhood table or dy*w+dx mapping cannot round-trip
+      "2-D distance codes" -> WebpWriterEx.Spec(33, 25, 30, use2dDist = true),
+      "2-D distances + cache" -> WebpWriterEx.Spec(41, 28, 31,
+        use2dDist = true, cacheBits = 5),
+      "2-D distances + SG + predictor" -> WebpWriterEx.Spec(37, 26, 32,
+        use2dDist = true, subtractGreen = true, predictor = true,
+        predSizeBits = 3),
+      "2-D distances + meta groups" -> WebpWriterEx.Spec(45, 30, 33,
+        use2dDist = true, metaGroups = 3, metaGroupBits = 2),
+      "2-D distances narrow (dist floor 1)" -> WebpWriterEx.Spec(5, 24, 34,
+        use2dDist = true))) {
     test(s"VP8L transform round-trip: $label (lossless, exact)") {
       val img = graft.kernel.Vp8lDecoder.decode(WebpWriterEx.write(spec))
         .getOrElse(fail(label))
       assert(img.width == spec.width && img.height == spec.height && img.channels == 4)
       assert(java.util.Arrays.equals(img.data, WebpWriterEx.plane(spec)), label)
     }
+  }
+
+  test("VP8L: generated 2-D distance table matches the spec's published entries") {
+    // spec table prefix/suffix (packed (dy<<8)|(dx&0xff)); the full 120
+    // entries are the closed-form set, pinned here at both ends plus the
+    // d²=25 tie-break group (0,5),(3,4),(-3,4),(4,3),(-4,3),(5,0)
+    def pk(x: Int, y: Int): Int = (y << 8) | (x & 0xff)
+    val t = graft.kernel.Vp8lDecoder.DistTable
+    assert(t.length == 120)
+    assert(t.take(10).toSeq == Seq(pk(0, 1), pk(1, 0), pk(1, 1), pk(-1, 1),
+      pk(0, 2), pk(2, 0), pk(1, 2), pk(-1, 2), pk(2, 1), pk(-2, 1)))
+    assert(t.slice(34, 40).toSeq == Seq(pk(0, 5), pk(3, 4), pk(-3, 4),
+      pk(4, 3), pk(-4, 3), pk(5, 0)))
+    assert(t.slice(96, 101).toSeq == Seq(pk(8, 0), pk(4, 7), pk(-4, 7),
+      pk(7, 4), pk(-7, 4)))
+    assert(t.last == pk(8, 7) && t(118) == pk(8, 6) && t(117) == pk(-7, 7))
+    // mapping semantics: dist = dy*w + dx, floored at 1
+    assert(graft.kernel.Vp8lDecoder.planeDist(1, 40) == 40)  // (0,1)
+    assert(graft.kernel.Vp8lDecoder.planeDist(2, 40) == 1)   // (1,0)
+    assert(graft.kernel.Vp8lDecoder.planeDist(4, 40) == 39)  // (-1,1)
+    assert(graft.kernel.Vp8lDecoder.planeDist(120, 5) == 5 * 7 + 8) // (8,7)
+    assert(graft.kernel.Vp8lDecoder.planeDist(10, 2) == 1)   // (-2,1) floors
   }
 
   test("VP8L: metadata-tier WebpWriter payloads reject cleanly (None, no throw)") {
