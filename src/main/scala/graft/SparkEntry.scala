@@ -306,7 +306,9 @@ object SparkEntry {
 
     // ---- dedup suite (oracled)
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
-    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docsWithDups(s, dir), 0.5)),
+    // the verified pairs are shared with the two cluster queries below
+    // through a keyed one-slot persist (compute once, reuse twice)
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshCached(docsWithDups(s, dir), 0.5, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docsWithDups(s, dir))),
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docsWithDups(s, dir), 0.5)),
@@ -337,11 +339,11 @@ object SparkEntry {
     "curate_filter" -> ((s, dir) =>
       Curation.filterPipeline(docsWithDups(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
-      Curation.dupClusters(Dedup.minhashLsh(docsWithDups(s, dir), 0.5))),
+      Curation.dupClusters(Dedup.minhashLshCached(docsWithDups(s, dir), 0.5, dir))),
     // fixpoint mode (connected components): converges for ANY diameter;
     // oracled via a DuckDB recursive-CTE transitive closure
     "dedup_clusters_fix" -> ((s, dir) =>
-      Curation.dupClustersFixpoint(Dedup.minhashLsh(docsWithDups(s, dir), 0.5))),
+      Curation.dupClustersFixpoint(Dedup.minhashLshCached(docsWithDups(s, dir), 0.5, dir))),
 
     // ---- text analysis (oracled except langid)
     "text_quality" -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),

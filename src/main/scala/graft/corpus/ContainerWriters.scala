@@ -129,6 +129,46 @@ object ArchiveWriter {
     out.toByteArray
   }
 
+  /** Rewrite a classic zip into the ZIP64 layout: an EOCD64 record plus
+    * locator inserted before the EOCD, whose central-directory offset
+    * field is forced to the 0xffffffff sentinel — the shape large
+    * real-world archives carry. Local headers are untouched (so
+    * ZipInputStream extraction is unchanged); only EOCD64-aware
+    * classification (Magic's D1+5 routing) can find the central
+    * directory.
+    */
+  def toZip64(zip: Array[Byte]): Array[Byte] = {
+    var e = zip.length - 22
+    while (e > 0 && !(zip(e) == 'P' && zip(e + 1) == 'K' && zip(e + 2) == 5 &&
+      zip(e + 3) == 6)) e -= 1
+    require(e > 0, "no EOCD")
+    def u32(p: Int): Long = (zip(p) & 0xffL) | ((zip(p + 1) & 0xffL) << 8) |
+      ((zip(p + 2) & 0xffL) << 16) | ((zip(p + 3) & 0xffL) << 24)
+    val cdOff = u32(e + 16)
+    val cdSize = u32(e + 12)
+    val nEntries = (zip(e + 10) & 0xff) | ((zip(e + 11) & 0xff) << 8)
+    val out = new ByteArrayOutputStream()
+    out.write(zip, 0, e)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def w64(v: Long): Unit = (0 until 8).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    // EOCD64 record (PK\6\6) at offset e
+    out.write('P'); out.write('K'); out.write(6); out.write(6)
+    w64(44L)          // size of the record remainder
+    w16(45); w16(45)  // version made by / needed
+    w32(0L); w32(0L)  // this disk / cd start disk
+    w64(nEntries.toLong); w64(nEntries.toLong)
+    w64(cdSize); w64(cdOff)
+    // EOCD64 locator (PK\6\7)
+    out.write('P'); out.write('K'); out.write(6); out.write(7)
+    w32(0L); w64(e.toLong); w32(1L)
+    // classic EOCD with the sentinel CD offset
+    out.write(zip, e, 16)
+    w32(0xffffffffL)
+    out.write(zip(e + 20)); out.write(zip(e + 21)) // comment length (0)
+    out.toByteArray
+  }
+
   /** ustar tar of regular-file members (deterministic mtime). */
   def writeTar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()

@@ -114,8 +114,8 @@ object Gen {
   }
 
   private def pickLang(rng: SplittableRandom): String = {
-    val r = rng.nextInt(19)
-    if (r < 4) "en" else TextGen.languages(r - 3) // en ~1/5, 15 others equal
+    val r = rng.nextInt(24)
+    if (r < 4) "en" else TextGen.languages(r - 3) // en ~1/6, 20 others equal
   }
 
   /** One input span + its side-media + its expected output spans. */
@@ -164,6 +164,22 @@ object Gen {
         case 1 => "aes"
         case 2 => "aes256"
         case _ => ""
+      },
+      // ~1-in-2 modern layout (predictor-coded xref stream — the real
+      // producer default); LZW-coded xref on a slice of those
+      xrefStream = rng.nextBoolean(),
+      xrefFilter = rng.nextInt(6) match {
+        case 0 => "flate"
+        case 1 => "lzw-pred"
+        case _ => "flate-pred"
+      },
+      // content-stream filter breadth: mostly Flate like real producers,
+      // with LZW / ASCII85+Flate / RunLength minorities
+      contentFilter = rng.nextInt(10) match {
+        case 0 => "lzw"
+        case 1 => "a85flate"
+        case 2 => "rl"
+        case _ => "flate"
       })
     val bytes = PdfWriter.write(spec)
     val ref = s"m-$docId-$k"
@@ -177,8 +193,23 @@ object Gen {
       TextGen.titleLine(rng, lang),
       TextGen.titleLine(rng, "en"),
       Vector.tabulate(1 + rng.nextInt(6))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))),
-      pages = 1 + rng.nextInt(4))
-    val bytes = DocxWriter.write(spec)
+      pages = 1 + rng.nextInt(4),
+      // structural breadth: ~1-in-3 carry a table, ~1-in-4 headers/
+      // footers/footnotes (titleLine cells are \t- and \n-free)
+      tables = if (rng.nextInt(3) == 0)
+        Vector.tabulate(1 + rng.nextInt(2))(_ =>
+          Vector.tabulate(2 + rng.nextInt(3))(_ =>
+            Vector.tabulate(2 + rng.nextInt(3))(_ => TextGen.titleLine(rng, lang))))
+      else Vector.empty,
+      headers = if (rng.nextInt(4) == 0) Vector(TextGen.titleLine(rng, lang)) else Vector.empty,
+      footers = if (rng.nextInt(4) == 0) Vector(TextGen.titleLine(rng, lang)) else Vector.empty,
+      footnotes = if (rng.nextInt(4) == 0)
+        Vector.tabulate(1 + rng.nextInt(2))(_ => TextGen.sentence(rng, lang))
+      else Vector.empty)
+    val docxBytes = DocxWriter.write(spec)
+    // ~1-in-8 OOXML docs use the ZIP64 EOCD64 layout, so classification
+    // must route through the EOCD64 locator at sweep scale
+    val bytes = if (rng.nextInt(8) == 0) ArchiveWriter.toZip64(docxBytes) else docxBytes
     val ref = s"m-$docId-$k"
     Piece("docx", Span("docx", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
@@ -663,7 +694,18 @@ object Gen {
   private def zipPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
     val n = 2 + rng.nextInt(3)
     val members = Vector.tabulate(n) { m =>
-      if (rng.nextBoolean()) {
+      if (rng.nextInt(5) == 0) {
+        // ~1-in-5 members are a NESTED archive (zip-in-zip / tar-in-zip):
+        // the depth-2 tier real lakes exercise
+        val innerText = TextGen.paragraph(rng, lang, 1 + rng.nextInt(2))
+        val innerBytes = innerText.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (rng.nextBoolean())
+          (s"member$m.zip",
+            ArchiveWriter.writeZip(Seq(s"inner$m.txt" -> innerBytes)), innerText)
+        else
+          (s"member$m.tar",
+            ArchiveWriter.writeTar(Seq(s"inner$m.txt" -> innerBytes)), innerText)
+      } else if (rng.nextBoolean()) {
         val text = TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))
         (s"member$m.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8), text)
       } else {
@@ -678,7 +720,9 @@ object Gen {
           HtmlWriter.expectedBlocks(spec).mkString("\n\n"))
       }
     }
-    val bytes = ArchiveWriter.writeZip(members.map(m => (m._1, m._2)))
+    val classic = ArchiveWriter.writeZip(members.map(m => (m._1, m._2)))
+    // ~1-in-6 archives use the ZIP64 EOCD64 layout (large-archive shape)
+    val bytes = if (rng.nextInt(6) == 0) ArchiveWriter.toZip64(classic) else classic
     val expected = members.map(_._3).filter(_.nonEmpty).mkString("\n\n")
     val ref = s"m-$docId-$k"
     Piece("zip", Span("zip", null, ref, -1),

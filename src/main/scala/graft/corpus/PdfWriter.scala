@@ -27,7 +27,18 @@ object PdfWriter {
       // "" = plain; "rc4-40" = V1/R2, "rc4" = V2/R3 128-bit,
       // "aes" = V4/R4 AESV2 — all with EMPTY user+owner passwords
       // (PdfKernel must open them transparently)
-      encrypt: String = "")
+      encrypt: String = "",
+      // true: modern layout — a /Type /XRef cross-reference stream
+      // instead of the classic table (the shape virtually all current
+      // producers emit); xrefFilter picks its coding:
+      //   "flate-pred" = FlateDecode + PNG Up row predictor (default),
+      //   "flate"      = FlateDecode, no predictor,
+      //   "lzw-pred"   = LZWDecode + PNG Up row predictor
+      xrefStream: Boolean = false,
+      xrefFilter: String = "flate-pred",
+      // content-stream coding: "flate" | "lzw" | "a85flate" (ASCII85
+      // over Flate, a two-filter cascade) | "rl" (RunLength)
+      contentFilter: String = "flate")
 
   /** The text PdfKernel is expected to extract from write(spec). */
   def expectedText(spec: Spec): String = {
@@ -92,7 +103,16 @@ object PdfWriter {
     // embedded image paint: q/cm/Do/Q has no text effect (interpreter
     // ignores Do), so expectedText is unchanged
     if (spec.imageSeed != 0) cs.append("q 144 0 0 108 72 24 cm /Im1 Do Q\n")
-    val content = deflate(cs.toString.getBytes(StandardCharsets.ISO_8859_1))
+    val csBytes = cs.toString.getBytes(StandardCharsets.ISO_8859_1)
+    val (content, contentFilterDecl) = spec.contentFilter match {
+      case "flate"    => (deflate(csBytes), "/Filter /FlateDecode")
+      case "lzw"      => (lzwEncode(csBytes), "/Filter /LZWDecode")
+      // decode order = declaration order: ASCII85 first, then Flate
+      case "a85flate" => (ascii85Encode(deflate(csBytes)),
+        "/Filter [/ASCII85Decode /FlateDecode]")
+      case "rl"       => (rleEncode(csBytes), "/Filter /RunLengthDecode")
+      case other      => throw new IllegalArgumentException(s"contentFilter=$other")
+    }
 
     // ToUnicode CMap (bfranges, singleton form like the fixture).
     val cmap = {
@@ -194,7 +214,7 @@ object PdfWriter {
     obj {
       val enc = encStream(6, content)
       val b = new ByteArrayOutputStream()
-      b.write(s2b(s"6 0 obj\n<< /Length ${enc.length} /Filter /FlateDecode >>\nstream\n"))
+      b.write(s2b(s"6 0 obj\n<< /Length ${enc.length} $contentFilterDecl >>\nstream\n"))
       b.write(enc)
       b.write(s2b("\nendstream\nendobj\n"))
       b.toByteArray
@@ -235,13 +255,169 @@ object PdfWriter {
     val idTrailer =
       if (crypt.isDefined) s" /ID [<$idHex><$idHex>]" else ""
     val xrefPos = out.size()
-    val xref = new StringBuilder
-    xref.append(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
-    offsets.foreach(o => xref.append(f"$o%010d 00000 n %n"))
-    xref.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 2 0 R /Info 1 0 R" +
-      s"$encTrailer$idTrailer >>\n")
-    xref.append(s"startxref\n$xrefPos\n%%EOF\n")
-    out.write(s2b(xref.toString))
+    if (spec.xrefStream) {
+      // modern layout: a /Type /XRef stream indexes every object
+      // including itself; W = [1 4 2] (type / offset / gen). XRef
+      // streams are never encrypted (ISO 32000 §7.5.8.2).
+      val xrefNum = offsets.length + 1
+      val size = xrefNum + 1
+      val rowBytes = 7
+      val rows = new Array[Byte](size * rowBytes)
+      def putRow(idx: Int, t: Int, f2: Long, f3: Int): Unit = {
+        val base = idx * rowBytes
+        rows(base) = t.toByte
+        rows(base + 1) = ((f2 >> 24) & 0xff).toByte
+        rows(base + 2) = ((f2 >> 16) & 0xff).toByte
+        rows(base + 3) = ((f2 >> 8) & 0xff).toByte
+        rows(base + 4) = (f2 & 0xff).toByte
+        rows(base + 5) = ((f3 >> 8) & 0xff).toByte
+        rows(base + 6) = (f3 & 0xff).toByte
+      }
+      putRow(0, 0, 0L, 0xffff) // free-list head
+      offsets.zipWithIndex.foreach { case (o, i) => putRow(i + 1, 1, o.toLong, 0) }
+      putRow(xrefNum, 1, xrefPos.toLong, 0) // the xref stream itself
+      val (data, filterDecl) = spec.xrefFilter match {
+        case "flate-pred" => (deflate(pngUpFilter(rows, rowBytes)),
+          s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowBytes >>")
+        case "flate" => (deflate(rows), "/Filter /FlateDecode")
+        case "lzw-pred" => (lzwEncode(pngUpFilter(rows, rowBytes)),
+          s"/Filter /LZWDecode /DecodeParms << /Predictor 12 /Columns $rowBytes >>")
+        case other => throw new IllegalArgumentException(s"xrefFilter=$other")
+      }
+      out.write(s2b(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] " +
+        s"$filterDecl /Length ${data.length} /Root 2 0 R /Info 1 0 R" +
+        s"$encTrailer$idTrailer >>\nstream\n"))
+      out.write(data)
+      out.write(s2b(s"\nendstream\nendobj\nstartxref\n$xrefPos\n%%EOF\n"))
+    } else {
+      val xref = new StringBuilder
+      xref.append(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+      offsets.foreach(o => xref.append(f"$o%010d 00000 n %n"))
+      xref.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 2 0 R /Info 1 0 R" +
+        s"$encTrailer$idTrailer >>\n")
+      xref.append(s"startxref\n$xrefPos\n%%EOF\n")
+      out.write(s2b(xref.toString))
+    }
+    out.toByteArray
+  }
+
+  /** Forward PNG Up filter (predictor 12): per row a tag byte 2 plus
+    * row-minus-previous-row bytes — what PdfKernel.applyPredictor must
+    * invert exactly.
+    */
+  private def pngUpFilter(data: Array[Byte], rowBytes: Int): Array[Byte] = {
+    val nRows = data.length / rowBytes
+    val out = new Array[Byte](nRows * (rowBytes + 1))
+    var r = 0
+    while (r < nRows) {
+      out(r * (rowBytes + 1)) = 2
+      var i = 0
+      while (i < rowBytes) {
+        val up = if (r == 0) 0 else data((r - 1) * rowBytes + i) & 0xff
+        out(r * (rowBytes + 1) + 1 + i) = ((data(r * rowBytes + i) & 0xff) - up).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** PDF LZW encoder (EarlyChange 1): MSB-first 9->12-bit codes,
+    * Clear up front, EOD at the end; width bumps one entry early, in
+    * lockstep with PdfKernel.lzwDecode (both freeze the table at 4096).
+    */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2 + 64)
+    var bitBuf = 0L
+    var bitCnt = 0
+    def put(code: Int, width: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    var width = 9
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    def key(p: Int, b: Byte): Long = (p.toLong << 8) | (b & 0xffL)
+    put(256, width) // Clear
+    var prev = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i)
+      if (prev < 0) prev = b & 0xff
+      else {
+        val e = dict.get(key(prev, b))
+        if (e != null) prev = e.intValue()
+        else {
+          put(prev, width)
+          // the decoder's table add lags ONE code behind the encoder's
+          // (it adds this entry on receiving the NEXT code), so with
+          // EarlyChange=1 the encoder bumps at 2^w while the decoder
+          // bumps at its own 2^w - 1 — the same bitstream position
+          if (next < 4096) {
+            dict.put(key(prev, b), next)
+            next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prev = b & 0xff
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) put(prev, width)
+    put(257, width) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** ASCII85 encoder ('z' shorthand for zero groups, '~>' terminator). */
+  private[graft] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i + 4 <= data.length) {
+      var t = 0L
+      var k = 0
+      while (k < 4) { t = (t << 8) | (data(i + k) & 0xffL); k += 1 }
+      if (t == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var j = 4
+        while (j >= 0) { cs(j) = ('!' + (t % 85).toInt).toChar; t /= 85; j -= 1 }
+        sb.appendAll(cs)
+        if ((sb.length & 63) == 0) sb.append('\n') // wrap long lines
+      }
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var t = 0L
+      var k = 0
+      while (k < 4) { t = (t << 8) | (if (k < rem) data(i + k) & 0xffL else 0L); k += 1 }
+      val cs = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { cs(j) = ('!' + (t % 85).toInt).toChar; t /= 85; j -= 1 }
+      sb.appendAll(cs.take(rem + 1))
+    }
+    sb.append("~>")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** RunLengthDecode encoder: literal chunks only (<=128 bytes) + EOD —
+    * valid RLE, no compression needed for a fixture.
+    */
+  private[graft] def rleEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + data.length / 128 + 4)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(128, data.length - i)
+      out.write(n - 1)
+      out.write(data, i, n)
+      i += n
+    }
+    out.write(128) // EOD
     out.toByteArray
   }
 

@@ -10,7 +10,7 @@ object TextGen {
 
   val languages: Vector[String] =
     Vector("en", "de", "fr", "es", "ru", "pt", "it", "nl", "zh", "ja",
-      "da", "fi", "cs", "vi", "sk", "lv")
+      "da", "fi", "cs", "vi", "sk", "lv", "sr", "is", "sq", "gl", "mt")
 
   private val pools: Map[String, (Vector[String], Vector[String])] = Map(
     // (function words — high frequency, content words — low frequency)
@@ -107,7 +107,42 @@ object TextGen {
       Vector("mežs", "ciems", "zirgs", "sniegs", "vakars", "zvani",
         "ezers", "vējš", "pārsla", "solījumi", "māja", "ceļš",
         "miegs", "ziema", "ēna", "laterna", "pļava", "sals", "skaņa",
-        "klusums")))
+        "klusums")),
+    // round-5 breadth: Serbian (Cyrillic ј/љ/њ/ћ/ђ branch), Icelandic
+    // (þ/ð), Albanian (ë density), Galician (es/pt neighbor), Maltese
+    // (ħ/ġ/għ digraphs)
+    "sr" -> (Vector("је", "и", "у", "се", "на", "да", "не", "су", "за",
+      "који", "што", "али", "као", "још", "само", "јер", "када", "где",
+      "ће", "њега"),
+      Vector("шума", "село", "коњ", "снег", "вече", "звона", "језеро",
+        "ветар", "пахуља", "обећања", "кућа", "пут", "сан", "зима",
+        "сенка", "фењер", "ливада", "мраз", "звук", "тишина")),
+    "is" -> (Vector("og", "að", "er", "það", "ég", "þú", "hann", "hún",
+      "við", "ekki", "var", "sem", "til", "með", "fyrir", "um", "þetta",
+      "hvað", "mjög", "þegar"),
+      Vector("skógur", "þorp", "hestur", "snjór", "kvöld", "bjöllur",
+        "vatn", "vindur", "flyksa", "loforð", "hús", "vegur", "svefn",
+        "vetur", "skuggi", "lukt", "engi", "frost", "hljóð", "þögn")),
+    "sq" -> (Vector("dhe", "një", "të", "është", "nuk", "unë", "për",
+      "nga", "në", "kur", "shumë", "pak", "tani", "këtu", "vetëm",
+      "edhe", "ishte", "janë", "kam", "sepse"),
+      Vector("pyll", "fshat", "kalë", "borë", "mbrëmje", "kambana",
+        "liqen", "erë", "dëborë", "premtime", "shtëpi", "rrugë", "gjumë",
+        "dimër", "hije", "fener", "livadh", "ngricë", "zë", "qetësi")),
+    "gl" -> (Vector("unha", "máis", "tamén", "xa", "onde", "moi", "alí",
+      "despois", "cando", "agora", "aquí", "sempre", "nunca", "teño",
+      "miña", "súa", "polo", "pola", "moito", "pouco"),
+      Vector("fraga", "aldea", "cabalo", "neve", "serán", "campás",
+        "lago", "vento", "folerpa", "promesas", "casa", "camiño", "soño",
+        "inverno", "sombra", "farol", "pradeira", "xeada", "son",
+        "calma")),
+    "mt" -> (Vector("li", "ta", "il", "ma", "kif", "meta", "fejn",
+      "ħafna", "ftit", "dejjem", "qatt", "issa", "hawn", "biss", "kien",
+      "din", "dan", "jew", "imma", "ukoll"),
+      Vector("foresta", "raħal", "żiemel", "silġ", "filgħaxija",
+        "qniepen", "għadira", "riħ", "borra", "wegħdiet", "dar", "triq",
+        "ngħas", "xitwa", "dell", "fanal", "mergħa", "ġlata", "ħoss",
+        "skiet")))
 
   /** One sentence: 6..14 words, ~55% function words, capitalized, period. */
   def sentence(rng: SplittableRandom, lang: String): String = {

@@ -14,14 +14,18 @@ object ArchiveKernel {
 
   final case class Result(text: String, metadata: Map[String, String])
 
-  /** Nesting bound: members that are themselves archives extract as
-    * opaque binaries (depth 1). Gzip is a compression wrapper, not a
-    * container — it does NOT consume a depth level, so .tar.gz works.
+  /** Nesting bound: one nested archive level (zip-in-zip, tar-in-zip —
+    * real lakes carry these); an archive at depth 2 extracts as a typed
+    * opaque binary. Gzip is a compression wrapper, not a container — it
+    * does NOT consume a depth level, so .tar.gz works at any level.
     */
-  val MaxDepth = 1
+  val MaxDepth = 2
   val MaxMembers = 256
   /** Total extracted text cap across members (chars): bounds a zip whose
-    * members each inflate to the per-part limit.
+    * members each inflate to the per-part limit. Checked BEFORE each
+    * member extraction (not only at assembly), so a crafted bomb —
+    * 256 members × 256 nested members × per-part inflate — stops paying
+    * extraction cost the moment the budget is hit and degrades to a row.
     */
   val MaxTotalChars: Int = 32 << 20
 
@@ -33,11 +37,12 @@ object ArchiveKernel {
     val parts = Vector.newBuilder[String]
     val names = Vector.newBuilder[String]
     var n = 0
+    var total = 0L
     OoxmlUtil.walkZip(bytes) { (name, read) =>
-      if (n < MaxMembers && !name.endsWith("/")) {
+      if (n < MaxMembers && total <= MaxTotalChars && !name.endsWith("/")) {
         names += name
         n += 1
-        appendMember(parts, read(), opt, depth)
+        total += appendMember(parts, read(), opt, depth)
       }
     }
     assemble(parts.result(), names.result())
@@ -51,7 +56,8 @@ object ArchiveKernel {
     val names = Vector.newBuilder[String]
     var p = 0
     var n = 0
-    while (p + 512 <= bytes.length && n < MaxMembers) {
+    var total = 0L
+    while (p + 512 <= bytes.length && n < MaxMembers && total <= MaxTotalChars) {
       val name = cstr(bytes, p, 100)
       if (name.isEmpty) p = bytes.length // zero block: end of archive
       else {
@@ -64,7 +70,7 @@ object ArchiveKernel {
             names += name
             n += 1
             val member = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + size.toInt)
-            appendMember(parts, member, opt, depth)
+            total += appendMember(parts, member, opt, depth)
           }
           val padded = ((size + 511) / 512) * 512
           p = dataStart + padded.toInt
@@ -108,11 +114,14 @@ object ArchiveKernel {
     } finally in.close()
   }
 
+  /** Extract one member at depth+1; returns the chars contributed so the
+    * caller can stop paying extraction cost once the budget is spent.
+    */
   private def appendMember(parts: scala.collection.mutable.Builder[String, Vector[String]],
-      member: Array[Byte], opt: Extract.Options, depth: Int): Unit = {
+      member: Array[Byte], opt: Extract.Options, depth: Int): Int = {
     val out = Extract.extractBytes("member", member, opt, depth + 1)
     val t = out.content
-    if (t.nonEmpty) parts += t
+    if (t.nonEmpty) { parts += t; t.length } else 0
   }
 
   private def assemble(parts: Vector[String], names: Vector[String]): Result = {

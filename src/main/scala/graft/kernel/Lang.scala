@@ -7,11 +7,13 @@ package graft.kernel
   * reference's OptimaizeLangDetector covers ~70 languages
   * (reference: lib/rika.rb:58-61) — here the breadth tier is script
   * evidence (zh/ja/ko/ar/fa/ur/el/he/th/hi/ta/bn/ka/hy from Unicode
-  * block census; uk/ru/bg separated inside Cyrillic by unique letters
-  * and ъ-as-vowel density) plus function-word + diacritic profiles
-  * for 27 latin-script languages (en/de/fr/es/pt/it/nl/sv/pl/tr/da/no/
-  * fi/cs/hu/ro/id/vi/sk/sl/hr/et/lv/lt/ca/af). Profiles are
-  * compile-time constants held in
+  * block census; uk/ru/bg/sr/mk/be separated inside Cyrillic by unique
+  * letters — ј/љ/њ/џ for the sr/mk branch with ѓ/ќ/ѕ vs ђ/ћ inside it,
+  * ў or і+ы coexistence for Belarusian — and ъ-as-vowel density for
+  * Bulgarian) plus function-word + diacritic profiles for 34
+  * latin-script languages (en/de/fr/es/pt/it/nl/sv/pl/tr/da/no/fi/cs/
+  * hu/ro/id/vi/sk/sl/hr/et/lv/lt/ca/af/is/ga/cy/mt/sq/eu/gl).
+  * Profiles are compile-time constants held in
   * this object — one per JVM/executor, the same memoization the reference
   * does once per process (reference: lib/rika.rb:104-107).
   *
@@ -28,7 +30,8 @@ object Lang {
 
   private val langs = Array("en", "de", "fr", "es", "ru", "pt", "it", "nl",
     "sv", "pl", "tr", "da", "no", "fi", "cs", "hu", "ro", "id", "vi",
-    "sk", "sl", "hr", "et", "lv", "lt", "ca", "af")
+    "sk", "sl", "hr", "et", "lv", "lt", "ca", "af",
+    "is", "ga", "cy", "mt", "sq", "eu", "gl")
 
   private val stop: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "a", "i", "is", "in", "it", "that",
@@ -167,7 +170,44 @@ object Lang {
     "af" -> Set("die", "en", "van", "het", "is", "nie", "ek", "jy",
       "hy", "sy", "ons", "hulle", "maar", "vir", "met", "aan", "ook",
       "baie", "al", "wat", "om", "te", "so", "daar", "gaan", "kan",
-      "sal", "word", "was", "my", "jou", "na", "uit", "oor")
+      "sal", "word", "was", "my", "jou", "na", "uit", "oor"),
+    // round-5 third batch: smaller Latin-script languages. Collision
+    // care as before — shared forms (is og/til, sq me/ne, mt il) pay
+    // into both profiles and the uniques + diacritics break the tie.
+    "is" -> Set("og", "að", "er", "það", "ég", "þú", "hann", "hún",
+      "við", "ekki", "var", "vera", "sem", "til", "með", "fyrir", "um",
+      "þetta", "hvað", "eða", "líka", "mjög", "nú", "þá", "hér", "þar",
+      "alltaf", "aldrei", "yfir", "undir", "eftir", "milli", "þegar"),
+    "ga" -> Set("agus", "tá", "ní", "sé", "sí", "mé", "tú", "ach",
+      "atá", "bhí", "beidh", "seo", "anseo", "ansin", "nuair", "cad",
+      "conas", "freisin", "níl", "gach", "chun", "faoi", "agam", "agat",
+      "aige", "aici", "bheith", "raibh", "dúirt", "sinn", "sibh", "siad",
+      "mar", "le", "go"),
+    "cy" -> Set("mae", "yn", "yr", "gan", "gyda", "heb", "dros", "dan",
+      "wedi", "cyn", "ond", "neu", "hefyd", "iawn", "pan", "ble", "beth",
+      "pam", "sut", "yma", "yna", "bob", "pawb", "dim", "nhw", "oedd",
+      "roedd", "bydd", "fel", "felly", "wrth", "mewn", "hwn", "hon",
+      "chi", "eu"),
+    "mt" -> Set("li", "ta", "il", "fil", "mill", "huwa", "hija", "jien",
+      "int", "aħna", "huma", "kif", "meta", "fejn", "għal", "ukoll",
+      "ħafna", "ftit", "kollox", "xejn", "dejjem", "qatt", "issa",
+      "hawn", "hemm", "biss", "kien", "kienet", "din", "dan", "dawn",
+      "jew", "imma", "għax", "tiegħu", "tagħha"),
+    "sq" -> Set("dhe", "një", "të", "është", "nuk", "unë", "për", "nga",
+      "në", "kur", "çfarë", "pse", "shumë", "pak", "gjithmonë", "kurrë",
+      "tani", "pastaj", "këtu", "atje", "vetëm", "edhe", "ishte", "janë",
+      "kam", "jam", "duke", "mund", "sepse", "ajo", "ata", "ky", "kjo",
+      "por"),
+    "eu" -> Set("eta", "da", "ez", "bat", "hau", "hori", "ni", "zu",
+      "hura", "gu", "zuek", "haiek", "baina", "ere", "oso", "asko",
+      "gutxi", "beti", "inoiz", "orain", "gero", "hemen", "bakarrik",
+      "nola", "noiz", "zer", "zergatik", "dute", "dugu", "duzu", "zen",
+      "izan", "egin", "dira", "gara"),
+    "gl" -> Set("unha", "máis", "tamén", "xa", "onde", "moi", "alí",
+      "hoxe", "mañá", "despois", "cando", "agora", "aquí", "sempre",
+      "nunca", "teño", "facer", "dicir", "miña", "túa", "súa", "polo",
+      "pola", "coa", "ningún", "algún", "dixo", "vai", "moito", "pouco",
+      "estiven", "fixen", "dous", "dúas")
   )
 
   private val diacritics: Map[String, Set[Char]] = Map(
@@ -189,7 +229,11 @@ object Lang {
     "lt" -> Set('ė', 'ų', 'į'),
     "hu" -> Set('ő', 'ű'),      // Hungarian-only double acutes
     "ro" -> Set('ă', 'ș', 'ț'),
-    "vi" -> Set('đ', 'ư', 'ơ')  // pervasive in Vietnamese orthography
+    "vi" -> Set('đ', 'ư', 'ơ'), // pervasive in Vietnamese orthography
+    "is" -> Set('þ', 'ð'),      // thorn/eth: Icelandic-only in this set
+    "cy" -> Set('ŵ', 'ŷ'),      // Welsh circumflex w/y
+    "mt" -> Set('ħ', 'ġ', 'ċ'), // Maltese dotted/barred letters
+    "sq" -> Set('ë', 'ç')       // ë is the most frequent Albanian letter
   )
 
   /** Detect the language of `text`; `und` when undeterminable. */
@@ -210,6 +254,10 @@ object Lang {
                      // a rare separator in Russian (<0.05%)
     var faChars = 0  // پ چ ژ گ (Persian additions to Arabic)
     var urChars = 0  // ٹ ڈ ڑ ں ے (Urdu additions)
+    var srmkChars = 0 // ј љ њ џ: Serbian/Macedonian Cyrillic only
+    var srChars = 0   // ђ ћ: Serbian only
+    var mkChars = 0   // ѓ ќ ѕ: Macedonian only
+    var beChars = 0   // ў: Belarusian only
     var letters = 0
     var i = 0
     while (i < t.length) {
@@ -223,6 +271,10 @@ object Lang {
         if (lc == 'ъ') hardSign += 1
         if (lc == 'پ' || lc == 'چ' || lc == 'ژ' || lc == 'گ') faChars += 1
         if (lc == 'ٹ' || lc == 'ڈ' || lc == 'ڑ' || lc == 'ں' || lc == 'ے') urChars += 1
+        if (lc == 'ј' || lc == 'љ' || lc == 'њ' || lc == 'џ') srmkChars += 1
+        if (lc == 'ђ' || lc == 'ћ') srChars += 1
+        if (lc == 'ѓ' || lc == 'ќ' || lc == 'ѕ') mkChars += 1
+        if (lc == 'ў') beChars += 1
         if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
         else if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)) han += 1
         else if (cp >= 0x3040 && cp <= 0x30ff) kana += 1
@@ -257,6 +309,16 @@ object Lang {
       // VOWEL (~2% of letters in running text — "българ^", "съ^м",
       // "къ^де") where Russian's hard sign is <0.05%; a 1% density
       // with no ru-unique letters is decisive.
+      // ј/љ/њ/џ mark the Serbian/Macedonian branch; within it ѓ/ќ/ѕ are
+      // Macedonian-only, ђ/ћ Serbian-only (ѕ breaks bare-ј ties)
+      if (srmkChars > 0 || srChars > 0 || mkChars > 0) {
+        if (mkChars > srChars) return "mk"
+        return "sr"
+      }
+      // ў is Belarusian-only; so is і coexisting with ы/э (Ukrainian
+      // lacks ы/э, Russian lacks і)
+      if (beChars > 0) return "be"
+      if (ukChars > 0 && ruChars > 0) return "be"
       if (ukChars > 0 && ruChars == 0) return "uk"
       if (ruChars == 0 && ukChars == 0 && hardSign.toDouble / cyr > 0.01)
         return "bg"

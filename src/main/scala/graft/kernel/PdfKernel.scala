@@ -28,6 +28,246 @@ object PdfKernel {
     override def initialValue() = new java.util.zip.Inflater()
   }
 
+  // parse-path telemetry (tests assert modern xref-stream PDFs index via
+  // the validated stream chain, not the brute header scan)
+  val xrefStreamDocs = new java.util.concurrent.atomic.AtomicLong
+  val bruteScanDocs = new java.util.concurrent.atomic.AtomicLong
+
+  // ------------------------------------------------------- stream filters
+
+  private[graft] def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = inflaters.get()
+    inf.reset()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](16384)
+    val maxOut = 256 << 20 // decompression-bomb guard
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val k = inf.inflate(buf)
+        if (k == 0 && !inf.finished()) return out.toByteArray
+        out.write(buf, 0, k)
+        if (out.size() > maxOut)
+          throw new PdfParseException("FlateDecode output exceeds bound")
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException =>
+        throw new PdfParseException("bad FlateDecode stream")
+    } // no end(): the thread-local instance is reused (reset() above)
+  }
+
+  /** PDF LZWDecode (ISO 32000 §7.4.4): MSB-first codes 9->12 bits,
+    * Clear=256/EOD=257, /EarlyChange (default 1) bumps the width one
+    * entry early. Table frozen at 4096 (no implicit reset).
+    */
+  private[graft] def lzwDecode(src: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val Clear = 256; val Eod = 257; val MaxTable = 4096
+    val maxOut = 256 << 20
+    val prefix = new Array[Int](MaxTable)
+    val suffix = new Array[Byte](MaxTable)
+    val stack = new Array[Byte](MaxTable)
+    val out = new java.io.ByteArrayOutputStream(src.length * 3 + 64)
+    var next = 258
+    var width = 9
+    var prev = -1
+    var bitPos = 0
+    val totalBits = src.length * 8
+    var firstByte: Byte = 0
+    def emit(code: Int): Boolean = {
+      var sp = 0
+      var c = code
+      while (c >= 258) {
+        if (sp >= MaxTable || c >= next) return false
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      if (c >= 256) return false
+      firstByte = c.toByte
+      out.write(c)
+      while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+      true
+    }
+    while (bitPos + width <= totalBits) {
+      var code = 0
+      var k = 0
+      while (k < width) {
+        val b = bitPos + k
+        code = (code << 1) | ((src(b >> 3) >> (7 - (b & 7))) & 1)
+        k += 1
+      }
+      bitPos += width
+      if (code == Clear) { next = 258; width = 9; prev = -1 }
+      else if (code == Eod) return out.toByteArray
+      else if (prev == -1) {
+        if (code >= 256) throw new PdfParseException("bad LZW start code")
+        if (!emit(code)) throw new PdfParseException("bad LZW stream")
+        prev = code
+      } else {
+        if (code > next) throw new PdfParseException("bad LZW code")
+        if (code == next) {
+          val saved = firstByte
+          if (!emit(prev)) throw new PdfParseException("bad LZW stream")
+          out.write(saved & 0xff)
+          firstByte = saved
+        } else if (!emit(code)) throw new PdfParseException("bad LZW stream")
+        if (next < MaxTable) {
+          prefix(next) = prev
+          suffix(next) = firstByte
+          next += 1
+          if (next == (1 << width) - earlyChange && width < 12) width += 1
+        }
+        prev = code
+      }
+      if (out.size() > maxOut) throw new PdfParseException("LZW output exceeds bound")
+    }
+    out.toByteArray
+  }
+
+  /** ASCII85Decode: 5 chars '!'..'u' -> 4 bytes, 'z' = 4 zeros, '~'
+    * terminates; whitespace ignored; partial final group padded with 'u'.
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 8)
+    var tuple = 0L
+    var cnt = 0
+    var i = 0
+    // skip an optional <~ leader
+    if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') done = true
+      else if (c == 'z' && cnt == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        cnt += 1
+        if (cnt == 5) {
+          out.write(((tuple >> 24) & 0xff).toInt); out.write(((tuple >> 16) & 0xff).toInt)
+          out.write(((tuple >> 8) & 0xff).toInt); out.write((tuple & 0xff).toInt)
+          tuple = 0; cnt = 0
+        }
+      } // anything else (whitespace, stray bytes): skipped
+      i += 1
+    }
+    if (cnt > 1) { // partial group: pad with 'u', emit cnt-1 bytes
+      var k = cnt
+      while (k < 5) { tuple = tuple * 85 + 84; k += 1 }
+      var sh = 24
+      var j = 0
+      while (j < cnt - 1) { out.write(((tuple >> sh) & 0xff).toInt); sh -= 8; j += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** RunLengthDecode: n<128 copy n+1 literals; n>128 repeat next byte
+    * 257-n times; 128 = EOD.
+    */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2 + 8)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xff
+      i += 1
+      if (l == 128) i = data.length
+      else if (l < 128) {
+        val n = math.min(l + 1, data.length - i)
+        out.write(data, i, n)
+        i += n
+      } else if (i < data.length) {
+        val b = data(i) & 0xff
+        i += 1
+        var k = 0
+        while (k < 257 - l) { out.write(b); k += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** /Predictor post-processing (ISO 32000 §7.4.4.4): 2 = TIFF
+    * horizontal differencing, 10..15 = PNG row filters (each row carries
+    * its own tag byte, so every PNG value decodes the same way).
+    * Predictor-coded xref streams are the modern-producer default.
+    */
+  private[graft] def applyPredictor(data: Array[Byte], predictor: Int,
+      colors: Int, bpc: Int, columns: Int): Array[Byte] = {
+    if (predictor <= 1 || colors < 1 || bpc < 1 || columns < 1) return data
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
+    val rowBytes = (columns * colors * bpc + 7) / 8
+    if (rowBytes <= 0) return data
+    if (predictor == 2) {
+      if (bpc != 8) return data // sub-byte TIFF differencing: pass through
+      val out = data.clone()
+      var base = 0
+      while (base + rowBytes <= out.length) {
+        var i = bpp
+        while (i < rowBytes) { out(base + i) = (out(base + i) + out(base + i - bpp)).toByte; i += 1 }
+        base += rowBytes
+      }
+      out
+    } else {
+      val stride = rowBytes + 1
+      val nRows = data.length / stride
+      val out = new Array[Byte](nRows * rowBytes)
+      val prevRow = new Array[Byte](rowBytes)
+      var r = 0
+      while (r < nRows) {
+        val tag = data(r * stride) & 0xff
+        val src = r * stride + 1
+        val dst = r * rowBytes
+        var i = 0
+        while (i < rowBytes) {
+          val raw = data(src + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = prevRow(i) & 0xff
+          val ul = if (i >= bpp) prevRow(i - bpp) & 0xff else 0
+          val v = tag match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + ((left + up) / 2)
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case _ => raw
+          }
+          out(dst + i) = v.toByte
+          i += 1
+        }
+        System.arraycopy(out, dst, prevRow, 0, rowBytes)
+        r += 1
+      }
+      out
+    }
+  }
+
+  /** The full filter pipeline over a raw stream payload (filters applied
+    * in declaration order, /DecodeParms entry i paired with filter i;
+    * abbreviated names per §7.4 Table 6). Unknown filters pass through
+    * (best effort, same as before).
+    */
+  private[graft] def decodeFilters(data0: Array[Byte], filters: Seq[String],
+      parms: Seq[Map[String, Int]]): Array[Byte] =
+    filters.zipWithIndex.foldLeft(data0) { case (data, (f, i)) =>
+      val p = if (i < parms.length) parms(i) else Map.empty[String, Int]
+      def pred(d: Array[Byte]): Array[Byte] =
+        applyPredictor(d, p.getOrElse("Predictor", 1), p.getOrElse("Colors", 1),
+          p.getOrElse("BitsPerComponent", 8), p.getOrElse("Columns", 1))
+      f match {
+        case "FlateDecode" | "Fl" => pred(inflate(data))
+        case "LZWDecode" | "LZW"  => pred(lzwDecode(data, p.getOrElse("EarlyChange", 1)))
+        case "ASCIIHexDecode" | "AHx" =>
+          val hex = new String(data, StandardCharsets.ISO_8859_1)
+            .takeWhile(_ != '>').filterNot(_.isWhitespace)
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+        case "ASCII85Decode" | "A85" => ascii85Decode(data)
+        case "RunLengthDecode" | "RL" => runLengthDecode(data)
+        case _ => data // unsupported filter: pass through (best effort)
+      }
+    }
+
   // ---------------------------------------------------------------- model
   sealed trait PObj
   case class PNum(v: Double) extends PObj
@@ -668,19 +908,201 @@ object PdfKernel {
     */
   private final class Doc(val bytes: Array[Byte]) {
     private val raw = new String(bytes, StandardCharsets.ISO_8859_1)
-    // one scan builds both maps (object header offsets + generations)
-    private val (objOffsets, objGens): (Map[Int, Int], Map[Int, Int]) = {
-      val mo = Map.newBuilder[Int, Int]
-      val mg = Map.newBuilder[Int, Int]
-      val re = java.util.regex.Pattern.compile("""(?m)^\s*(\d+)\s+(\d+)\s+obj\b""")
-      val matcher = re.matcher(raw)
-      while (matcher.find()) {
-        val num = matcher.group(1).toInt
-        mo += (num -> matcher.start())
-        mg += (num -> matcher.group(2).toInt)
+
+    // ---- primary index: cross-reference stream chain -------------------
+    // startxref -> /Type /XRef stream(s) (W-column records, Index
+    // sections, /Prev chain), decoded through the real filter pipeline —
+    // including the PNG /Predictor row coding that virtually every
+    // modern producer applies to xref streams. Every type-1 offset is
+    // validated against its "N G obj" header byte-for-byte; ANY mismatch
+    // discards the whole chain (index integrity beats coverage) and the
+    // brute header scan below takes over. Newest-section entries win
+    // across the /Prev chain (incremental updates). Classic xref-table
+    // PDFs intentionally stay on the brute path: it is already robust
+    // for them and needs no table parse.
+
+    /** One xref stream at `off`: (type-1 entries (num, offset, gen),
+      * stream dict, /Prev or -1).
+      */
+    private def parseXrefStreamAt(off: Int): Option[(Seq[(Int, Int, Int)], Map[String, PObj], Long)] = {
+      if (off < 0 || off + 4 >= bytes.length) return None
+      // the offset must land on a "N G obj" header for the stream object
+      val headEnd = raw.indexOf("obj", off)
+      if (headEnd < 0 || headEnd - off > 64) return None
+      val lex = new Lexer(bytes)
+      lex.pos = headEnd + 3
+      lex.next() match {
+        case Some(d: PDict) if d.m.get("Type").contains(PName("XRef")) =>
+          lex.skipWs()
+          if (!raw.startsWith("stream", lex.pos)) return None
+          var p = lex.pos + "stream".length
+          if (p < bytes.length && bytes(p) == '\r'.toByte) p += 1
+          if (p < bytes.length && bytes(p) == '\n'.toByte) p += 1
+          // /Length must be direct here (obj() is not built yet); an
+          // indirect Length falls back to the endstream scan
+          val len = d.m.get("Length") match {
+            case Some(PNum(v)) if v >= 0 => v.toInt
+            case _ =>
+              val e = raw.indexOf("endstream", p)
+              if (e < 0) return None else e - p
+          }
+          val rawData = java.util.Arrays.copyOfRange(bytes, p,
+            math.min(p.toLong + len, bytes.length.toLong).toInt)
+          val filters: Seq[String] = d.m.get("Filter") match {
+            case Some(PName(f)) => Seq(f)
+            case Some(PArr(fs)) => fs.collect { case PName(f) => f }
+            case _              => Seq.empty
+          }
+          def intParms(m: Map[String, PObj]): Map[String, Int] =
+            m.collect { case (k, PNum(x)) => k -> x.toInt }
+          val parms: Seq[Map[String, Int]] =
+            d.m.get("DecodeParms").orElse(d.m.get("DP")) match {
+              case Some(PDict(m)) => Seq(intParms(m))
+              case Some(PArr(ps)) => ps.map {
+                case PDict(m) => intParms(m)
+                case _        => Map.empty[String, Int]
+              }
+              case _ => Seq.empty
+            }
+          val data = PdfKernel.decodeFilters(rawData, filters, parms)
+          val wArr = d.m.get("W") match {
+            case Some(PArr(ws)) => ws.collect { case PNum(v) => v.toInt }
+            case _              => return None
+          }
+          if (wArr.length < 3 || wArr.exists(w => w < 0 || w > 8)) return None
+          val size = d.m.get("Size") match {
+            case Some(PNum(v)) if v > 0 && v < (1 << 24) => v.toInt
+            case _ => return None
+          }
+          val sections: Seq[(Int, Int)] = d.m.get("Index") match {
+            case Some(PArr(xs)) =>
+              val ns = xs.collect { case PNum(v) => v.toInt }
+              if (ns.length % 2 != 0) return None
+              ns.grouped(2).map { g => (g(0), g(1)) }.toSeq
+            case _ => Seq((0, size))
+          }
+          val w1 = wArr(0); val w2 = wArr(1); val w3 = wArr(2)
+          val rec = w1 + w2 + w3
+          if (rec <= 0) return None
+          val entries = Seq.newBuilder[(Int, Int, Int)]
+          var pos = 0
+          sections.foreach { case (start, count) =>
+            if (count < 0 || count > (1 << 24)) return None
+            var k = 0
+            while (k < count && pos + rec <= data.length) {
+              def fld(o: Int, w: Int, dflt: Long): Long =
+                if (w == 0) dflt
+                else {
+                  var v = 0L
+                  var j = 0
+                  while (j < w) { v = (v << 8) | (data(pos + o + j) & 0xff); j += 1 }
+                  v
+                }
+              val t = fld(0, w1, 1L) // absent type field defaults to 1
+              val f2 = fld(w1, w2, 0L)
+              val f3 = fld(w1 + w2, w3, 0L)
+              // type 0 (free) and type 2 (inside an ObjStm) carry no
+              // top-level offset; ObjStm members come in via the lazy
+              // objStmObjects index (the ObjStm itself is type 1)
+              if (t == 1 && f2 >= 0 && f2 < bytes.length)
+                entries += ((start + k, f2.toInt, f3.toInt))
+              pos += rec
+              k += 1
+            }
+          }
+          val prev = d.m.get("Prev") match {
+            case Some(PNum(v)) => v.toLong
+            case _             => -1L
+          }
+          Some((entries.result(), d.m, prev))
+        case _ => None
       }
-      (mo.result(), mg.result())
     }
+
+    /** The object number whose "N G obj" header sits at `off` (-1 if
+      * that is not an object header).
+      */
+    private def headerNumAt(off: Int): Int = {
+      var p = off
+      while (p < bytes.length && (bytes(p) == ' ' || bytes(p) == '\r' ||
+        bytes(p) == '\n' || bytes(p) == '\t')) p += 1
+      var v = 0
+      var any = false
+      while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+        v = v * 10 + (bytes(p) - '0')
+        if (v > (1 << 24)) return -1
+        p += 1
+        any = true
+      }
+      if (!any || p >= bytes.length || bytes(p) != ' ' && bytes(p) != '\r' &&
+        bytes(p) != '\n' && bytes(p) != '\t') return -1
+      v
+    }
+
+    private val xrefIndex: Option[(Map[Int, Int], Map[Int, Int], Map[String, PObj])] =
+      try {
+        val sx = raw.lastIndexOf("startxref")
+        if (sx < 0) None
+        else {
+          var p = sx + "startxref".length
+          while (p < bytes.length && (bytes(p) == ' ' || bytes(p) == '\r' ||
+            bytes(p) == '\n' || bytes(p) == '\t')) p += 1
+          var off = 0L
+          var any = false
+          while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+            off = off * 10 + (bytes(p) - '0')
+            p += 1
+            any = true
+          }
+          if (!any || off >= bytes.length) None
+          else {
+            val offsets = scala.collection.mutable.HashMap[Int, Int]()
+            val gens = scala.collection.mutable.HashMap[Int, Int]()
+            var trailerDict = Map.empty[String, PObj]
+            var cur = off
+            var hops = 0
+            var ok = true
+            val seenOff = scala.collection.mutable.Set[Long]()
+            while (cur >= 0 && hops < 32 && ok && seenOff.add(cur)) {
+              parseXrefStreamAt(cur.toInt) match {
+                case None => ok = false
+                case Some((entries, dict, prevOff)) =>
+                  if (hops == 0) trailerDict = dict
+                  entries.foreach { case (num, o, g) =>
+                    if (!offsets.contains(num)) { offsets(num) = o; gens(num) = g }
+                  }
+                  cur = prevOff
+                  hops += 1
+              }
+            }
+            if (!ok || offsets.isEmpty) None
+            else if (offsets.forall { case (num, o) => headerNumAt(o) == num })
+              Some((offsets.toMap, gens.toMap, trailerDict))
+            else None
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    // index: validated xref-stream chain when available, else one brute
+    // scan building both maps (object header offsets + generations)
+    private val (objOffsets, objGens): (Map[Int, Int], Map[Int, Int]) =
+      xrefIndex match {
+        case Some((offs, gens, _)) =>
+          PdfKernel.xrefStreamDocs.incrementAndGet()
+          (offs, gens)
+        case None =>
+          PdfKernel.bruteScanDocs.incrementAndGet()
+          val mo = Map.newBuilder[Int, Int]
+          val mg = Map.newBuilder[Int, Int]
+          val re = java.util.regex.Pattern.compile("""(?m)^\s*(\d+)\s+(\d+)\s+obj\b""")
+          val matcher = re.matcher(raw)
+          while (matcher.find()) {
+            val num = matcher.group(1).toInt
+            mo += (num -> matcher.start())
+            mg += (num -> matcher.group(2).toInt)
+          }
+          (mo.result(), mg.result())
+      }
     private val cache = scala.collection.mutable.HashMap[Int, PObj]()
 
     // ---- standard security handler (empty user password) --------------
@@ -722,9 +1144,12 @@ object PdfKernel {
           m <- std.get("CFM").collect { case PName(n) => n }
         } yield m
         if (!cfm.contains("AESV3")) return
+        val strf5 = enc.get("StrF").collect { case PName(n) => n }.getOrElse("Identity")
+        if (strf5 != "StdCF" && strf5 != "Identity") return
         PdfCrypt.r6FileKey(str("U"), str("UE")) match {
           case Some(key) =>
-            cryptState = Some(PdfCrypt.Crypt(key, aes = true, v5 = true))
+            cryptState = Some(PdfCrypt.Crypt(key, aes = true, v5 = true,
+              strings = strf5 == "StdCF"))
             encryptedUnsupported = false
             cache.clear()
           case None => () // real password
@@ -736,6 +1161,7 @@ object PdfKernel {
       // V4: crypt filters — only the StdCF/Identity pair with CFM V2
       // (RC4) or AESV2 is supported
       var aes = false
+      var strEncrypted = true
       if (v == 4) {
         val cfm = for {
           cf <- enc.get("CF").collect { case PDict(m) => m }
@@ -749,6 +1175,11 @@ object PdfKernel {
         }
         val stmf = enc.get("StmF").collect { case PName(n) => n }.getOrElse("Identity")
         if (stmf != "StdCF") return
+        // /StrF defaults to Identity (ISO 32000 §7.6.5): strings pass
+        // through verbatim while streams still decrypt with StdCF
+        val strf = enc.get("StrF").collect { case PName(n) => n }.getOrElse("Identity")
+        if (strf != "StdCF" && strf != "Identity") return
+        strEncrypted = strf == "StdCF"
       }
       val encryptMeta = enc.get("EncryptMetadata") match {
         case Some(PBool(b)) => b
@@ -761,9 +1192,16 @@ object PdfKernel {
       val o = str("O")
       val u = str("U")
       if (o.length < 32 || u.length < 16) return
-      val key = PdfCrypt.fileKey(o, num("P", -1), id0, r, lengthBits, encryptMeta)
+      // /P is a signed 32-bit value but real producers write it as the
+      // unsigned equivalent (e.g. 4294963392 for -3904); wrap rather
+      // than let Double→Int saturate to Int.MaxValue (wrong file key)
+      val pVal = enc.get("P") match {
+        case Some(PNum(pv)) => (pv.toLong & 0xffffffffL).toInt
+        case _              => -1
+      }
+      val key = PdfCrypt.fileKey(o, pVal, id0, r, lengthBits, encryptMeta)
       if (!PdfCrypt.verifyEmptyUser(key, r, id0, u)) return // real password
-      cryptState = Some(PdfCrypt.Crypt(key, aes))
+      cryptState = Some(PdfCrypt.Crypt(key, aes, strings = strEncrypted))
       encryptedUnsupported = false
       cache.clear() // re-parse everything through the decryptor
     }
@@ -775,7 +1213,7 @@ object PdfKernel {
       */
     private def decryptObj(c: PdfCrypt.Crypt, n: Int, g: Int, o: PObj): PObj =
       o match {
-        case PStr(b)     => PStr(c.decrypt(n, g, b))
+        case PStr(b)     => if (c.strings) PStr(c.decrypt(n, g, b)) else o
         case PArr(items) => PArr(items.map(decryptObj(c, n, g, _)))
         case PDict(m)    => PDict(m.map { case (k, v) => k -> decryptObj(c, n, g, v) })
         case s @ PStream(d, rawBytes) =>
@@ -828,6 +1266,14 @@ object PdfKernel {
 
     val trailer: PDict = {
       val m = Map.newBuilder[String, PObj]
+      // xref-stream PDFs carry the trailer entries (Root/Info/Encrypt/ID)
+      // in the newest XRef stream dict itself; classic "trailer" blocks
+      // found below override (hybrid/incremental files come later in the
+      // byte stream)
+      xrefIndex.foreach { case (_, _, d) =>
+        m ++= (d -- Seq("Type", "W", "Index", "Length", "Filter",
+          "DecodeParms", "DP", "Prev"))
+      }
       var idx = raw.indexOf("trailer")
       while (idx >= 0) {
         val lex = new Lexer(bytes)
@@ -935,39 +1381,28 @@ object PdfKernel {
         case Some(PArr(fs))   => fs.collect { case PName(f) => f }
         case _                => Seq.empty
       }
-      filters.foldLeft(s.raw) { (data, f) =>
-        f match {
-          case "FlateDecode" => inflate(data)
-          case "ASCIIHexDecode" =>
-            val hex = new String(data, StandardCharsets.ISO_8859_1)
-              .takeWhile(_ != '>').filterNot(_.isWhitespace)
-            val padded = if (hex.length % 2 == 1) hex + "0" else hex
-            padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
-          case _ => data // unsupported filter: pass through (best effort)
+      // /DecodeParms (or legacy /DP): one dict, or an array parallel to
+      // the filter array; values dereferenced to plain ints
+      def intParms(d: PDict): Map[String, Int] =
+        d.m.flatMap { case (k, v) =>
+          deref(v) match {
+            case Some(PNum(x)) => Some(k -> x.toInt)
+            case _             => None
+          }
         }
-      }
-    }
-
-    private def inflate(data: Array[Byte]): Array[Byte] = {
-      val inf = PdfKernel.inflaters.get()
-      inf.reset()
-      inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(data.length * 4)
-      val buf = new Array[Byte](16384)
-      val maxOut = 256 << 20 // decompression-bomb guard
-      try {
-        while (!inf.finished() && !inf.needsInput()) {
-          val k = inf.inflate(buf)
-          if (k == 0 && !inf.finished()) return out.toByteArray
-          out.write(buf, 0, k)
-          if (out.size() > maxOut)
-            throw new PdfParseException("FlateDecode output exceeds bound")
+      val parms: Seq[Map[String, Int]] =
+        deref(s.dict.m.get("DecodeParms").orElse(s.dict.m.get("DP"))
+            .getOrElse(PNull)) match {
+          case Some(d: PDict) => Seq(intParms(d))
+          case Some(PArr(ps)) => ps.map { p =>
+            deref(p) match {
+              case Some(d: PDict) => intParms(d)
+              case _              => Map.empty[String, Int]
+            }
+          }
+          case _ => Seq.empty
         }
-        out.toByteArray
-      } catch {
-        case _: java.util.zip.DataFormatException =>
-          throw new PdfParseException("bad FlateDecode stream")
-      } // no end(): the thread-local instance is reused (reset() above)
+      PdfKernel.decodeFilters(s.raw, filters, parms)
     }
 
     def pages: Vector[PDict] = {

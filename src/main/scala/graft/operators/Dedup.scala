@@ -101,6 +101,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // One-slot cache for the verified minhash-LSH pairs table: three
+  // independent driver queries (dedup_minhash_lsh, dedup_clusters,
+  // dedup_clusters_fix) consume the SAME pairs. A 100 TB pipeline
+  // materializes pairs once and reuses them; mirroring that, the first
+  // consumer computes + persists, later consumers pay only propagation.
+  // Keyed by (applicationId, caller key, threshold) and validated
+  // against the live session (same contract as ImageOps.imageHashesCached).
+  @volatile private var pairsCache: Option[(String, DataFrame)] = None
+
+  def minhashLshCached(docs: DataFrame, threshold: Double,
+      key: String): DataFrame = synchronized {
+    val spark = docs.sparkSession
+    val k = spark.sparkContext.applicationId + "|" + key + "|" + threshold
+    pairsCache match {
+      case Some((ck, df)) if ck == k && (df.sparkSession eq spark) => df
+      case prev =>
+        prev.filter(_._2.sparkSession eq spark).foreach(_._2.unpersist())
+        val df = minhashLsh(docs, threshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairsCache = Some((k, df))
+        df
+    }
+  }
+
   /** Per-doc SimHash signatures, unsorted (building block). */
   def simhashSigs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),

@@ -171,6 +171,52 @@ class KernelSpec extends AnyFunSuite {
       "Het paard en de sneeuw zijn niet voor het dorp, maar voor de winter.") == "nl")
   }
 
+  test("D3: third breadth batch — sr/mk/be Cyrillic, is/ga/cy/mt/sq/eu/gl Latin") {
+    // Serbian: ј/љ/њ/ћ/ђ branch letters, no Macedonian ѓ/ќ/ѕ
+    assert(Lang.detect(
+      "Ово је текст који је написан веома пажљиво, јер ће снег у шуми бити њихов пример.") == "sr")
+    // Macedonian: ѓ/ќ/ѕ present alongside the shared ј/љ/њ
+    assert(Lang.detect(
+      "Ова е текст што ќе биде напишан внимателно, зашто ѓаволски убаво е да се најде ѕвезда над селото.") == "mk")
+    // Belarusian: ў, and і coexisting with ы
+    assert(Lang.detect(
+      "Гэта тэкст на беларускай мове, у якім ёсць шмат слоў і таксама сказаў пра ўсё.") == "be")
+    // the uk/ru/bg fixtures must be unaffected by the new branch
+    assert(Lang.detect("Це текст українською мовою, він має багато слів і речень.") == "uk")
+    assert(Lang.detect("Это текст на русском языке, в нём есть много слов и предложений.") == "ru")
+    assert(Lang.detect(
+      "Това е текст на български език, който съдържа много думи и също така изречения за пример.") == "bg")
+    // Icelandic: þ/ð + unique function words (og/til shared with da/no tie)
+    assert(Lang.detect(
+      "Það er mjög kalt í skóginum þegar ég og þú erum þar með hestinum, en hann var ekki hér.") == "is")
+    // Irish
+    assert(Lang.detect(
+      "Tá an sneachta sa choill agus níl an capall anseo, ach bhí mé ansin nuair a bhí gach rud ciúin.") == "ga")
+    // Welsh
+    assert(Lang.detect(
+      "Mae yr eira yn y goedwig ond nid yw y ceffyl yma, roedd pawb wedi mynd pan oedd hefyd yn oer.") == "cy")
+    // Maltese: ħ/ġ letters + unique function words (il shared with it)
+    assert(Lang.detect(
+      "Dan huwa test bil-kliem ħafna li kien dejjem hawn, imma qatt ma kien hemm silġ fir-raħal issa.") == "mt")
+    // Albanian: ë density + unique function words
+    assert(Lang.detect(
+      "Ky është një tekst me shumë fjalë që nuk ishte këtu, por tani edhe bora në pyll është vetëm e qetë.") == "sq")
+    // Basque
+    assert(Lang.detect(
+      "Hau testu bat da eta ez da oso luzea, baina beti hemen dago elurra basoan, orain eta gero ere bai.") == "eu")
+    // Galician vs Spanish and Portuguese: unha/máis/tamén/xa unique forms
+    assert(Lang.detect(
+      "Isto é un texto en galego, unha chea de palabras, máis tamén moi pouco, xa que agora sempre está aquí e nunca alí.") == "gl")
+    assert(Lang.detect("El bosque y la nieve son de la aldea, sin su caballo.") == "es")
+    assert(Lang.detect(
+      "Este é um texto em português que não tem muitas palavras, mas já foi um exemplo com ele.") == "pt")
+    // Danish/Norwegian regression guard against the Icelandic og/til overlap
+    assert(Lang.detect(
+      "Han ville ikke være i skoven efter aftenen, men hvad med lidt sne og også hesten ud af landsbyen.") == "da")
+    assert(Lang.detect(
+      "Han ville ikke være i skogen etter kvelden, men hva med litt snø og også hesten ut av landsbyen.") == "no")
+  }
+
   // ----------------------------------------------------------------- txt
   test("E1: plain text first line + content type (spec/rika/parser_spec.rb:149-151,225-227)") {
     val out = Extract.extractBytes("txt", fixture("document.txt"), Extract.Options())
@@ -315,6 +361,124 @@ class KernelSpec extends AnyFunSuite {
     assert(out256.content.isEmpty)
   }
 
+  test("E3 filters: LZWDecode / ASCII85 / RunLength content streams round-trip") {
+    import graft.corpus.PdfWriter
+    val stanzas = Vector(Vector("Filter Title"),
+      Vector("first coded line", "second coded line", "third line here"))
+    val base = PdfWriter.Spec("Filter Title", "An Author", stanzas,
+      useKernSpaces = false)
+    for (cf <- Seq("lzw", "a85flate", "rl")) {
+      val bytes = PdfWriter.write(base.copy(contentFilter = cf))
+      val out = PdfKernel.extract(bytes)
+      assert(out.text == PdfWriter.expectedText(base), s"contentFilter=$cf")
+    }
+    // filter primitives round-trip on adversarial shapes
+    val rnd = new java.util.Random(7)
+    for (n <- Seq(0, 1, 3, 255, 4096, 70000)) {
+      val data = new Array[Byte](n)
+      rnd.nextBytes(data)
+      // low-entropy tail grows the LZW table past a width bump
+      if (n >= 4096) java.util.Arrays.fill(data, n / 2, n, 'a'.toByte)
+      assert(java.util.Arrays.equals(
+        PdfKernel.lzwDecode(PdfWriter.lzwEncode(data), 1), data), s"lzw n=$n")
+      assert(java.util.Arrays.equals(
+        PdfKernel.ascii85Decode(PdfWriter.ascii85Encode(data)), data), s"a85 n=$n")
+      assert(java.util.Arrays.equals(
+        PdfKernel.runLengthDecode(PdfWriter.rleEncode(data)), data), s"rle n=$n")
+    }
+    // ASCII85 'z' shorthand for all-zero groups
+    val zeros = new Array[Byte](12)
+    val enc = PdfWriter.ascii85Encode(zeros)
+    assert(new String(enc, "ISO-8859-1").startsWith("zzz"))
+    assert(java.util.Arrays.equals(PdfKernel.ascii85Decode(enc), zeros))
+  }
+
+  test("E3 predictors: PNG row filters and TIFF differencing invert exactly") {
+    val rnd = new java.util.Random(11)
+    val cols = 7
+    val rows = 9
+    val src = new Array[Byte](cols * rows)
+    rnd.nextBytes(src)
+    // forward-filter with each PNG tag (independent spec arithmetic)
+    for (tag <- 0 to 4) {
+      val filtered = new Array[Byte](rows * (cols + 1))
+      for (r <- 0 until rows) {
+        filtered(r * (cols + 1)) = tag.toByte
+        for (i <- 0 until cols) {
+          val raw = src(r * cols + i) & 0xff
+          val left = if (i > 0) src(r * cols + i - 1) & 0xff else 0
+          val up = if (r > 0) src((r - 1) * cols + i) & 0xff else 0
+          val ul = if (r > 0 && i > 0) src((r - 1) * cols + i - 1) & 0xff else 0
+          val predV = tag match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          filtered(r * (cols + 1) + 1 + i) = (raw - predV).toByte
+        }
+      }
+      val out = PdfKernel.applyPredictor(filtered, 10 + tag, 1, 8, cols)
+      assert(java.util.Arrays.equals(out, src), s"png tag $tag")
+    }
+    // TIFF predictor 2: horizontal differencing
+    val diff = src.clone()
+    for (r <- 0 until rows; i <- (cols - 1) to 1 by -1)
+      diff(r * cols + i) = ((src(r * cols + i) & 0xff) - (src(r * cols + i - 1) & 0xff)).toByte
+    assert(java.util.Arrays.equals(PdfKernel.applyPredictor(diff, 2, 1, 8, cols), src))
+  }
+
+  test("E3 xref streams: predictor-coded cross-reference streams index without the brute scan") {
+    import graft.corpus.PdfWriter
+    val stanzas = Vector(Vector("Modern Layout"),
+      Vector("first indexed line", "second indexed line", "third line here"),
+      Vector("another stanza line", "closing line of text", "final words here"))
+    val base = PdfWriter.Spec("Modern Layout", "An Author", stanzas,
+      useKernSpaces = false, xrefStream = true)
+    for (xf <- Seq("flate-pred", "flate", "lzw-pred")) {
+      val bytes = PdfWriter.write(base.copy(xrefFilter = xf))
+      // no classic table, no "trailer" keyword in the file at all
+      val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      assert(!raw.contains("trailer"), xf)
+      val xs0 = PdfKernel.xrefStreamDocs.get()
+      val bs0 = PdfKernel.bruteScanDocs.get()
+      val out = PdfKernel.extract(bytes)
+      assert(out.text == PdfWriter.expectedText(base), s"xrefFilter=$xf")
+      assert(out.metadata("dc:title") == "Modern Layout", xf)
+      // the parse-path counter proves the validated stream chain indexed
+      // the document (not the brute header scan)
+      assert(PdfKernel.xrefStreamDocs.get() == xs0 + 1, s"$xf took the brute path")
+      assert(PdfKernel.bruteScanDocs.get() == bs0, xf)
+    }
+    // encrypted + xref stream: trailer entries come from the XRef dict
+    // (which itself stays unencrypted), content still decrypts
+    for (mode <- Seq("rc4", "aes", "aes256")) {
+      val bytes = PdfWriter.write(base.copy(encrypt = mode))
+      val xs0 = PdfKernel.xrefStreamDocs.get()
+      val out = PdfKernel.extract(bytes)
+      assert(out.text == PdfWriter.expectedText(base), s"xref+$mode")
+      assert(out.metadata("dc:title") == "Modern Layout", s"xref+$mode")
+      assert(PdfKernel.xrefStreamDocs.get() == xs0 + 1, s"xref+$mode path")
+    }
+    // a corrupted offset entry discards the chain -> brute scan still
+    // extracts (robustness over the fast path)
+    val bytes = PdfWriter.write(base)
+    val broken = bytes.clone()
+    // flip a byte inside the deflated xref payload so a validated offset
+    // (or the inflate itself) breaks
+    val braw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val streamAt = braw.indexOf("stream", braw.indexOf("/Type /XRef"))
+    broken(streamAt + 8) = (broken(streamAt + 8) ^ 0x5a).toByte
+    val bs0 = PdfKernel.bruteScanDocs.get()
+    val out = PdfKernel.extract(broken)
+    assert(out.text == PdfWriter.expectedText(base))
+    assert(PdfKernel.bruteScanDocs.get() == bs0 + 1)
+  }
+
   test("RC4 matches the public test vectors (Wikipedia)") {
     import graft.kernel.PdfCrypt
     def hex(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString
@@ -399,6 +563,33 @@ class KernelSpec extends AnyFunSuite {
     assert(out.metadata("meta:page-count") == "1")
     assert(out.metadata("dc:title") == "A simple title")
     assert(out.metadata("meta:word-count") == "127")
+  }
+
+  test("E4+: DOCX tables, headers/footers, footnotes (structural breadth)") {
+    import graft.corpus.DocxWriter
+    val spec = DocxWriter.Spec("Structured Doc", "An Author",
+      Vector("first body paragraph", "second body paragraph"), pages = 1,
+      tables = Vector(
+        Vector(Vector("h1", "h2", "h3"), Vector("a one", "b two", "c three")),
+        Vector(Vector("x", "y"))),
+      headers = Vector("running page header"),
+      footers = Vector("running page footer"),
+      footnotes = Vector("a footnote body", "another note"))
+    val out = Extract.extractBytes("docx", DocxWriter.write(spec), Extract.Options())
+    assert(out.content == DocxWriter.expectedText(spec), out.content)
+    // exact surface: headers, body, rows tab-joined, footnotes, footers
+    assert(out.content ==
+      "running page header\n" +
+      "first body paragraph\nsecond body paragraph\n" +
+      "h1\th2\th3\na one\tb two\tc three\nx\ty\n" +
+      "a footnote body\nanother note\n" +
+      "running page footer\n")
+    // the separator footnote stubs contribute NOTHING (no blank lines)
+    assert(!out.content.contains("\n\n"))
+    // a plain spec is byte-identical to the pre-breadth layout
+    val plain = DocxWriter.Spec("T", "C", Vector("only body"), 1)
+    val pout = Extract.extractBytes("docx", DocxWriter.write(plain), Extract.Options())
+    assert(pout.content == "only body\n")
   }
 
   test("E4: DOCX tabs and breaks become characters") {
@@ -840,16 +1031,31 @@ class KernelSpec extends AnyFunSuite {
     assert(out.metadata("archive:entry-names") == "some/file.txt,other/second.txt")
   }
 
-  test("E17: nested archive beyond depth 1 degrades to opaque, never recurses") {
+  test("E17: one nested archive level extracts; depth 2 degrades to opaque, never recurses") {
     import graft.corpus.ArchiveWriter
+    // zip-in-zip: the nested member's text IS extracted (depth 2 reach)
     val inner = ArchiveWriter.writeZip(Seq(
-      "deep.txt" -> "too deep to see".getBytes("UTF-8")))
+      "deep.txt" -> "one level down".getBytes("UTF-8")))
     val outer = ArchiveWriter.writeZip(Seq(
       "visible.txt" -> "outer text".getBytes("UTF-8"),
       "nested.zip" -> inner))
     val out = Extract.extractBytes("zip", outer, Extract.Options())
-    assert(out.content == "outer text") // nested zip contributes nothing
+    assert(out.content == "outer text\n\none level down")
     assert(out.metadata("archive:entry-count") == "2")
+    // tar-in-zip works the same way
+    val tarInZip = ArchiveWriter.writeZip(Seq(
+      "t.tar" -> ArchiveWriter.writeTar(Seq(
+        "inner.txt" -> "tar member below".getBytes("UTF-8")))))
+    assert(Extract.extractBytes("zip", tarInZip,
+      Extract.Options()).content == "tar member below")
+    // zip-in-zip-in-zip: the third level is opaque (depth bound = 2)
+    val doubly = ArchiveWriter.writeZip(Seq(
+      "top.txt" -> "top text".getBytes("UTF-8"),
+      "mid.zip" -> ArchiveWriter.writeZip(Seq(
+        "mid.txt" -> "mid text".getBytes("UTF-8"),
+        "deep.zip" -> inner))))
+    val out3 = Extract.extractBytes("zip", doubly, Extract.Options())
+    assert(out3.content == "top text\n\nmid text") // level-3 invisible
   }
 
   test("E18: tar.gz opens through the gzip wrapper (gzip costs no depth level)") {
@@ -1137,43 +1343,21 @@ class KernelSpec extends AnyFunSuite {
   }
 
   test("D1 zip64: EOCD64-routed OOXML classifies (CD offset behind the sentinel)") {
-    import graft.corpus.DocxWriter
+    import graft.corpus.{ArchiveWriter, DocxWriter}
     val docx = DocxWriter.write(DocxWriter.Spec("Zip64 Doc", "A",
       Vector("some paragraph text here"), pages = 1))
-    // locate the EOCD and the real central-directory offset
-    var e = docx.length - 22
-    while (!(docx(e) == 'P' && docx(e + 1) == 'K' && docx(e + 2) == 5 && docx(e + 3) == 6))
-      e -= 1
-    def u32(p: Int): Long = (docx(p) & 0xffL) | ((docx(p + 1) & 0xffL) << 8) |
-      ((docx(p + 2) & 0xffL) << 16) | ((docx(p + 3) & 0xffL) << 24)
-    val cdOff = u32(e + 16)
-    val cdSize = u32(e + 12)
-    val nEntries = (docx(e + 10) & 0xff) | ((docx(e + 11) & 0xff) << 8)
-    // rebuild as zip64: [..cd..] EOCD64 locator EOCD(cdOff=ffffffff)
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(docx, 0, e)
-    def w32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
-    def w64(v: Long): Unit = (0 until 8).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
-    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    // EOCD64 record at offset e
-    out.write('P'); out.write('K'); out.write(6); out.write(6)
-    w64(44L)          // size of remainder
-    w16(45); w16(45)  // version made/needed
-    w32(0L); w32(0L)  // this disk / cd disk
-    w64(nEntries.toLong); w64(nEntries.toLong)
-    w64(cdSize); w64(cdOff)
-    // EOCD64 locator
-    out.write('P'); out.write('K'); out.write(6); out.write(7)
-    w32(0L); w64(e.toLong); w32(1L)
-    // EOCD with sentinel offset
-    out.write(docx, e, 16)
-    w32(0xffffffffL)
-    out.write(docx(e + 20)); out.write(docx(e + 21)) // comment length
-    val z64 = out.toByteArray
+    val z64 = ArchiveWriter.toZip64(docx)
+    assert(z64.length == docx.length + 56 + 20) // EOCD64 record + locator
     assert(Magic.sniff(z64) == Magic.Kind.Docx, "zip64 EOCD64 routing")
     // extraction still works (ZipInputStream walks local headers)
     val ext = Extract.extractBytes("docx", z64, Extract.Options())
     assert(ext.content.contains("some paragraph text here"))
+    // a plain zip archive stays routable through the same rewrite
+    val zip = ArchiveWriter.writeZip(Seq("a.txt" -> "zipped text".getBytes("UTF-8")))
+    val zip64 = ArchiveWriter.toZip64(zip)
+    assert(Magic.sniff(zip64) == Magic.Kind.Zip)
+    assert(Extract.extractBytes("zip", zip64, Extract.Options())
+      .content == "zipped text")
     // a truncated locator degrades to None routing, never throws
     Magic.sniff(z64.take(z64.length - 30))
   }
