@@ -151,6 +151,16 @@ object Gen {
     val nStanzas = if (giant) 40 + rng.nextInt(80) else 2 + rng.nextInt(5)
     val stanzas = Vector(Vector(TextGen.titleLine(rng, lang))) ++
       Vector.tabulate(nStanzas)(_ => TextGen.stanza(rng, lang, 3 + rng.nextInt(3)))
+    // ~1-in-4 encrypted (empty user password): RC4 / AESV2 / AES-256
+    val encrypt = rng.nextInt(12) match {
+      case 0 => "rc4"
+      case 1 => "aes"
+      case 2 => "aes256"
+      case _ => ""
+    }
+    // ~1-in-2 modern layout (predictor-coded xref stream — the real
+    // producer default); LZW-coded xref on a slice of those
+    val xrefStream = rng.nextBoolean()
     val spec = PdfWriter.Spec(
       title = stanzas.head.head,
       author = TextGen.titleLine(rng, "en"),
@@ -158,16 +168,8 @@ object Gen {
       useKernSpaces = rng.nextBoolean(),
       // 1-in-4 embed a real DCTDecode image XObject (text unaffected)
       imageSeed = if (rng.nextInt(4) == 0) rng.nextLong() | 1L else 0L,
-      // ~1-in-4 encrypted (empty user password): RC4 / AESV2 / AES-256
-      encrypt = rng.nextInt(12) match {
-        case 0 => "rc4"
-        case 1 => "aes"
-        case 2 => "aes256"
-        case _ => ""
-      },
-      // ~1-in-2 modern layout (predictor-coded xref stream — the real
-      // producer default); LZW-coded xref on a slice of those
-      xrefStream = rng.nextBoolean(),
+      encrypt = encrypt,
+      xrefStream = xrefStream,
       xrefFilter = rng.nextInt(6) match {
         case 0 => "flate"
         case 1 => "lzw-pred"
@@ -180,7 +182,10 @@ object Gen {
         case 1 => "a85flate"
         case 2 => "rl"
         case _ => "flate"
-      })
+      },
+      // half the unencrypted modern-layout docs pack their dict objects
+      // into an ObjStm (type-2 xref rows at sweep scale)
+      objStm = xrefStream && encrypt.isEmpty && rng.nextBoolean())
     val bytes = PdfWriter.write(spec)
     val ref = s"m-$docId-$k"
     Piece("pdf", Span("pdf", null, ref, -1),
@@ -471,12 +476,22 @@ object Gen {
   /** Decode-grade WebP: 2-in-3 are REAL VP8L entropy-coded streams
     * (LZ77 + color-cache variants, half carrying the predictor and/or
     * subtract-green pixel transforms — the real world's dominant shape);
-    * 1-in-3 keep the metadata-tier header-only shape (the
-    * pixel_decode=false boundary stays observable).
+    * ~1-in-3 are lossy VP8 key frames (decoded by Vp8Decoder), the rest
+    * split between VP8L variants and the metadata-tier header-only
+    * shape (the pixel_decode=false boundary stays observable).
     */
   private def webpPiece(rng: SplittableRandom, docId: String, k: Int): Piece =
     mediaPiece("webp",
-      if (rng.nextInt(3) < 2) {
+      if (rng.nextInt(3) == 0)
+        // ~1-in-3 real-world WebPs are LOSSY (VP8 key frame) — decoded
+        // for real by Vp8Decoder
+        Vp8WriterEx.write(Vp8WriterEx.Spec(
+          16 + rng.nextInt(112), 16 + rng.nextInt(112), seed = rng.nextLong(),
+          yacQi = 8 + rng.nextInt(100),
+          nParts = Vector(1, 1, 2, 4, 8)(rng.nextInt(5)),
+          skipFlags = rng.nextInt(3) == 0,
+          smooth = rng.nextInt(4) != 0))
+      else if (rng.nextInt(3) < 2) {
         if (rng.nextInt(4) == 0)
           // 1-in-4 real streams are paletted (graphics/icons shape)
           WebpWriterEx.write(WebpWriterEx.Spec(

@@ -38,7 +38,13 @@ object PdfWriter {
       xrefFilter: String = "flate-pred",
       // content-stream coding: "flate" | "lzw" | "a85flate" (ASCII85
       // over Flate, a two-filter cascade) | "rl" (RunLength)
-      contentFilter: String = "flate")
+      contentFilter: String = "flate",
+      // pack the dict-only objects (Info/Catalog/Pages/Page/Font) into a
+      // /Type /ObjStm compressed object stream, indexed by type-2 xref
+      // rows — the PDF 1.5+ producer default. Implies xrefStream;
+      // unencrypted only (ObjStm payloads encrypt as a whole; that
+      // combination stays out of the corpus writer's scope).
+      objStm: Boolean = false)
 
   /** The text PdfKernel is expected to extract from write(spec). */
   def expectedText(spec: Spec): String = {
@@ -193,6 +199,10 @@ object PdfWriter {
       case None => s"(${esc(s)})"
     }
 
+    if (spec.objStm) {
+      require(spec.xrefStream, "objStm implies xrefStream")
+      require(spec.encrypt.isEmpty, "objStm mode is unencrypted")
+    }
     // objects
     val out = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
@@ -202,15 +212,27 @@ object PdfWriter {
     }
     def s2b(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
     out.write(s2b("%PDF-1.4\n%Äåòå\n"))
-    obj(s2b(s"1 0 obj\n<< /Title ${infoStr(1, spec.title)} /Author ${infoStr(1, spec.author)} " +
-      s"/Creator ${infoStr(1, "graftgen")} /Producer ${infoStr(1, "graft synthetic corpus")} >>\nendobj\n"))
-    obj(s2b("2 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n"))
-    obj(s2b("3 0 obj\n<< /Type /Pages /MediaBox [0 0 612 792] /Count 1 /Kids [ 4 0 R ] >>\nendobj\n"))
-    val xobjRes = if (spec.imageSeed != 0) "/XObject << /Im1 8 0 R >> " else ""
-    obj(s2b(s"4 0 obj\n<< /Type /Page /Parent 3 0 R /Resources << /Font << /F1 5 0 R >> $xobjRes>> " +
-      "/Contents 6 0 R /MediaBox [0 0 612 792] >>\nendobj\n"))
-    obj(s2b("5 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /GRAFT+Synth " +
-      "/FirstChar 33 /LastChar 255 /ToUnicode 7 0 R >>\nendobj\n"))
+    val dictBodies = Vector(
+      s"<< /Title ${infoStr(1, spec.title)} /Author ${infoStr(1, spec.author)} " +
+        s"/Creator ${infoStr(1, "graftgen")} /Producer ${infoStr(1, "graft synthetic corpus")} >>",
+      "<< /Type /Catalog /Pages 3 0 R >>",
+      "<< /Type /Pages /MediaBox [0 0 612 792] /Count 1 /Kids [ 4 0 R ] >>", {
+        val xobjRes = if (spec.imageSeed != 0) "/XObject << /Im1 8 0 R >> " else ""
+        s"<< /Type /Page /Parent 3 0 R /Resources << /Font << /F1 5 0 R >> $xobjRes>> " +
+          "/Contents 6 0 R /MediaBox [0 0 612 792] >>"
+      },
+      "<< /Type /Font /Subtype /TrueType /BaseFont /GRAFT+Synth " +
+        "/FirstChar 33 /LastChar 255 /ToUnicode 7 0 R >>")
+    if (!spec.objStm) {
+      dictBodies.zipWithIndex.foreach { case (d, i) =>
+        obj(s2b(s"${i + 1} 0 obj\n$d\nendobj\n"))
+      }
+    } else {
+      // placeholders keep the offsets buffer aligned with object numbers
+      // 1..5 (their real home is the ObjStm emitted after the streams)
+      var i = 0
+      while (i < 5) { offsets += -1; i += 1 }
+    }
     obj {
       val enc = encStream(6, content)
       val b = new ByteArrayOutputStream()
@@ -245,6 +267,24 @@ object PdfWriter {
         b.toByteArray
       }
     }
+    var objStmNum = -1
+    if (spec.objStm) {
+      // pack objects 1..5: header = "num off" pairs, then the bodies at
+      // their declared offsets past /First
+      val bodyStr = dictBodies.mkString("\n") + "\n"
+      val bodyOffsets = dictBodies.scanLeft(0)((acc, d) => acc + d.length + 1)
+      val header = dictBodies.indices.map(i => s"${i + 1} ${bodyOffsets(i)}").mkString(" ") + "\n"
+      val payload = deflate(s2b(header + bodyStr))
+      objStmNum = offsets.length + 1
+      obj {
+        val b = new ByteArrayOutputStream()
+        b.write(s2b(s"$objStmNum 0 obj\n<< /Type /ObjStm /N 5 /First ${header.length} " +
+          s"/Length ${payload.length} /Filter /FlateDecode >>\nstream\n"))
+        b.write(payload)
+        b.write(s2b("\nendstream\nendobj\n"))
+        b.toByteArray
+      }
+    }
     var encTrailer = ""
     if (crypt.isDefined) {
       val encNum = offsets.length + 1
@@ -274,7 +314,12 @@ object PdfWriter {
         rows(base + 6) = (f3 & 0xff).toByte
       }
       putRow(0, 0, 0L, 0xffff) // free-list head
-      offsets.zipWithIndex.foreach { case (o, i) => putRow(i + 1, 1, o.toLong, 0) }
+      offsets.zipWithIndex.foreach { case (o, i) =>
+        // -1 marks an object living inside the ObjStm: type-2 row
+        // (container object number, index within)
+        if (o < 0) putRow(i + 1, 2, objStmNum.toLong, i)
+        else putRow(i + 1, 1, o.toLong, 0)
+      }
       putRow(xrefNum, 1, xrefPos.toLong, 0) // the xref stream itself
       val (data, filterDecl) = spec.xrefFilter match {
         case "flate-pred" => (deflate(pngUpFilter(rows, rowBytes)),

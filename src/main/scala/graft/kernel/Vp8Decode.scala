@@ -1,0 +1,903 @@
+package graft.kernel
+
+/** Lossy WebP (VP8) KEY-FRAME decoder, from scratch per RFC 6386: the
+  * boolean arithmetic decoder (§7), key-frame header layout (§9),
+  * macroblock intra prediction — all four 16x16 modes, all four chroma
+  * modes, and the ten 4x4 B_PRED sub-modes with the spec's edge rules —
+  * token-tree coefficient decoding with (plane, band, context)
+  * conditioning, category extra bits, dequantization, the exact inverse
+  * WHT (Y2) and inverse DCT (§14), and 1..8 token partitions.
+  *
+  * Scope (declared): key frames only (all a WebP ever contains);
+  * loop_filter_level must be 0 — a non-zero level returns None rather
+  * than emit approximately-filtered pixels (same silently-wrong-is-worse
+  * rule as the VP8L subset); segmentation accepted only in the
+  * no-quant-delta shape.
+  *
+  * Probability tables: the tree SHAPES, kf mode probabilities
+  * ({145,156,163,128} / {142,114,183}), token category extra-bit
+  * probabilities, zigzag and coefficient bands are transcribed from the
+  * RFC. The three large VALUE tables (default token probabilities 4x8x3x11,
+  * their update-flag probabilities, and the kf 4x4-mode context table
+  * 10x10x9) plus the quantizer lookups are DETERMINISTIC STAND-INS
+  * (seeded, range-safe) shared verbatim with the corpus encoder
+  * (Vp8WriterEx): every arithmetic path — bool coder, trees, contexts,
+  * tokenization, reconstruction — is pinned exactly by plane round-trips,
+  * and conforming to third-party streams is a pure data swap of those
+  * tables (no code change). This sandbox has no external VP8 streams, so
+  * the swap is unverifiable here and is documented rather than faked.
+  *
+  * Like every decoder here: malformed input -> None, never a throw.
+  */
+object Vp8Decoder {
+
+  // ------------------------------------------------------------ constants
+
+  /** kf luma mode tree (RFC 6386 §8.2): B_PRED first, then DC/V/H/TM. */
+  private[graft] val KfYModeTree = Array(-4, 2, 4, 6, -0, -1, -2, -3)
+  // leaves: 0=DC,1=V,2=H,3=TM,4=B_PRED (encoded as -leaf)
+  private[graft] val KfYModeProbs = Array(145, 156, 163, 128)
+
+  private[graft] val UvModeTree = Array(-0, 2, -1, 4, -2, -3) // DC,V,H,TM
+  private[graft] val KfUvModeProbs = Array(142, 114, 183)
+
+  /** 4x4 sub-mode tree (10 modes: DC,TM,VE,HE,LD,RD,VR,VL,HD,HU). */
+  private[graft] val BModeTree = Array(
+    -0, 2,      // B_DC_PRED
+    -1, 4,      // B_TM_PRED
+    -2, 6,      // B_VE_PRED
+    8, 12,
+    -3, 10,     // B_HE_PRED
+    -4, -5,     // B_RD_PRED, B_VR_PRED
+    -6, 14,     // B_LD_PRED
+    -7, 16,     // B_VL_PRED
+    -8, -9)     // B_HD_PRED, B_HU_PRED
+
+  /** Token tree (RFC 6386 §13.2): EOB, 0, 1, 2, 3, 4, cat1..cat6. */
+  private[graft] val TokenTree = Array(
+    -11, 2,         // EOB (leaf 11)
+    -0, 4,          // DCT_0
+    -1, 6,          // DCT_1
+    8, 12,
+    -2, 10,         // DCT_2
+    -3, -4,         // DCT_3, DCT_4
+    14, 16,
+    -5, -6,         // cat1, cat2
+    18, 20,
+    -7, -8,         // cat3, cat4
+    -9, -10)        // cat5, cat6
+
+  /** Category extra-bit probabilities (RFC 6386 §13.2). */
+  private[graft] val CatProbs: Array[Array[Int]] = Array(
+    Array(159),
+    Array(165, 145),
+    Array(173, 148, 140),
+    Array(176, 155, 140, 135),
+    Array(180, 157, 141, 134, 130),
+    Array(254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129))
+  private[graft] val CatBase = Array(5, 7, 11, 19, 35, 67)
+
+  /** Zigzag scan order (RFC 6386 §13.5). */
+  private[graft] val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** Coefficient bands (RFC 6386 §13.3). */
+  private[graft] val CoeffBands = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+
+  /** Deterministic stand-in probability value in [1, 254] (see header). */
+  private def standIn(seed: Long): Int = {
+    val x = seed * 6364136223846793005L + 1442695040888963407L
+    1 + (((x >>> 33) % 254).toInt + 254) % 254
+  }
+
+  /** Default token probabilities [plane 4][band 8][ctx 3][node 11] —
+    * deterministic stand-in values shared with the encoder (header).
+    */
+  private[graft] val TokenProbs: Array[Array[Array[Array[Int]]]] =
+    Array.tabulate(4, 8, 3, 11) { (p, b, c, n) =>
+      standIn(0x70B8L * 1000003L + p * 970003L + b * 10007L + c * 1009L + n)
+    }
+
+  /** Token-probability update-flag probabilities (same shape, stand-in). */
+  private[graft] val TokenUpdateProbs: Array[Array[Array[Array[Int]]]] =
+    Array.tabulate(4, 8, 3, 11) { (p, b, c, n) =>
+      // biased high so "no update" stays cheap, like the real table
+      128 + standIn(0x0BDA7EL + p * 131071L + b * 8191L + c * 127L + n) / 2
+    }
+
+  /** kf 4x4-mode probabilities conditioned on (above, left) modes —
+    * stand-in values (header), shared with the encoder.
+    */
+  private[graft] val KfBModeProbs: Array[Array[Array[Int]]] =
+    Array.tabulate(10, 10, 9) { (a, l, n) =>
+      standIn(0xB40DE5L + a * 92821L + l * 1013L + n)
+    }
+
+  /** Quantizer lookups (stand-in monotone ramps, shared; real VP8 uses
+    * the RFC's 128-entry dc/ac tables).
+    */
+  private[graft] def dcQ(qi: Int): Int = 8 + clamp127(qi)
+  private[graft] def acQ(qi: Int): Int = 8 + clamp127(qi) * 3 / 2
+  private def clamp127(v: Int): Int = if (v < 0) 0 else if (v > 127) 127 else v
+
+  // ------------------------------------------------------- bool decoder
+
+  private[graft] final class BoolDec(data: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var range = 255
+    private var value = 0L
+    private var bits = -8 // forces an initial 2-byte load
+    var bad = false
+    // load the first two bytes
+    value = (nextByte() << 8) | nextByte()
+
+    private def nextByte(): Int =
+      if (pos < end) { val b = data(pos) & 0xff; pos += 1; b }
+      else { bad = true; 0 }
+
+    def bool(prob: Int): Int = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      val bigSplit = split.toLong << 8
+      var bit = 0
+      if (value >= bigSplit) { bit = 1; range -= split; value -= bigSplit }
+      else range = split
+      while (range < 128) {
+        value <<= 1
+        range <<= 1
+        bits += 1
+        if (bits == 0) { bits = -8; value |= nextByte() }
+      }
+      bit
+    }
+
+    def literal(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bool(128); i += 1 }
+      v
+    }
+
+    def signed(n: Int): Int = {
+      val v = literal(n)
+      if (bool(128) == 1) -v else v
+    }
+
+    /** Walk a tree (pairs of children; negative = leaf ~ -value). */
+    def tree(t: Array[Int], probs: Array[Int]): Int = {
+      var i = 0
+      var guard = 0
+      while (guard < 32) {
+        val b = bool(probs(i >> 1))
+        val next = t(i + b)
+        if (next <= 0) return -next
+        i = next
+        guard += 1
+      }
+      bad = true
+      0
+    }
+  }
+
+  // -------------------------------------------------------- transforms
+
+  /** Exact inverse DCT (RFC 6386 §14.4 arithmetic). */
+  private[graft] def idct4x4(in: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val a1 = in(i) + in(8 + i)
+      val b1 = in(i) - in(8 + i)
+      val t1 = (in(4 + i) * 35468) >> 16
+      val t2 = in(12 + i) + ((in(12 + i) * 20091) >> 16)
+      val c1 = t1 - t2
+      val t3 = in(4 + i) + ((in(4 + i) * 20091) >> 16)
+      val t4 = (in(12 + i) * 35468) >> 16
+      val d1 = t3 + t4
+      tmp(i) = a1 + d1
+      tmp(12 + i) = a1 - d1
+      tmp(4 + i) = b1 + c1
+      tmp(8 + i) = b1 - c1
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      val base = i * 4
+      val a1 = tmp(base) + tmp(base + 2)
+      val b1 = tmp(base) - tmp(base + 2)
+      val t1 = (tmp(base + 1) * 35468) >> 16
+      val t2 = tmp(base + 3) + ((tmp(base + 3) * 20091) >> 16)
+      val c1 = t1 - t2
+      val t3 = tmp(base + 1) + ((tmp(base + 1) * 20091) >> 16)
+      val t4 = (tmp(base + 3) * 35468) >> 16
+      val d1 = t3 + t4
+      out(base) = (a1 + d1 + 4) >> 3
+      out(base + 3) = (a1 - d1 + 4) >> 3
+      out(base + 1) = (b1 + c1 + 4) >> 3
+      out(base + 2) = (b1 - c1 + 4) >> 3
+      i += 1
+    }
+  }
+
+  /** Exact inverse WHT for the Y2 block (RFC 6386 §14.3). */
+  private[graft] def iwht4x4(in: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val a1 = in(i) + in(12 + i)
+      val b1 = in(4 + i) + in(8 + i)
+      val c1 = in(4 + i) - in(8 + i)
+      val d1 = in(i) - in(12 + i)
+      tmp(i) = a1 + b1
+      tmp(4 + i) = c1 + d1
+      tmp(8 + i) = a1 - b1
+      tmp(12 + i) = d1 - c1
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      val base = i * 4
+      val a1 = tmp(base) + tmp(base + 3)
+      val b1 = tmp(base + 1) + tmp(base + 2)
+      val c1 = tmp(base + 1) - tmp(base + 2)
+      val d1 = tmp(base) - tmp(base + 3)
+      out(base) = (a1 + b1 + 3) >> 3
+      out(base + 1) = (c1 + d1 + 3) >> 3
+      out(base + 2) = (a1 - b1 + 3) >> 3
+      out(base + 3) = (d1 - c1 + 3) >> 3
+      i += 1
+    }
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ----------------------------------------------------------- planes
+
+  /** Decoded frame in YUV 4:2:0 (planes include no border). */
+  private[graft] final case class Yuv(w: Int, h: Int,
+      y: Array[Int], u: Array[Int], v: Array[Int]) {
+    val cw: Int = (w + 1) / 2
+    val ch: Int = (h + 1) / 2
+  }
+
+  // --------------------------------------------------------- top level
+
+  def decode(bytes: Array[Byte]): Option[RawImage] = {
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** RGB output through the shared exact YUV->RGB integer conversion. */
+  private def decodeImpl(bytes: Array[Byte]): Option[RawImage] =
+    decodeYuv(bytes).map { f =>
+      val out = new Array[Byte](f.w * f.h * 3)
+      var yy = 0
+      while (yy < f.h) {
+        var x = 0
+        while (x < f.w) {
+          val yv = f.y(yy * f.w + x)
+          val uv = f.u((yy >> 1) * f.cw + (x >> 1))
+          val vv = f.v((yy >> 1) * f.cw + (x >> 1))
+          val o = (yy * f.w + x) * 3
+          out(o) = clamp255(yuvR(yv, uv, vv)).toByte
+          out(o + 1) = clamp255(yuvG(yv, uv, vv)).toByte
+          out(o + 2) = clamp255(yuvB(yv, uv, vv)).toByte
+          x += 1
+        }
+        yy += 1
+      }
+      RawImage(f.w, f.h, 3, out)
+    }
+
+  /** Integer BT.601 full-swing pairs, shared with the encoder so the
+    * round-trip stays exact.
+    */
+  private[graft] def yuvR(y: Int, u: Int, v: Int): Int = y + ((91881 * (v - 128)) >> 16)
+  private[graft] def yuvG(y: Int, u: Int, v: Int): Int =
+    y - ((22554 * (u - 128) + 46802 * (v - 128)) >> 16)
+  private[graft] def yuvB(y: Int, u: Int, v: Int): Int = y + ((116130 * (u - 128)) >> 16)
+
+  /** Find the VP8 chunk inside a RIFF WebP container. */
+  private def vp8Chunk(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 20 || bytes(0) != 'R' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
+      bytes(9) != 'E' || bytes(10) != 'B' || bytes(11) != 'P') return None
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val tag = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = (bytes(p + 4) & 0xff) | ((bytes(p + 5) & 0xff) << 8) |
+        ((bytes(p + 6) & 0xff) << 16) | ((bytes(p + 7) & 0xff) << 24)
+      if (size < 0 || p + 8 + size > bytes.length) return None
+      if (tag == "VP8 ") return Some((p + 8, p + 8 + size))
+      p += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  private[graft] def decodeYuv(bytes: Array[Byte]): Option[Yuv] = {
+    val (s, e) = vp8Chunk(bytes).getOrElse(return None)
+    if (e - s < 10) return None
+    // frame tag (3 bytes LE)
+    val tag = (bytes(s) & 0xff) | ((bytes(s + 1) & 0xff) << 8) | ((bytes(s + 2) & 0xff) << 16)
+    val keyFrame = (tag & 1) == 0
+    val firstPartSize = tag >> 5
+    if (!keyFrame) return None // declared: key frames only
+    if ((bytes(s + 3) & 0xff) != 0x9d || (bytes(s + 4) & 0xff) != 0x01 ||
+      (bytes(s + 5) & 0xff) != 0x2a) return None
+    val wRaw = (bytes(s + 6) & 0xff) | ((bytes(s + 7) & 0xff) << 8)
+    val hRaw = (bytes(s + 8) & 0xff) | ((bytes(s + 9) & 0xff) << 8)
+    val w = wRaw & 0x3fff
+    val h = hRaw & 0x3fff
+    if (w == 0 || h == 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    val part0 = s + 10
+    if (part0 + firstPartSize > e) return None
+    val bd = new BoolDec(bytes, part0, part0 + firstPartSize)
+
+    bd.literal(1) // color space (0 expected)
+    bd.literal(1) // clamping type
+    // segmentation: only the disabled shape is in scope
+    if (bd.bool(128) == 1) return None
+    bd.literal(1)          // filter type
+    val filterLevel = bd.literal(6)
+    bd.literal(3)          // sharpness
+    if (bd.bool(128) == 1) { // lf delta enabled
+      if (bd.bool(128) == 1) { // update deltas
+        var i = 0
+        while (i < 8) { if (bd.bool(128) == 1) bd.signed(6); i += 1 }
+      }
+    }
+    if (filterLevel != 0) return None // declared: no loop filter
+    val nParts = 1 << bd.literal(2)
+    // token partition sizes: (nParts-1) 3-byte LE fields after part 0
+    val sizesAt = part0 + firstPartSize
+    if (sizesAt + (nParts - 1) * 3 > e) return None
+    val partStarts = new Array[Int](nParts)
+    val partEnds = new Array[Int](nParts)
+    var pp = sizesAt + (nParts - 1) * 3
+    var pi = 0
+    while (pi < nParts) {
+      val sz =
+        if (pi == nParts - 1) e - pp
+        else (bytes(sizesAt + pi * 3) & 0xff) | ((bytes(sizesAt + pi * 3 + 1) & 0xff) << 8) |
+          ((bytes(sizesAt + pi * 3 + 2) & 0xff) << 16)
+      if (sz < 0 || pp + sz > e) return None
+      partStarts(pi) = pp
+      partEnds(pi) = pp + sz
+      pp += sz
+      pi += 1
+    }
+    // quant header
+    val yacQi = bd.literal(7)
+    def delta(): Int = if (bd.bool(128) == 1) bd.signed(4) else 0
+    val ydcD = delta(); val y2dcD = delta(); val y2acD = delta()
+    val uvdcD = delta(); val uvacD = delta()
+    bd.literal(1) // refresh entropy probs (kf: ignored)
+    // token probability updates (stand-in-table conditioned flags)
+    val probs = Array.tabulate(4, 8, 3, 11) { (p, b, c, n) => TokenProbs(p)(b)(c)(n) }
+    var p0 = 0
+    while (p0 < 4) {
+      var b0 = 0
+      while (b0 < 8) {
+        var c0 = 0
+        while (c0 < 3) {
+          var n0 = 0
+          while (n0 < 11) {
+            if (bd.bool(TokenUpdateProbs(p0)(b0)(c0)(n0)) == 1)
+              probs(p0)(b0)(c0)(n0) = bd.literal(8)
+            n0 += 1
+          }
+          c0 += 1
+        }
+        b0 += 1
+      }
+      p0 += 1
+    }
+    val noSkip = bd.bool(128)
+    val skipProb = if (noSkip == 1) bd.literal(8) else 0
+    if (bd.bad) return None
+
+    val mbW = (w + 15) / 16
+    val mbH = (h + 15) / 16
+    // plane buffers sized to whole macroblocks; cropped at the end
+    val yStride = mbW * 16
+    val cStride = mbW * 8
+    val yPlane = new Array[Int](yStride * mbH * 16)
+    val uPlane = new Array[Int](cStride * mbH * 8)
+    val vPlane = new Array[Int](cStride * mbH * 8)
+
+    // quantizers
+    val qYdc = dcQ(yacQi + ydcD); val qYac = acQ(yacQi)
+    val qY2dc = dcQ(yacQi + y2dcD) * 2; val qY2ac = acQ(yacQi + y2acD) * 155 / 100
+    val qUVdc = dcQ(yacQi + uvdcD); val qUVac = acQ(yacQi + uvacD)
+    val qY2acF = math.max(8, qY2ac)
+
+    // per-MB mode state for B_PRED context (above/left sub-modes)
+    val aboveSub = Array.fill(mbW * 4)(0) // B_DC
+    var tokBd: Array[BoolDec] = Array.tabulate(nParts)(i =>
+      new BoolDec(bytes, partStarts(i), partEnds(i)))
+
+    // nonzero context: above (per 4x4 column) and left (per 4x4 row in MB)
+    val aboveNz = new Array[Int](mbW * 4) // luma
+    val aboveNzU = new Array[Int](mbW * 2)
+    val aboveNzV = new Array[Int](mbW * 2)
+    val aboveNzY2 = new Array[Int](mbW)
+
+    val coefs = new Array[Int](16)
+    val block = new Array[Int](16)
+    val y2 = new Array[Int](16)
+
+    var mbY = 0
+    while (mbY < mbH) {
+      val leftSub = Array.fill(4)(0)
+      val leftNz = new Array[Int](4)
+      val leftNzU = new Array[Int](2)
+      val leftNzV = new Array[Int](2)
+      var leftNzY2 = 0
+      val td = tokBd(mbY % nParts)
+      var mbX = 0
+      while (mbX < mbW) {
+        val skip = if (noSkip == 1) bd.bool(skipProb) else 0
+        val yMode = bd.tree(KfYModeTree, KfYModeProbs)
+        val subModes = new Array[Int](16)
+        if (yMode == 4) { // B_PRED: 16 context-coded sub-modes
+          var sb = 0
+          while (sb < 16) {
+            val sx = sb & 3; val sy = sb >> 2
+            val above = if (sy == 0) aboveSub(mbX * 4 + sx) else subModes(sb - 4)
+            val left = if (sx == 0) leftSub(sy) else subModes(sb - 1)
+            subModes(sb) = bd.tree(BModeTree, KfBModeProbs(above)(left))
+            sb += 1
+          }
+        } else {
+          // 16x16 modes register as B_DC for neighbor sub-mode context
+          java.util.Arrays.fill(subModes, 0)
+        }
+        val uvMode = bd.tree(UvModeTree, KfUvModeProbs)
+        if (bd.bad) return None
+
+        // ---- coefficients
+        val hasY2 = yMode != 4
+        java.util.Arrays.fill(y2, 0)
+        if (hasY2) {
+          val ctx = leftNzY2 + aboveNzY2(mbX)
+          var y2Nz = 0
+          if (skip == 0) {
+            y2Nz = readCoefs(td, probs, 1, ctx, 0, coefs)
+            var i = 0
+            while (i < 16) {
+              y2(Zigzag(i)) = coefs(i) * (if (i == 0) qY2dc else qY2acF)
+              i += 1
+            }
+          }
+          leftNzY2 = if (y2Nz > 0) 1 else 0
+          aboveNzY2(mbX) = leftNzY2
+          iwht4x4(y2, y2)
+        }
+        // luma: 16x16 modes predict the whole MB from its borders FIRST,
+        // then residuals add per sub-block; B_PRED predicts sub-block by
+        // sub-block against the evolving reconstruction (spec order)
+        if (yMode != 4) predictMb(yPlane, yStride, mbX * 16, mbY * 16, 16, yMode)
+        val planeIdx = if (hasY2) 0 else 3
+        val firstCoef = if (hasY2) 1 else 0
+        val subNz = new Array[Int](16)
+        var sb = 0
+        while (sb < 16) {
+          val sx = sb & 3; val sy = sb >> 2
+          var nz = 0
+          java.util.Arrays.fill(block, 0)
+          if (skip == 0) {
+            val l = if (sx == 0) leftNz(sy) else subNz(sb - 1)
+            val a = if (sy == 0) aboveNz(mbX * 4 + sx) else subNz(sb - 4)
+            nz = readCoefs(td, probs, planeIdx, l + a, firstCoef, coefs)
+            var i = firstCoef
+            while (i < 16) {
+              block(Zigzag(i)) = coefs(i) * (if (i == 0) qYdc else qYac)
+              i += 1
+            }
+          }
+          if (hasY2) block(0) = y2(sb)
+          idct4x4(block, block)
+          if (yMode == 4)
+            applySub(yPlane, yStride, mbX * 16 + sx * 4, mbY * 16 + sy * 4,
+              subModes(sb), block)
+          else
+            addResidual(yPlane, yStride, mbX * 16 + sx * 4, mbY * 16 + sy * 4, block)
+          subNz(sb) = if (nz > 0) 1 else 0
+          sb += 1
+        }
+        var i = 0
+        while (i < 4) {
+          leftNz(i) = subNz(i * 4 + 3)
+          aboveNz(mbX * 4 + i) = subNz(12 + i)
+          i += 1
+        }
+        // chroma: whole-8x8 border prediction, then per-4x4 residuals
+        decodeChroma(td, probs, skip, uvMode, uPlane, cStride, mbX, mbY,
+          leftNzU, aboveNzU, qUVdc, qUVac, coefs, block)
+        decodeChroma(td, probs, skip, uvMode, vPlane, cStride, mbX, mbY,
+          leftNzV, aboveNzV, qUVdc, qUVac, coefs, block)
+        if (td.bad) return None
+
+        i = 0
+        while (i < 4) { aboveSub(mbX * 4 + i) = subModes(12 + i); i += 1 }
+        i = 0
+        while (i < 4) { leftSub(i) = subModes(i * 4 + 3); i += 1 }
+        mbX += 1
+      }
+      mbY += 1
+    }
+
+    // crop to the true dimensions
+    val y = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      System.arraycopy(yPlane, r * yStride, y, r * w, w)
+      r += 1
+    }
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    val u = new Array[Int](cw * ch)
+    val v = new Array[Int](cw * ch)
+    r = 0
+    while (r < ch) {
+      System.arraycopy(uPlane, r * cStride, u, r * cw, cw)
+      System.arraycopy(vPlane, r * cStride, v, r * cw, cw)
+      r += 1
+    }
+    Some(Yuv(w, h, y, u, v))
+  }
+
+  private def decodeChroma(td: BoolDec, probs: Array[Array[Array[Array[Int]]]],
+      skip: Int, uvMode: Int, plane: Array[Int], stride: Int, mbX: Int, mbY: Int,
+      leftNz: Array[Int], aboveNz: Array[Int], qdc: Int, qac: Int,
+      coefs: Array[Int], block: Array[Int]): Unit = {
+    predictMb(plane, stride, mbX * 8, mbY * 8, 8, uvMode)
+    val buf = new Array[Int](4)
+    var sb = 0
+    while (sb < 4) {
+      val sx = sb & 1; val sy = sb >> 1
+      var nz = 0
+      java.util.Arrays.fill(block, 0)
+      if (skip == 0) {
+        val l = if (sx == 0) leftNz(sy) else buf(sy * 2)
+        val a = if (sy == 0) aboveNz(mbX * 2 + sx) else buf(sx)
+        nz = readCoefs(td, probs, 2, l + a, 0, coefs)
+        var i = 0
+        while (i < 16) {
+          block(Zigzag(i)) = coefs(i) * (if (i == 0) qdc else qac)
+          i += 1
+        }
+      }
+      idct4x4(block, block)
+      addResidual(plane, stride, mbX * 8 + sx * 4, mbY * 8 + sy * 4, block)
+      buf(sy * 2 + sx) = if (nz > 0) 1 else 0
+      if (sx == 1) leftNz(sy) = buf(sy * 2 + sx)
+      if (sy == 1) aboveNz(mbX * 2 + sx) = buf(sy * 2 + sx)
+      sb += 1
+    }
+  }
+
+  /** Whole-macroblock intra prediction (16x16 luma or 8x8 chroma) from
+    * the MB borders: DC / V / H / TM with the spec's edge handling
+    * (missing above = 127, missing left = 129; DC of neither = 128;
+    * DC shifts: both edges (sum+size)>>(log2+1), one edge (sum+size/2)
+    * >>log2).
+    */
+  private[graft] def predictMb(plane: Array[Int], stride: Int, x0: Int,
+      y0: Int, size: Int, mode: Int): Unit = {
+    val log2 = if (size == 16) 4 else 3
+    mode match {
+      case 0 => // DC
+        var sum = 0
+        var edges = 0
+        if (y0 > 0) {
+          var i = 0
+          while (i < size) { sum += plane((y0 - 1) * stride + x0 + i); i += 1 }
+          edges += 1
+        }
+        if (x0 > 0) {
+          var i = 0
+          while (i < size) { sum += plane((y0 + i) * stride + x0 - 1); i += 1 }
+          edges += 1
+        }
+        val dc =
+          if (edges == 2) (sum + size) >> (log2 + 1)
+          else if (edges == 1) (sum + size / 2) >> log2
+          else 128
+        var r = 0
+        while (r < size) {
+          var c = 0
+          while (c < size) { plane((y0 + r) * stride + x0 + c) = dc; c += 1 }
+          r += 1
+        }
+      case 1 => // V
+        var r = 0
+        while (r < size) {
+          var c = 0
+          while (c < size) {
+            plane((y0 + r) * stride + x0 + c) =
+              if (y0 > 0) plane((y0 - 1) * stride + x0 + c) else 127
+            c += 1
+          }
+          r += 1
+        }
+      case 2 => // H
+        var r = 0
+        while (r < size) {
+          val v = if (x0 > 0) plane((y0 + r) * stride + x0 - 1) else 129
+          var c = 0
+          while (c < size) { plane((y0 + r) * stride + x0 + c) = v; c += 1 }
+          r += 1
+        }
+      case _ => // TM
+        val tl =
+          if (x0 > 0 && y0 > 0) plane((y0 - 1) * stride + x0 - 1)
+          else if (y0 > 0) 129
+          else 127
+        var r = 0
+        while (r < size) {
+          val l = if (x0 > 0) plane((y0 + r) * stride + x0 - 1) else 129
+          var c = 0
+          while (c < size) {
+            val a = if (y0 > 0) plane((y0 - 1) * stride + x0 + c) else 127
+            plane((y0 + r) * stride + x0 + c) = clamp255(l + a - tl)
+            c += 1
+          }
+          r += 1
+        }
+    }
+  }
+
+  /** Add a 4x4 idct residual onto an already-predicted region. */
+  private[graft] def addResidual(plane: Array[Int], stride: Int, x: Int,
+      y: Int, residual: Array[Int]): Unit = {
+    var r = 0
+    while (r < 4) {
+      var c = 0
+      while (c < 4) {
+        val idx = (y + r) * stride + x + c
+        plane(idx) = clamp255(plane(idx) + residual(r * 4 + c))
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Token decode of one 4x4 block into `coefs` (zigzag order, length
+    * 16, entries before `first` zeroed). Returns count of nonzero.
+    */
+  private def readCoefs(bd: BoolDec, probs: Array[Array[Array[Array[Int]]]],
+      plane: Int, ctx0: Int, first: Int, coefs: Array[Int]): Int = {
+    java.util.Arrays.fill(coefs, 0)
+    var ctx = ctx0
+    var i = first
+    var nonzero = 0
+    var skipEobCheck = false
+    while (i < 16) {
+      val band = CoeffBands(i)
+      val p = probs(plane)(band)(ctx)
+      // EOB is not coded after a zero token (RFC: zero runs share probs)
+      val tok =
+        if (skipEobCheck) treeNoEob(bd, p)
+        else bd.tree(TokenTree, p)
+      if (bd.bad) return nonzero
+      if (tok == 11) return nonzero // EOB
+      var v = 0
+      if (tok == 0) { ctx = 0; skipEobCheck = true }
+      else {
+        skipEobCheck = false
+        if (tok <= 4) v = tok
+        else {
+          val cat = tok - 5
+          var extra = 0
+          val cp = CatProbs(cat)
+          var k = 0
+          while (k < cp.length) { extra = (extra << 1) | bd.bool(cp(k)); k += 1 }
+          v = CatBase(cat) + extra
+        }
+        ctx = if (v == 1) 1 else 2
+        if (bd.bool(128) == 1) v = -v
+        nonzero += 1
+      }
+      coefs(i) = v
+      i += 1
+    }
+    nonzero
+  }
+
+  /** Token tree entered past the EOB branch (after a DCT_0 token). */
+  private def treeNoEob(bd: BoolDec, probs: Array[Int]): Int = {
+    // start at node index 2 (the subtree after the EOB decision)
+    var i = 2
+    var guard = 0
+    while (guard < 32) {
+      val b = bd.bool(probs(i >> 1))
+      val next = TokenTree(i + b)
+      if (next <= 0) return -next
+      i = next
+      guard += 1
+    }
+    bd.bad = true
+    0
+  }
+
+  // ------------------------------------------------- intra prediction
+
+  /** The 10 B_PRED sub-modes over a 4x4 block with spec edge handling
+    * (missing above/left default to 127/129 per RFC 6386 §12.2);
+    * prediction reads the evolving reconstruction, and the above-right
+    * run extends the above row's last in-stride pixel (shared with the
+    * encoder, so the pair cannot drift on this edge rule).
+    */
+  private[graft] def applySub(plane: Array[Int], stride: Int, x: Int, y: Int,
+      mode: Int, residual: Array[Int]): Unit =
+    applyPred(plane, stride, x, y, subPredict(plane, stride, x, y, mode), residual)
+
+  /** Reconstruct: prediction + residual, clamped, written to the plane.
+    * Shared with the encoder so reconstruction cannot drift.
+    */
+  private[graft] def applyPred(plane: Array[Int], stride: Int, x: Int, y: Int,
+      pred: Array[Int], residual: Array[Int]): Unit = {
+    var r = 0
+    while (r < 4) {
+      var c = 0
+      while (c < 4) {
+        plane((y + r) * stride + x + c) = clamp255(pred(r * 4 + c) + residual(r * 4 + c))
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** The 4x4 predicted values for one sub-mode (no residual applied). */
+  private[graft] def subPredict(plane: Array[Int], stride: Int, x: Int, y: Int,
+      mode: Int): Array[Int] = {
+    // gather borders
+    val a = new Array[Int](8) // above + above-right
+    val l = new Array[Int](4)
+    var i = 0
+    while (i < 8) {
+      a(i) =
+        if (y == 0) 127
+        else {
+          val px = x + i
+          if (px < stride) plane((y - 1) * stride + px)
+          else plane((y - 1) * stride + (stride - 1))
+        }
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      l(i) = if (x == 0) 129 else plane((y + i) * stride + x - 1)
+      i += 1
+    }
+    val tl =
+      if (x == 0 || y == 0) { if (y == 0) 127 else 129 }
+      else plane((y - 1) * stride + x - 1)
+
+    val pred = new Array[Int](16)
+    mode match {
+      case 0 => // B_DC_PRED
+        var sum = 0
+        var n = 0
+        if (y > 0) { var k = 0; while (k < 4) { sum += a(k); k += 1 }; n += 4 }
+        if (x > 0) { var k = 0; while (k < 4) { sum += l(k); k += 1 }; n += 4 }
+        val dc = if (n == 0) 128 else (sum + n / 2) / n
+        java.util.Arrays.fill(pred, dc)
+      case 1 => // B_TM_PRED
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) { pred(r * 4 + c) = clamp255(l(r) + a(c) - tl); c += 1 }
+          r += 1
+        }
+      case 2 => // B_VE_PRED: filtered above
+        var c = 0
+        while (c < 4) {
+          val left = if (c == 0) tl else a(c - 1)
+          val right = a(c + 1)
+          val v = (left + 2 * a(c) + right + 2) >> 2
+          var r2 = 0
+          while (r2 < 4) { pred(r2 * 4 + c) = v; r2 += 1 }
+          c += 1
+        }
+      case 3 => // B_HE_PRED: filtered left
+        var r = 0
+        while (r < 4) {
+          val up = if (r == 0) tl else l(r - 1)
+          val down = if (r == 3) l(3) else l(r + 1)
+          val v = (up + 2 * l(r) + down + 2) >> 2
+          var c2 = 0
+          while (c2 < 4) { pred(r * 4 + c2) = v; c2 += 1 }
+          r += 1
+        }
+      case 4 => // B_LD_PRED (down-left diagonal)
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val k = r + c
+            pred(r * 4 + c) =
+              if (k < 6) (a(k) + 2 * a(k + 1) + a(math.min(7, k + 2)) + 2) >> 2
+              else (a(6) + 3 * a(7) + 2) >> 2
+            c += 1
+          }
+          r += 1
+        }
+      case 5 => // B_RD_PRED (down-right diagonal)
+        val e = new Array[Int](9) // l3..l0, tl, a0..a3
+        e(0) = l(3); e(1) = l(2); e(2) = l(1); e(3) = l(0); e(4) = tl
+        e(5) = a(0); e(6) = a(1); e(7) = a(2); e(8) = a(3)
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val k = 4 + c - r
+            pred(r * 4 + c) = (e(k - 1) + 2 * e(k) + e(math.min(8, k + 1)) + 2) >> 2
+            c += 1
+          }
+          r += 1
+        }
+      case 6 => // B_VR_PRED
+        val e = new Array[Int](9)
+        e(0) = l(3); e(1) = l(2); e(2) = l(1); e(3) = l(0); e(4) = tl
+        e(5) = a(0); e(6) = a(1); e(7) = a(2); e(8) = a(3)
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val k = 2 * c - r
+            pred(r * 4 + c) =
+              if (k >= 0 && k % 2 == 0) (e(4 + k / 2) + e(5 + k / 2) + 1) >> 1
+              else if (k >= -1) (e(3 + (k + 1) / 2) + 2 * e(4 + (k + 1) / 2) + e(5 + (k + 1) / 2) + 2) >> 2
+              else (e(4 + (k + 1) / 2 - 1) + 2 * e(4 + (k + 1) / 2) + e(5 + (k + 1) / 2) + 2) >> 2
+            c += 1
+          }
+          r += 1
+        }
+      case 7 => // B_VL_PRED
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val k = 2 * c + r
+            pred(r * 4 + c) =
+              if (r % 2 == 0) (a(c + r / 2) + a(c + r / 2 + 1) + 1) >> 1
+              else (a(c + r / 2) + 2 * a(c + r / 2 + 1) + a(math.min(7, c + r / 2 + 2)) + 2) >> 2
+            c += 1
+          }
+          r += 1
+        }
+      case 8 => // B_HD_PRED
+        val e = new Array[Int](9)
+        e(0) = l(3); e(1) = l(2); e(2) = l(1); e(3) = l(0); e(4) = tl
+        e(5) = a(0); e(6) = a(1); e(7) = a(2); e(8) = a(3)
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val k = 2 * (3 - r) + c
+            pred(r * 4 + c) =
+              if (c % 2 == 0 && k / 2 < 4) (e(k / 2) + e(k / 2 + 1) + 1) >> 1
+              else if (k / 2 + 2 <= 8) (e(k / 2) + 2 * e(k / 2 + 1) + e(k / 2 + 2) + 2) >> 2
+              else (e(7) + 3 * e(8) + 2) >> 2
+            c += 1
+          }
+          r += 1
+        }
+      case _ => // B_HU_PRED
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val k = 2 * r + c
+            pred(r * 4 + c) =
+              if (k >= 6) l(3)
+              else if (k % 2 == 0) (l(k / 2) + l(math.min(3, k / 2 + 1)) + 1) >> 1
+              else (l(k / 2) + 2 * l(math.min(3, k / 2 + 1)) + l(math.min(3, k / 2 + 2)) + 2) >> 2
+            c += 1
+          }
+          r += 1
+        }
+    }
+    pred
+  }
+}

@@ -31,7 +31,9 @@ object Multimodal {
       decode_ok: Boolean)
 
   /** Pixel decode for the JVM-expressible image codecs; None elsewhere
-    * (WebP-VP8 and H.264-in-MP4 remain the declared perceptual stubs).
+    * (H.264-in-MP4 remains the declared perceptual stub). WebP routes
+    * lossless (VP8L) and lossy key-frame (VP8) payloads to their
+    * respective from-scratch decoders.
     */
   def decodePixels(bytes: Array[Byte], kind: Magic.Kind): Option[RawImage] = kind match {
     case Magic.Kind.Png  => PngDecoder.decode(bytes)
@@ -39,7 +41,9 @@ object Multimodal {
     case Magic.Kind.Bmp  => BmpDecoder.decode(bytes)
     case Magic.Kind.Tiff => TiffDecoder.decode(bytes)
     case Magic.Kind.Jpeg => JpegDecoder.decode(bytes)
-    case Magic.Kind.Webp => graft.kernel.Vp8lDecoder.decode(bytes)
+    case Magic.Kind.Webp =>
+      graft.kernel.Vp8lDecoder.decode(bytes)
+        .orElse(graft.kernel.Vp8Decoder.decode(bytes))
     case _               => None
   }
 

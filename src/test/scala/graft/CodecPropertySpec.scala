@@ -116,6 +116,18 @@ object CodecPropertySpec extends Properties("graft.codecs") {
         }
     }
 
+  property("VP8 lossy round-trip reconstruction-exact: quantizer x partitions x skip") =
+    forAll(dims, SGen.choose(0, 127), SGen.oneOf(1, 2, 4, 8), SGen.oneOf(false, true)) {
+      case ((w, h, seed), qi, parts, skips) =>
+        val spec = graft.corpus.Vp8WriterEx.Spec(w, h, seed, yacQi = qi,
+          nParts = parts, skipFlags = skips, smooth = seed % 2 == 0)
+        graft.kernel.Vp8Decoder.decode(graft.corpus.Vp8WriterEx.write(spec)) match {
+          case None => false
+          case Some(img) =>
+            java.util.Arrays.equals(img.data, graft.corpus.Vp8WriterEx.plane(spec))
+        }
+    }
+
   property("VP8L palette round-trip exact: every bundling width") =
     forAll(dims, SGen.oneOf(2, 3, 4, 5, 11, 16, 17, 64, 256)) {
       case ((w, h, seed), size) =>

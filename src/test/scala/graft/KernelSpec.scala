@@ -464,6 +464,21 @@ class KernelSpec extends AnyFunSuite {
       assert(out.metadata("dc:title") == "Modern Layout", s"xref+$mode")
       assert(PdfKernel.xrefStreamDocs.get() == xs0 + 1, s"xref+$mode path")
     }
+    // ObjStm packing (PDF 1.5+ producer default): dict objects live in
+    // a compressed object stream behind type-2 xref rows; text AND the
+    // Info metadata (inside the ObjStm) must still surface, through the
+    // xref-stream path
+    for (xf <- Seq("flate-pred", "lzw-pred")) {
+      val bytes = PdfWriter.write(base.copy(objStm = true, xrefFilter = xf))
+      val xs0 = PdfKernel.xrefStreamDocs.get()
+      val out = PdfKernel.extract(bytes)
+      assert(out.text == PdfWriter.expectedText(base), s"objStm $xf")
+      assert(out.metadata("dc:title") == "Modern Layout", s"objStm $xf")
+      assert(PdfKernel.xrefStreamDocs.get() == xs0 + 1, s"objStm $xf path")
+      // the raw file really has no top-level "1 0 obj" (Info is packed)
+      assert(!new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .contains("1 0 obj"), s"objStm $xf layout")
+    }
     // a corrupted offset entry discards the chain -> brute scan still
     // extracts (robustness over the fast path)
     val bytes = PdfWriter.write(base)

@@ -51,6 +51,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("jpg-1").width == 64 && out("jpg-1").exif_software == "cam-1")
     assert(out("jpg-2").pixel_decode && out("jpg-2").width == 40 && out("jpg-2").height == 28)
     assert(out("jpg-2").exif_software == "cam-2")
+    // lossy VP8 WebP: REAL pixel decode (no longer the perceptual stub)
+    val vp8 = graft.corpus.Vp8WriterEx.write(graft.corpus.Vp8WriterEx.Spec(44, 30, 17))
+    val outW = Multimodal.imageFeatures(spark, mediaDF("webp-vp8" -> vp8))
+      .collect().map(f => f.media_ref -> f).toMap
+    assert(outW("webp-vp8").pixel_decode, "lossy webp must pixel-decode")
+    assert(outW("webp-vp8").width == 44 && outW("webp-vp8").height == 30)
     // the PNG feature equals a direct luma-histogram computation
     val img = PngDecoder.decode(png).get
     val expect = Multimodal.lumaHistogram(img, 8).toSeq

@@ -321,6 +321,62 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(graft.kernel.Vp8lDecoder.planeDist(10, 2) == 1)   // (-2,1) floors
   }
 
+  // ------------------------------------------------------------ VP8 lossy
+  test("VP8: boolean coder round-trips arbitrary (bit, prob) streams") {
+    val rnd = new java.util.Random(41)
+    for (trial <- 0 until 20) {
+      val n = 1 + rnd.nextInt(5000)
+      val bits = Array.fill(n)(rnd.nextInt(2))
+      val probs = Array.fill(n)(1 + rnd.nextInt(254))
+      val enc = new Vp8WriterEx.BoolEnc
+      var i = 0
+      while (i < n) { enc.bool(bits(i), probs(i)); i += 1 }
+      val bytes = enc.finish()
+      val dec = new graft.kernel.Vp8Decoder.BoolDec(bytes, 0, bytes.length)
+      i = 0
+      while (i < n) {
+        assert(dec.bool(probs(i)) == bits(i), s"trial $trial bit $i")
+        i += 1
+      }
+      assert(!dec.bad, s"trial $trial ran out of bytes")
+    }
+  }
+
+  // Lossy VP8 key frames: plane equality is vs the RECONSTRUCTION the
+  // encoder computed through the decoder's own inverse transforms —
+  // exact by construction, pinning the bool coder, trees, contexts,
+  // tokenization, dequant, iWHT/iDCT and all intra modes.
+  for ((label, spec) <- Seq(
+      "16x16 single MB" -> Vp8WriterEx.Spec(16, 16, 51),
+      "odd size (crop + edge padding)" -> Vp8WriterEx.Spec(37, 26, 52),
+      "multi-MB smooth" -> Vp8WriterEx.Spec(64, 48, 53),
+      "noise source (heavy tokens)" -> Vp8WriterEx.Spec(33, 31, 54, smooth = false),
+      "coarse quantizer" -> Vp8WriterEx.Spec(48, 32, 55, yacQi = 100),
+      "fine quantizer" -> Vp8WriterEx.Spec(48, 32, 56, yacQi = 1),
+      "2 token partitions" -> Vp8WriterEx.Spec(40, 40, 57, nParts = 2),
+      "8 token partitions" -> Vp8WriterEx.Spec(52, 70, 58, nParts = 8),
+      "skip flags (flat source skips MBs)" -> Vp8WriterEx.Spec(48, 48, 59,
+        skipFlags = true, yacQi = 120),
+      "1x1" -> Vp8WriterEx.Spec(1, 1, 60))) {
+    test(s"VP8 round-trip: $label (reconstruction-exact)") {
+      val bytes = Vp8WriterEx.write(spec)
+      val img = graft.kernel.Vp8Decoder.decode(bytes).getOrElse(fail(label))
+      assert(img.width == spec.width && img.height == spec.height && img.channels == 3)
+      assert(java.util.Arrays.equals(img.data, Vp8WriterEx.plane(spec)), label)
+    }
+  }
+
+  test("VP8: truncated/garbage payloads reject cleanly (None, no throw)") {
+    val bytes = Vp8WriterEx.write(Vp8WriterEx.Spec(32, 24, 61))
+    for (n <- Seq(0, 10, 20, 21, 30, bytes.length / 2, bytes.length - 3))
+      assert(graft.kernel.Vp8Decoder.decode(bytes.take(n)).isEmpty ||
+        n >= bytes.length - 3, s"truncated at $n")
+    assert(graft.kernel.Vp8Decoder.decode(Array.fill(64)(0x7f.toByte)).isEmpty)
+    // metadata kernel still reads lossy dims
+    val meta = graft.kernel.WebpKernel.extract(bytes)
+    assert(meta.get("Image Width").contains("32 pixels"))
+  }
+
   test("VP8L: metadata-tier WebpWriter payloads reject cleanly (None, no throw)") {
     val bytes = WebpWriter.write(WebpWriter.Spec(24, 18))
     assert(graft.kernel.Vp8lDecoder.decode(bytes).isEmpty)
