@@ -490,7 +490,11 @@ object Gen {
           yacQi = 8 + rng.nextInt(100),
           nParts = Vector(1, 1, 2, 4, 8)(rng.nextInt(5)),
           skipFlags = rng.nextInt(3) == 0,
-          smooth = rng.nextInt(4) != 0))
+          smooth = rng.nextInt(4) != 0,
+          // half carry in-loop deblocking, like real encoder output
+          filterLevel = if (rng.nextBoolean()) 1 + rng.nextInt(63) else 0,
+          filterSharpness = rng.nextInt(8),
+          simpleFilter = rng.nextInt(4) == 0))
       else if (rng.nextInt(3) < 2) {
         if (rng.nextInt(4) == 0)
           // 1-in-4 real streams are paletted (graphics/icons shape)

@@ -26,7 +26,12 @@ object Vp8WriterEx {
       yacQi: Int = 12,       // base quantizer index (0..127)
       nParts: Int = 1,       // token partitions: 1, 2, 4 or 8
       skipFlags: Boolean = false, // mb_no_skip_coeff + per-MB skip bits
-      smooth: Boolean = true)
+      smooth: Boolean = true,
+      // in-loop deblocking: level 0 = off; 1..63 filters via the shared
+      // Vp8Decoder.loopFilterFrame (simpleFilter = luma-only variant)
+      filterLevel: Int = 0,
+      filterSharpness: Int = 0,
+      simpleFilter: Boolean = false)
 
   // ------------------------------------------------------ bool encoder
 
@@ -288,9 +293,9 @@ object Vp8WriterEx {
     head.literal(0, 1) // color space
     head.literal(0, 1) // clamping
     head.bool(0, 128)  // segmentation disabled
-    head.literal(0, 1) // filter type
-    head.literal(0, 6) // filter level 0 (decoder requires)
-    head.literal(0, 3) // sharpness
+    head.literal(if (spec.simpleFilter) 1 else 0, 1) // filter type
+    head.literal(math.max(0, math.min(63, spec.filterLevel)), 6)
+    head.literal(math.max(0, math.min(7, spec.filterSharpness)), 3)
     head.bool(0, 128)  // lf deltas disabled
     head.literal(Integer.numberOfTrailingZeros(spec.nParts), 2)
     head.literal(yacQi, 7)
@@ -335,6 +340,7 @@ object Vp8WriterEx {
     val zz = Vp8Decoder.Zigzag
 
     val rng = new java.util.SplittableRandom(spec.seed ^ 0x8BADF00DL)
+    val innerFlags = new Array[Boolean](mbW * mbH)
 
     var mbY = 0
     while (mbY < mbH) {
@@ -437,12 +443,14 @@ object Vp8WriterEx {
         head.tree(Vp8Decoder.UvModeTree, Vp8Decoder.KfUvModeProbs, uvMode)
 
         // ---- token partition writes + lockstep reconstruction
+        var mbTotNz = 0
         if (hasY2) {
           val ctx = leftNzY2 + aboveNzY2(mbX)
           var y2Nz = 0
           if (skip == 0) {
             y2Nz = writeCoefs(te, probs, 1, ctx, 0, y2Q)
           }
+          mbTotNz += y2Nz
           leftNzY2 = if (y2Nz > 0) 1 else 0
           aboveNzY2(mbX) = leftNzY2
           // dequantized Y2 -> inverse WHT (decoder's path)
@@ -504,14 +512,16 @@ object Vp8WriterEx {
         }
         var i2 = 0
         while (i2 < 4) {
+          mbTotNz += subNz(i2 * 4) + subNz(i2 * 4 + 1) + subNz(i2 * 4 + 2) + subNz(i2 * 4 + 3)
           leftNz(i2) = subNz(i2 * 4 + 3)
           aboveNz(mbX * 4 + i2) = subNz(12 + i2)
           i2 += 1
         }
-        writeChroma(te, probs, skip, uQ, uPlane, cStride, mbX, mbY, leftNzU,
-          aboveNzU, qUVdc, qUVac, block, zz)
-        writeChroma(te, probs, skip, vQ, vPlane, cStride, mbX, mbY, leftNzV,
-          aboveNzV, qUVdc, qUVac, block, zz)
+        mbTotNz += writeChroma(te, probs, skip, uQ, uPlane, cStride, mbX, mbY,
+          leftNzU, aboveNzU, qUVdc, qUVac, block, zz)
+        mbTotNz += writeChroma(te, probs, skip, vQ, vPlane, cStride, mbX, mbY,
+          leftNzV, aboveNzV, qUVdc, qUVac, block, zz)
+        innerFlags(mbY * mbW + mbX) = mbTotNz > 0 || !hasY2
 
         i2 = 0
         while (i2 < 4) { aboveSub(mbX * 4 + i2) = subModes(12 + i2); i2 += 1 }
@@ -524,6 +534,14 @@ object Vp8WriterEx {
 
     val part0 = head.finish()
     val parts = tokEnc.map(_.finish())
+
+    // in-loop deblocking over the finished reconstruction — the shared
+    // decoder implementation, so the filtered round-trip stays exact
+    if (spec.filterLevel > 0)
+      Vp8Decoder.loopFilterFrame(yPlane, uPlane, vPlane, yStride, cStride,
+        mbW, mbH, if (spec.simpleFilter) 1 else 0,
+        math.max(0, math.min(63, spec.filterLevel)),
+        math.max(0, math.min(7, spec.filterSharpness)), innerFlags)
 
     // ---- expected RGB (the decoder's crop + YUV->RGB conversion)
     val rgb = new Array[Byte](w * h * 3)
@@ -610,7 +628,8 @@ object Vp8WriterEx {
   private def writeChroma(te: BoolEnc, probs: Array[Array[Array[Array[Int]]]],
       skip: Int, q: Array[Array[Int]], plane: Array[Int], stride: Int,
       mbX: Int, mbY: Int, leftNz: Array[Int], aboveNz: Array[Int],
-      qdc: Int, qac: Int, block: Array[Int], zz: Array[Int]): Unit = {
+      qdc: Int, qac: Int, block: Array[Int], zz: Array[Int]): Int = {
+    var totalNz = 0
     val buf = new Array[Int](4)
     var sb = 0
     while (sb < 4) {
@@ -629,10 +648,12 @@ object Vp8WriterEx {
       Vp8Decoder.idct4x4(block, block)
       Vp8Decoder.addResidual(plane, stride, mbX * 8 + sx * 4, mbY * 8 + sy2 * 4, block)
       buf(sy2 * 2 + sx) = if (nz > 0) 1 else 0
+      totalNz += buf(sy2 * 2 + sx)
       if (sx == 1) leftNz(sy2) = buf(sy2 * 2 + sx)
       if (sy2 == 1) aboveNz(mbX * 2 + sx) = buf(sy2 * 2 + sx)
       sb += 1
     }
+    totalNz
   }
 
   /** Token-write one block's quantized coefficients (zigzag order) —

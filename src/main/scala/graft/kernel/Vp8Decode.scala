@@ -6,13 +6,15 @@ package graft.kernel
   * modes, and the ten 4x4 B_PRED sub-modes with the spec's edge rules —
   * token-tree coefficient decoding with (plane, band, context)
   * conditioning, category extra bits, dequantization, the exact inverse
-  * WHT (Y2) and inverse DCT (§14), and 1..8 token partitions.
+  * WHT (Y2) and inverse DCT (§14), 1..8 token partitions, and the
+  * IN-LOOP DEBLOCKING FILTER (§15: normal MB/subblock edge filters with
+  * hev thresholds, and the simple luma-only variant), applied over the
+  * whole reconstructed frame (intra prediction sees unfiltered samples).
   *
   * Scope (declared): key frames only (all a WebP ever contains);
-  * loop_filter_level must be 0 — a non-zero level returns None rather
-  * than emit approximately-filtered pixels (same silently-wrong-is-worse
-  * rule as the VP8L subset); segmentation accepted only in the
-  * no-quant-delta shape.
+  * segmentation and non-zero filter levels combined with lf-deltas
+  * return None rather than emit approximately-filtered pixels (same
+  * silently-wrong-is-worse rule as the VP8L subset).
   *
   * Probability tables: the tree SHAPES, kf mode probabilities
   * ({145,156,163,128} / {142,114,183}), token category extra-bit
@@ -335,16 +337,21 @@ object Vp8Decoder {
     bd.literal(1) // clamping type
     // segmentation: only the disabled shape is in scope
     if (bd.bool(128) == 1) return None
-    bd.literal(1)          // filter type
+    val filterType = bd.literal(1) // 0 = normal, 1 = simple
     val filterLevel = bd.literal(6)
-    bd.literal(3)          // sharpness
+    val sharpness = bd.literal(3)
+    var lfDeltas = false
     if (bd.bool(128) == 1) { // lf delta enabled
+      lfDeltas = true
       if (bd.bool(128) == 1) { // update deltas
         var i = 0
         while (i < 8) { if (bd.bool(128) == 1) bd.signed(6); i += 1 }
       }
     }
-    if (filterLevel != 0) return None // declared: no loop filter
+    // per-mode/ref filter-level deltas are parsed (bit-sync) but not
+    // modeled — a filtered frame under deltas would be silently wrong,
+    // so it degrades to the metadata tier (declared subset)
+    if (filterLevel != 0 && lfDeltas) return None
     val nParts = 1 << bd.literal(2)
     // token partition sizes: (nParts-1) 3-byte LE fields after part 0
     val sizesAt = part0 + firstPartSize
@@ -423,6 +430,9 @@ object Vp8Decoder {
     val coefs = new Array[Int](16)
     val block = new Array[Int](16)
     val y2 = new Array[Int](16)
+    // loop-filter internal-edge eligibility: an MB with no coefficients
+    // that is not B_PRED keeps its internal edges unfiltered (RFC §15.2)
+    val innerFilter = new Array[Boolean](mbW * mbH)
 
     var mbY = 0
     while (mbY < mbH) {
@@ -455,6 +465,7 @@ object Vp8Decoder {
 
         // ---- coefficients
         val hasY2 = yMode != 4
+        var mbNz = 0
         java.util.Arrays.fill(y2, 0)
         if (hasY2) {
           val ctx = leftNzY2 + aboveNzY2(mbX)
@@ -467,6 +478,7 @@ object Vp8Decoder {
               i += 1
             }
           }
+          mbNz += y2Nz
           leftNzY2 = if (y2Nz > 0) 1 else 0
           aboveNzY2(mbX) = leftNzY2
           iwht4x4(y2, y2)
@@ -505,16 +517,18 @@ object Vp8Decoder {
         }
         var i = 0
         while (i < 4) {
+          mbNz += subNz(i * 4) + subNz(i * 4 + 1) + subNz(i * 4 + 2) + subNz(i * 4 + 3)
           leftNz(i) = subNz(i * 4 + 3)
           aboveNz(mbX * 4 + i) = subNz(12 + i)
           i += 1
         }
         // chroma: whole-8x8 border prediction, then per-4x4 residuals
-        decodeChroma(td, probs, skip, uvMode, uPlane, cStride, mbX, mbY,
+        mbNz += decodeChroma(td, probs, skip, uvMode, uPlane, cStride, mbX, mbY,
           leftNzU, aboveNzU, qUVdc, qUVac, coefs, block)
-        decodeChroma(td, probs, skip, uvMode, vPlane, cStride, mbX, mbY,
+        mbNz += decodeChroma(td, probs, skip, uvMode, vPlane, cStride, mbX, mbY,
           leftNzV, aboveNzV, qUVdc, qUVac, coefs, block)
         if (td.bad) return None
+        innerFilter(mbY * mbW + mbX) = mbNz > 0 || yMode == 4
 
         i = 0
         while (i < 4) { aboveSub(mbX * 4 + i) = subModes(12 + i); i += 1 }
@@ -524,6 +538,12 @@ object Vp8Decoder {
       }
       mbY += 1
     }
+
+    // in-loop deblocking over the whole reconstructed frame (intra
+    // prediction above used the unfiltered samples, per the spec)
+    if (filterLevel > 0)
+      loopFilterFrame(yPlane, uPlane, vPlane, yStride, cStride, mbW, mbH,
+        filterType, filterLevel, sharpness, innerFilter)
 
     // crop to the true dimensions
     val y = new Array[Int](w * h)
@@ -545,11 +565,13 @@ object Vp8Decoder {
     Some(Yuv(w, h, y, u, v))
   }
 
+  /** Returns the number of nonzero chroma blocks (loop-filter flag). */
   private def decodeChroma(td: BoolDec, probs: Array[Array[Array[Array[Int]]]],
       skip: Int, uvMode: Int, plane: Array[Int], stride: Int, mbX: Int, mbY: Int,
       leftNz: Array[Int], aboveNz: Array[Int], qdc: Int, qac: Int,
-      coefs: Array[Int], block: Array[Int]): Unit = {
+      coefs: Array[Int], block: Array[Int]): Int = {
     predictMb(plane, stride, mbX * 8, mbY * 8, 8, uvMode)
+    var totalNz = 0
     val buf = new Array[Int](4)
     var sb = 0
     while (sb < 4) {
@@ -569,10 +591,12 @@ object Vp8Decoder {
       idct4x4(block, block)
       addResidual(plane, stride, mbX * 8 + sx * 4, mbY * 8 + sy * 4, block)
       buf(sy * 2 + sx) = if (nz > 0) 1 else 0
+      totalNz += buf(sy * 2 + sx)
       if (sx == 1) leftNz(sy) = buf(sy * 2 + sx)
       if (sy == 1) aboveNz(mbX * 2 + sx) = buf(sy * 2 + sx)
       sb += 1
     }
+    totalNz
   }
 
   /** Whole-macroblock intra prediction (16x16 luma or 8x8 chroma) from
@@ -643,6 +667,154 @@ object Vp8Decoder {
           }
           r += 1
         }
+    }
+  }
+
+  // ------------------------------------------------------- loop filter
+
+  /** In-loop deblocking (RFC 6386 §15), key-frame single-level shape:
+    * per MB in raster order — left MB edge, internal vertical edges,
+    * top MB edge, internal horizontal edges; MB edges use the stronger
+    * 6-tap filter, internal edges the subblock filter; the simple
+    * filter type touches luma only. Internal edges are skipped for
+    * coefficient-free non-B_PRED MBs. Shared verbatim with the corpus
+    * encoder, so filtered round-trips stay exact.
+    */
+  private[graft] def loopFilterFrame(yPlane: Array[Int], uPlane: Array[Int],
+      vPlane: Array[Int], yStride: Int, cStride: Int, mbW: Int, mbH: Int,
+      filterType: Int, level: Int, sharpness: Int,
+      innerFilter: Array[Boolean]): Unit = {
+    var interior = level
+    if (sharpness > 0) {
+      interior >>= (if (sharpness > 4) 2 else 1)
+      if (interior > 9 - sharpness) interior = 9 - sharpness
+    }
+    if (interior < 1) interior = 1
+    val hevThr = if (level >= 40) 2 else if (level >= 15) 1 else 0
+    val mbLimit = (level + 2) * 2 + interior
+    val subLimit = level * 2 + interior
+
+    def cs(v: Int): Int = if (v < -128) -128 else if (v > 127) 127 else v
+    def u2s(v: Int): Int = v - 128
+    def s2u(v: Int): Int = { val c = cs(v); c + 128 }
+
+    // pixels addressed through (plane, base + k*step): step = 1 for a
+    // vertical edge (row-wise filtering), stride for horizontal
+    def commonAdjust(p: Array[Int], i1: Int, i0: Int, j0: Int, j1: Int,
+        useOuter: Boolean): Int = {
+      val p1 = u2s(p(i1)); val p0 = u2s(p(i0))
+      val q0 = u2s(p(j0)); val q1 = u2s(p(j1))
+      val a = cs((if (useOuter) cs(p1 - q1) else 0) + 3 * (q0 - p0))
+      val f1 = cs(a + 4) >> 3
+      val f2 = cs(a + 3) >> 3
+      p(j0) = s2u(q0 - f1)
+      p(i0) = s2u(p0 + f2)
+      f1
+    }
+    def hev(p: Array[Int], i1: Int, i0: Int, j0: Int, j1: Int): Boolean =
+      math.abs(p(i1) - p(i0)) > hevThr || math.abs(p(j1) - p(j0)) > hevThr
+    def mask(p: Array[Int], base: Int, s: Int, edge: Int): Boolean = {
+      val p3 = p(base - 4 * s); val p2 = p(base - 3 * s); val p1 = p(base - 2 * s)
+      val p0 = p(base - s); val q0 = p(base); val q1 = p(base + s)
+      val q2 = p(base + 2 * s); val q3 = p(base + 3 * s)
+      math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= edge &&
+        math.abs(p3 - p2) <= interior && math.abs(p2 - p1) <= interior &&
+        math.abs(p1 - p0) <= interior && math.abs(q1 - q0) <= interior &&
+        math.abs(q2 - q1) <= interior && math.abs(q3 - q2) <= interior
+    }
+    /** MB-edge filter at p(base) boundary (p(base-s) | p(base)). */
+    def mbEdge(p: Array[Int], base: Int, s: Int): Unit = {
+      if (!mask(p, base, s, mbLimit)) return
+      val i1 = base - 2 * s; val i0 = base - s; val j0 = base; val j1 = base + s
+      if (hev(p, i1, i0, j0, j1)) { commonAdjust(p, i1, i0, j0, j1, useOuter = true); return }
+      val p2 = u2s(p(base - 3 * s)); val p1 = u2s(p(i1)); val p0 = u2s(p(i0))
+      val q0 = u2s(p(j0)); val q1 = u2s(p(j1)); val q2 = u2s(p(base + 2 * s))
+      val wv = cs(cs(p1 - q1) + 3 * (q0 - p0))
+      var a = cs((27 * wv + 63) >> 7)
+      p(j0) = s2u(q0 - a); p(i0) = s2u(p0 + a)
+      a = cs((18 * wv + 63) >> 7)
+      p(j1) = s2u(q1 - a); p(i1) = s2u(p1 + a)
+      a = cs((9 * wv + 63) >> 7)
+      p(base + 2 * s) = s2u(q2 - a); p(base - 3 * s) = s2u(p2 + a)
+    }
+    def subEdge(p: Array[Int], base: Int, s: Int): Unit = {
+      if (!mask(p, base, s, subLimit)) return
+      val i1 = base - 2 * s; val i0 = base - s; val j0 = base; val j1 = base + s
+      val hv = hev(p, i1, i0, j0, j1)
+      val a = (commonAdjust(p, i1, i0, j0, j1, useOuter = hv) + 1) >> 1
+      if (!hv) {
+        p(j1) = s2u(u2s(p(j1)) - a)
+        p(i1) = s2u(u2s(p(i1)) + a)
+      }
+    }
+    def simpleEdge(p: Array[Int], base: Int, s: Int, edge: Int): Unit = {
+      val i1 = base - 2 * s; val i0 = base - s; val j0 = base; val j1 = base + s
+      if (math.abs(p(i0) - p(j0)) * 2 + math.abs(p(i1) - p(j1)) / 2 <= edge)
+        commonAdjust(p, i1, i0, j0, j1, useOuter = true)
+    }
+
+    def filterMb(p: Array[Int], stride: Int, x0: Int, y0: Int, size: Int,
+        hasLeft: Boolean, hasTop: Boolean, inner: Boolean): Unit = {
+      val simple = filterType == 1
+      // left MB edge (vertical): filter each row at column x0
+      if (hasLeft) {
+        var r = 0
+        while (r < size) {
+          val base = (y0 + r) * stride + x0
+          if (simple) simpleEdge(p, base, 1, mbLimit) else mbEdge(p, base, 1)
+          r += 1
+        }
+      }
+      // internal vertical edges at x0+4, +8, +12 (luma) / x0+4 (chroma)
+      if (inner) {
+        var e = 4
+        while (e < size) {
+          var r = 0
+          while (r < size) {
+            val base = (y0 + r) * stride + x0 + e
+            if (simple) simpleEdge(p, base, 1, subLimit) else subEdge(p, base, 1)
+            r += 1
+          }
+          e += 4
+        }
+      }
+      // top MB edge (horizontal): filter each column at row y0
+      if (hasTop) {
+        var c = 0
+        while (c < size) {
+          val base = y0 * stride + x0 + c
+          if (simple) simpleEdge(p, base, stride, mbLimit) else mbEdge(p, base, stride)
+          c += 1
+        }
+      }
+      // internal horizontal edges
+      if (inner) {
+        var e = 4
+        while (e < size) {
+          var c = 0
+          while (c < size) {
+            val base = (y0 + e) * stride + x0 + c
+            if (simple) simpleEdge(p, base, stride, subLimit) else subEdge(p, base, stride)
+            c += 1
+          }
+          e += 4
+        }
+      }
+    }
+
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val inner = innerFilter(mbY * mbW + mbX)
+        filterMb(yPlane, yStride, mbX * 16, mbY * 16, 16, mbX > 0, mbY > 0, inner)
+        if (filterType == 0) { // the normal filter touches chroma too
+          filterMb(uPlane, cStride, mbX * 8, mbY * 8, 8, mbX > 0, mbY > 0, inner)
+          filterMb(vPlane, cStride, mbX * 8, mbY * 8, 8, mbX > 0, mbY > 0, inner)
+        }
+        mbX += 1
+      }
+      mbY += 1
     }
   }
 

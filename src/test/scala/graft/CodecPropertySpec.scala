@@ -116,11 +116,14 @@ object CodecPropertySpec extends Properties("graft.codecs") {
         }
     }
 
-  property("VP8 lossy round-trip reconstruction-exact: quantizer x partitions x skip") =
-    forAll(dims, SGen.choose(0, 127), SGen.oneOf(1, 2, 4, 8), SGen.oneOf(false, true)) {
-      case ((w, h, seed), qi, parts, skips) =>
+  property("VP8 lossy round-trip reconstruction-exact: quantizer x partitions x skip x filter") =
+    forAll(dims, SGen.choose(0, 127), SGen.oneOf(1, 2, 4, 8), SGen.oneOf(false, true),
+        SGen.choose(0, 63), SGen.choose(0, 7)) {
+      case ((w, h, seed), qi, parts, skips, flvl, fsharp) =>
         val spec = graft.corpus.Vp8WriterEx.Spec(w, h, seed, yacQi = qi,
-          nParts = parts, skipFlags = skips, smooth = seed % 2 == 0)
+          nParts = parts, skipFlags = skips, smooth = seed % 2 == 0,
+          filterLevel = flvl, filterSharpness = fsharp,
+          simpleFilter = (seed & 4) == 0)
         graft.kernel.Vp8Decoder.decode(graft.corpus.Vp8WriterEx.write(spec)) match {
           case None => false
           case Some(img) =>

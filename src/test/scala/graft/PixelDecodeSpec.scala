@@ -357,13 +357,38 @@ class PixelDecodeSpec extends AnyFunSuite {
       "8 token partitions" -> Vp8WriterEx.Spec(52, 70, 58, nParts = 8),
       "skip flags (flat source skips MBs)" -> Vp8WriterEx.Spec(48, 48, 59,
         skipFlags = true, yacQi = 120),
-      "1x1" -> Vp8WriterEx.Spec(1, 1, 60))) {
+      "1x1" -> Vp8WriterEx.Spec(1, 1, 60),
+      // in-loop deblocking: normal filter at low/high levels (hev
+      // thresholds 0 and 2), sharpness, skip-MB inner-edge exemption,
+      // and the simple luma-only variant
+      "loop filter level 10" -> Vp8WriterEx.Spec(48, 36, 62, filterLevel = 10),
+      "loop filter level 50 (hev 2)" -> Vp8WriterEx.Spec(41, 29, 63,
+        filterLevel = 50, yacQi = 90),
+      "loop filter + sharpness 3" -> Vp8WriterEx.Spec(52, 40, 64,
+        filterLevel = 25, filterSharpness = 3),
+      "loop filter + skip MBs (inner edges exempt)" -> Vp8WriterEx.Spec(64, 48, 65,
+        filterLevel = 30, skipFlags = true, yacQi = 115),
+      "simple filter" -> Vp8WriterEx.Spec(44, 32, 66,
+        filterLevel = 20, simpleFilter = true))) {
     test(s"VP8 round-trip: $label (reconstruction-exact)") {
       val bytes = Vp8WriterEx.write(spec)
       val img = graft.kernel.Vp8Decoder.decode(bytes).getOrElse(fail(label))
       assert(img.width == spec.width && img.height == spec.height && img.channels == 3)
       assert(java.util.Arrays.equals(img.data, Vp8WriterEx.plane(spec)), label)
     }
+  }
+
+  test("VP8: the loop filter demonstrably alters the reconstruction") {
+    // same seed, filter on vs off: identical pre-filter reconstruction,
+    // so any difference is the deblocking arithmetic actually firing
+    val base = Vp8WriterEx.Spec(48, 36, 62, yacQi = 60)
+    for (lvl <- Seq(10, 40)) {
+      val filt = base.copy(filterLevel = lvl)
+      assert(!java.util.Arrays.equals(Vp8WriterEx.plane(base), Vp8WriterEx.plane(filt)),
+        s"level $lvl must change pixels")
+    }
+    val simple = base.copy(filterLevel = 20, simpleFilter = true)
+    assert(!java.util.Arrays.equals(Vp8WriterEx.plane(base), Vp8WriterEx.plane(simple)))
   }
 
   test("VP8: truncated/garbage payloads reject cleanly (None, no throw)") {
