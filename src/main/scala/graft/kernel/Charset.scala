@@ -10,9 +10,15 @@ import java.nio.charset.StandardCharsets
   *
   * Policy (deterministic, documented):
   *   1. BOM (UTF-8 / UTF-16LE / UTF-16BE) wins.
-  *   2. Strict UTF-8 validation over the whole payload — valid ⇒ UTF-8
+  *   2. BOM-less UTF-16 (the Windows-export shape): mostly-Latin UTF-16
+  *      text is a NUL every other byte — ≥35% NULs confined to one
+  *      byte parity (<2% on the other) is decisive, and must run
+  *      BEFORE UTF-8 validation because interleaved NULs are
+  *      technically valid UTF-8 (U+0000) and would decode as garbage.
+  *      NUL parity picks the order: odd = LE ("H\0"), even = BE.
+  *   3. Strict UTF-8 validation over the whole payload — valid ⇒ UTF-8
   *      (pure ASCII counts as UTF-8).
-  *   3. Fallback ISO-8859-1 (every byte maps; mirrors the reference's
+  *   4. Fallback ISO-8859-1 (every byte maps; mirrors the reference's
   *      observed latin-1 outcomes).
   */
 object Charset {
@@ -31,6 +37,22 @@ object Charset {
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
       return Detected("UTF-16BE",
         new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE))
+    if (bytes.length >= 8) {
+      // BOM-less UTF-16: census NULs per byte parity over a bounded window
+      val n = math.min(bytes.length & ~1, 4096)
+      var nulEven = 0
+      var nulOdd = 0
+      var i = 0
+      while (i < n) {
+        if (bytes(i) == 0) { if ((i & 1) == 0) nulEven += 1 else nulOdd += 1 }
+        i += 1
+      }
+      val half = n / 2
+      if (nulOdd * 100 >= half * 35 && nulEven * 100 < half * 2)
+        return Detected("UTF-16LE", new String(bytes, StandardCharsets.UTF_16LE))
+      if (nulEven * 100 >= half * 35 && nulOdd * 100 < half * 2)
+        return Detected("UTF-16BE", new String(bytes, StandardCharsets.UTF_16BE))
+    }
     if (isValidUtf8(bytes, bytes.length))
       Detected("UTF-8", new String(bytes, StandardCharsets.UTF_8))
     else

@@ -6,8 +6,9 @@ package graft.kernel
   * en/de/fr/es/ru fixture texts (spec/rika/parser_spec.rb:252-259); the
   * reference's OptimaizeLangDetector covers ~70 languages
   * (reference: lib/rika.rb:58-61) — here the breadth tier is script
-  * evidence (zh/ja/ko/ar/fa/ur/el/he/th/hi/ta/bn/ka/hy from Unicode
-  * block census; uk/ru/bg/sr/mk/be separated inside Cyrillic by unique
+  * evidence (zh/ja/ko/ar/fa/ur/el/he/th/hi/ta/bn/ka/hy/am/km/lo/si/my
+  * from Unicode block census; uk/ru/bg/sr/mk/be separated inside
+  * Cyrillic by unique
   * letters — ј/љ/њ/џ for the sr/mk branch with ѓ/ќ/ѕ vs ђ/ћ inside it,
   * ў or і+ы coexistence for Belarusian — and ъ-as-vowel density for
   * Bulgarian) plus function-word + diacritic profiles for 34
@@ -247,6 +248,7 @@ object Lang {
     var cyr = 0; var han = 0; var kana = 0; var hangul = 0; var arab = 0
     var greek = 0; var hebr = 0; var thai = 0; var deva = 0; var taml = 0
     var beng = 0; var geor = 0; var armn = 0
+    var ethi = 0; var khmr = 0; var laoo = 0; var sinh = 0; var mymr = 0
     // within-script distinguishers: letters unique to one orthography
     var ukChars = 0  // і ї є ґ  (absent from Russian/Bulgarian)
     var ruChars = 0  // ы э ё    (absent from Ukrainian/Bulgarian)
@@ -288,6 +290,11 @@ object Lang {
         else if (cp >= 0x0980 && cp <= 0x09ff) beng += 1
         else if (cp >= 0x10a0 && cp <= 0x10ff) geor += 1
         else if (cp >= 0x0530 && cp <= 0x058f) armn += 1
+        else if (cp >= 0x1200 && cp <= 0x137f) ethi += 1
+        else if (cp >= 0x1780 && cp <= 0x17ff) khmr += 1
+        else if (cp >= 0x0e80 && cp <= 0x0eff) laoo += 1
+        else if (cp >= 0x0d80 && cp <= 0x0dff) sinh += 1
+        else if (cp >= 0x1000 && cp <= 0x109f) mymr += 1
       }
       i += 1
     }
@@ -334,6 +341,13 @@ object Lang {
     if (beng.toDouble / letters > 0.3) return "bn"
     if (geor.toDouble / letters > 0.3) return "ka"
     if (armn.toDouble / letters > 0.3) return "hy"
+    // single-language scripts, census-decisive (Amharic dominates
+    // Ethiopic usage; Khmer/Lao/Sinhala/Burmese are one-language blocks)
+    if (ethi.toDouble / letters > 0.3) return "am"
+    if (khmr.toDouble / letters > 0.3) return "km"
+    if (laoo.toDouble / letters > 0.3) return "lo"
+    if (sinh.toDouble / letters > 0.3) return "si"
+    if (mymr.toDouble / letters > 0.3) return "my"
 
     val tokens = t.toLowerCase.split("[^\\p{L}']+").filter(_.nonEmpty)
     if (tokens.isEmpty) return Undetermined

@@ -487,8 +487,44 @@ object Magic {
   /** A payload is text when its prefix is valid UTF-8 or plausible
     * ISO-8859-1 (no NULs, mostly printable).
     */
+  /** BOM-less UTF-16 text (the Windows-export shape): >=35% NULs
+    * confined to one byte parity (<2% on the other) AND the implied
+    * 16-bit units are >=95% printable — the second census keeps raw
+    * 16-bit numeric data (e.g. quiet PCM, whose small values land in
+    * the C0 control range) out. Charset.detect picks the endianness
+    * again downstream with the same parity rule.
+    */
+  private def looksLikeUtf16(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 8) return false
+    val n = math.min(bytes.length & ~1, 4096)
+    var even = 0
+    var odd = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == 0) { if ((i & 1) == 0) even += 1 else odd += 1 }
+      i += 1
+    }
+    val half = n / 2
+    val le = odd * 100 >= half * 35 && even * 100 < half * 2
+    val be = even * 100 >= half * 35 && odd * 100 < half * 2
+    if (!le && !be) return false
+    var ok = 0
+    var tot = 0
+    i = 0
+    while (i + 1 < n) {
+      val v =
+        if (le) (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+        else ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+      tot += 1
+      if (v == 9 || v == 10 || v == 13 || (v >= 0x20 && v != 0x7f)) ok += 1
+      i += 2
+    }
+    tot > 0 && ok.toDouble / tot > 0.95
+  }
+
   private def looksLikeText(bytes: Array[Byte]): Boolean = {
     val n = math.min(bytes.length, 8192)
+    if (looksLikeUtf16(bytes)) return true
     // NUL or other C0 control bytes (except \t \n \r \f) = binary, even
     // though they are technically valid UTF-8.
     var i = 0

@@ -42,6 +42,40 @@ class KernelSpec extends AnyFunSuite {
     assert(Charset.detect(bom).decoded == "hi")
   }
 
+  test("D2: BOM-less UTF-16 (Windows-export shape) detected by NUL parity") {
+    val text = "The quick brown fox jumps over the lazy dog, twice."
+    val le = text.getBytes("UTF-16LE")
+    val be = text.getBytes("UTF-16BE")
+    // interleaved NULs are technically valid UTF-8, so without the
+    // parity census these would decode as NUL-riddled garbage
+    assert(Charset.isValidUtf8(le, le.length))
+    assert(Charset.detect(le).name == "UTF-16LE")
+    assert(Charset.detect(le).decoded == text)
+    assert(Charset.detect(be).name == "UTF-16BE")
+    assert(Charset.detect(be).decoded == text)
+    // non-Latin UTF-16 (few NULs) falls through without harm
+    val ru = "Это текст на русском языке, в нём есть слова."
+    assert(Charset.detect(ru.getBytes("UTF-8")).name == "UTF-8")
+    // short or NUL-sparse inputs never trip the heuristic
+    assert(Charset.detect("plain ascii text".getBytes("UTF-8")).name == "UTF-8")
+    assert(Charset.detect(Array[Byte]('a', 0, 'b')).name == "UTF-8")
+    // full extract path: a BOM-less UTF-16LE payload surfaces its text
+    val out = Extract.extractBytes("note.txt", le, Extract.Options())
+    assert(out.contentType == "text/plain; charset=UTF-16LE")
+    assert(out.content.startsWith("The quick brown fox"))
+  }
+
+  test("D3: census-only scripts — am/km/lo/si/my (58 languages + und)") {
+    assert(Lang.detect("ይህ በአማርኛ የተጻፈ ጽሑፍ ነው እና ብዙ ቃላት አሉት።") == "am")
+    assert(Lang.detect("នេះជាអត្ថបទដែលសរសេរជាភាសាខ្មែរ ហើយមានពាក្យច្រើន។") == "km")
+    assert(Lang.detect("ນີ້ແມ່ນບົດເລື່ອງທີ່ຂຽນເປັນພາສາລາວ ແລະມີຄຳຫຼາຍຄຳ.") == "lo")
+    assert(Lang.detect("මෙය සිංහල භාෂාවෙන් ලියන ලද පාඨයකි, වචන බොහෝය.") == "si")
+    assert(Lang.detect("ဤသည်မှာ မြန်မာဘာသာဖြင့် ရေးသားထားသော စာသားဖြစ်သည်။") == "my")
+    // neighbors unaffected
+    assert(Lang.detect("นี่คือข้อความภาษาไทยที่มีคำมากมายหลายคำ") == "th")
+    assert(Lang.detect("இது தமிழில் எழுதப்பட்ட ஒரு உரை ஆகும்.") == "ta")
+  }
+
   test("D3: language detection exact for the 5 fixture languages (spec/rika/parser_spec.rb:252-259)") {
     for ((f, code) <- Seq("en.txt" -> "en", "de.txt" -> "de", "fr.txt" -> "fr",
         "es.txt" -> "es", "ru.txt" -> "ru")) {
