@@ -262,6 +262,18 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty"))
         .orderBy("rf", "ls")),
+    "q10_cube" -> ((s, dir) =>
+      // full CUBE grouping-set lattice (rollup's sibling); NULL levels
+      // coalesced to 'ALL' so cross-engine sort order is unambiguous
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+          col("n"), col("sum_price"), col("avg_price"))
+        .orderBy("st", "pr")),
     "q7_sessions" -> ((s, dir) => {
       // sessionization: per-user sessions split at >30min gaps
       val w = org.apache.spark.sql.expressions.Window
@@ -629,6 +641,13 @@ object SparkEntry {
         |  count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "q10_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pr,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pr""".stripMargin,
     "q7_sessions" ->
       """WITH base AS (
         |  SELECT user_id, event_id, ts,

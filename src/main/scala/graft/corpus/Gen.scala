@@ -494,7 +494,10 @@ object Gen {
           // half carry in-loop deblocking, like real encoder output
           filterLevel = if (rng.nextBoolean()) 1 + rng.nextInt(63) else 0,
           filterSharpness = rng.nextInt(8),
-          simpleFilter = rng.nextInt(4) == 0))
+          simpleFilter = rng.nextInt(4) == 0,
+          // ~1-in-3 use segmentation (adaptive-quantization shape)
+          segments = if (rng.nextInt(3) == 0) 2 + rng.nextInt(3) else 0,
+          segAbs = rng.nextInt(4) == 0))
       else if (rng.nextInt(3) < 2) {
         if (rng.nextInt(4) == 0)
           // 1-in-4 real streams are paletted (graphics/icons shape)

@@ -31,7 +31,12 @@ object Vp8WriterEx {
       // Vp8Decoder.loopFilterFrame (simpleFilter = luma-only variant)
       filterLevel: Int = 0,
       filterSharpness: Int = 0,
-      simpleFilter: Boolean = false)
+      simpleFilter: Boolean = false,
+      // segmentation: 0 = off, 2..4 segments with per-segment quantizer
+      // deltas (segAbs = absolute-mode indices); segment map coded per
+      // MB through the segment tree
+      segments: Int = 0,
+      segAbs: Boolean = false)
 
   // ------------------------------------------------------ bool encoder
 
@@ -284,15 +289,57 @@ object Vp8WriterEx {
     val sv = padPlane(srcV, cw, chh, cStride, mbH * 8)
 
     val yacQi = math.max(0, math.min(127, spec.yacQi))
-    val qYdc = Vp8Decoder.dcQ(yacQi); val qYac = Vp8Decoder.acQ(yacQi)
-    val qY2dc = Vp8Decoder.dcQ(yacQi) * 2
-    val qY2ac = math.max(8, Vp8Decoder.acQ(yacQi) * 155 / 100)
-    val qUVdc = Vp8Decoder.dcQ(yacQi); val qUVac = Vp8Decoder.acQ(yacQi)
+    require(spec.segments == 0 || (spec.segments >= 2 && spec.segments <= 4))
+    // per-segment quantizer feature: deterministic deltas (or absolute
+    // indices) that visibly separate the segments
+    val segDeltas: Array[Int] = {
+      val base =
+        if (spec.segAbs) Array(yacQi, math.min(127, yacQi + 30),
+          math.max(0, yacQi - 6), math.min(127, yacQi + 60))
+        else Array(0, 24, -6, 48)
+      Array.tabulate(4)(i => if (i < math.max(1, spec.segments)) base(i) else 0)
+    }
+    def segQi(s: Int): Int = {
+      val b =
+        if (spec.segments == 0) yacQi
+        else if (spec.segAbs) segDeltas(s)
+        else yacQi + segDeltas(s)
+      math.max(0, math.min(127, b))
+    }
+    val qYdcA = Array.tabulate(4)(s => Vp8Decoder.dcQ(segQi(s)))
+    val qYacA = Array.tabulate(4)(s => Vp8Decoder.acQ(segQi(s)))
+    val qY2dcA = Array.tabulate(4)(s => Vp8Decoder.dcQ(segQi(s)) * 2)
+    val qY2acA = Array.tabulate(4)(s => math.max(8, Vp8Decoder.acQ(segQi(s)) * 155 / 100))
+    val qUVdcA = Array.tabulate(4)(s => Vp8Decoder.dcQ(segQi(s)))
+    val qUVacA = Array.tabulate(4)(s => Vp8Decoder.acQ(segQi(s)))
+    val segTreeProbs = Array(128, 128, 128)
+    def segOf(mbX: Int, mbY: Int): Int =
+      if (spec.segments == 0) 0 else (mbX + mbY) % spec.segments
 
     val head = new BoolEnc
     head.literal(0, 1) // color space
     head.literal(0, 1) // clamping
-    head.bool(0, 128)  // segmentation disabled
+    if (spec.segments == 0) head.bool(0, 128) // segmentation disabled
+    else {
+      head.bool(1, 128) // enabled
+      head.bool(1, 128) // update map
+      head.bool(1, 128) // update feature data
+      head.bool(if (spec.segAbs) 1 else 0, 128) // feature mode
+      var i = 0
+      while (i < 4) { // quantizer features
+        if (segDeltas(i) != 0 || (spec.segAbs && i < spec.segments)) {
+          head.bool(1, 128); head.signed(segDeltas(i), 7)
+        } else head.bool(0, 128)
+        i += 1
+      }
+      i = 0
+      while (i < 4) { head.bool(0, 128); i += 1 } // no lf features
+      i = 0
+      while (i < 3) { // tree prob updates
+        head.bool(1, 128); head.literal(segTreeProbs(i), 8)
+        i += 1
+      }
+    }
     head.literal(if (spec.simpleFilter) 1 else 0, 1) // filter type
     head.literal(math.max(0, math.min(63, spec.filterLevel)), 6)
     head.literal(math.max(0, math.min(7, spec.filterSharpness)), 3)
@@ -355,6 +402,10 @@ object Vp8WriterEx {
         // deterministic mode mix: every 16x16 mode + B_PRED in play
         val yMode = rng.nextInt(5)
         val uvMode = rng.nextInt(4)
+        val segId = segOf(mbX, mbY)
+        val qYdc = qYdcA(segId); val qYac = qYacA(segId)
+        val qY2dc = qY2dcA(segId); val qY2ac = qY2acA(segId)
+        val qUVdc = qUVdcA(segId); val qUVac = qUVacA(segId)
         val hasY2 = yMode != 4
         val subModes = new Array[Int](16)
 
@@ -423,7 +474,9 @@ object Vp8WriterEx {
           uQ.forall(_.forall(_ == 0)) && vQ.forall(_.forall(_ == 0))
         val skip = if (spec.skipFlags && allZero) 1 else 0
 
-        // ---- header-partition MB record
+        // ---- header-partition MB record (order: segment, skip, modes)
+        if (spec.segments > 0)
+          head.tree(Vp8Decoder.SegTree, segTreeProbs, segId)
         if (spec.skipFlags) head.bool(skip, skipProb)
         if (hasY2) {
           head.tree(Vp8Decoder.KfYModeTree, Vp8Decoder.KfYModeProbs, yMode)

@@ -11,10 +11,14 @@ package graft.kernel
   * hev thresholds, and the simple luma-only variant), applied over the
   * whole reconstructed frame (intra prediction sees unfiltered samples).
   *
+  * SEGMENTATION (§9.3) is modeled for the quantizer feature: per-MB
+  * segment ids through the segment tree, absolute or delta per-segment
+  * quantizer indices.
+  *
   * Scope (declared): key frames only (all a WebP ever contains);
-  * segmentation and non-zero filter levels combined with lf-deltas
-  * return None rather than emit approximately-filtered pixels (same
-  * silently-wrong-is-worse rule as the VP8L subset).
+  * non-zero filter levels combined with lf-deltas or per-segment
+  * filter features return None rather than emit approximately-filtered
+  * pixels (same silently-wrong-is-worse rule as the VP8L subset).
   *
   * Probability tables: the tree SHAPES, kf mode probabilities
   * ({145,156,163,128} / {142,114,183}), token category extra-bit
@@ -42,6 +46,9 @@ object Vp8Decoder {
 
   private[graft] val UvModeTree = Array(-0, 2, -1, 4, -2, -3) // DC,V,H,TM
   private[graft] val KfUvModeProbs = Array(142, 114, 183)
+
+  /** Segment-id tree (4 segments, 2 levels). */
+  private[graft] val SegTree = Array(2, 4, -0, -1, -2, -3)
 
   /** 4x4 sub-mode tree (10 modes: DC,TM,VE,HE,LD,RD,VR,VL,HD,HU). */
   private[graft] val BModeTree = Array(
@@ -335,8 +342,40 @@ object Vp8Decoder {
 
     bd.literal(1) // color space (0 expected)
     bd.literal(1) // clamping type
-    // segmentation: only the disabled shape is in scope
-    if (bd.bool(128) == 1) return None
+    // segmentation (RFC §9.3): per-segment QUANTIZER features are fully
+    // modeled; per-segment loop-filter features combined with a nonzero
+    // filter level degrade to None (declared, like lf-deltas)
+    var segEnabled = false
+    var segUpdateMap = false
+    var segAbs = false
+    val segQiDelta = new Array[Int](4)
+    var segLfFeature = false
+    val segTreeProbs = Array(255, 255, 255)
+    if (bd.bool(128) == 1) {
+      segEnabled = true
+      segUpdateMap = bd.bool(128) == 1
+      val updateData = bd.bool(128) == 1
+      if (updateData) {
+        segAbs = bd.bool(128) == 1
+        var i = 0
+        while (i < 4) {
+          if (bd.bool(128) == 1) segQiDelta(i) = bd.signed(7)
+          i += 1
+        }
+        i = 0
+        while (i < 4) {
+          if (bd.bool(128) == 1) { bd.signed(6); segLfFeature = true }
+          i += 1
+        }
+      }
+      if (segUpdateMap) {
+        var i = 0
+        while (i < 3) {
+          if (bd.bool(128) == 1) segTreeProbs(i) = bd.literal(8)
+          i += 1
+        }
+      }
+    }
     val filterType = bd.literal(1) // 0 = normal, 1 = simple
     val filterLevel = bd.literal(6)
     val sharpness = bd.literal(3)
@@ -348,10 +387,11 @@ object Vp8Decoder {
         while (i < 8) { if (bd.bool(128) == 1) bd.signed(6); i += 1 }
       }
     }
-    // per-mode/ref filter-level deltas are parsed (bit-sync) but not
-    // modeled — a filtered frame under deltas would be silently wrong,
-    // so it degrades to the metadata tier (declared subset)
-    if (filterLevel != 0 && lfDeltas) return None
+    // per-mode/ref filter-level deltas and per-segment filter levels
+    // are parsed (bit-sync) but not modeled — a filtered frame under
+    // either would be silently wrong, so it degrades to the metadata
+    // tier (declared subset)
+    if (filterLevel != 0 && (lfDeltas || segLfFeature)) return None
     val nParts = 1 << bd.literal(2)
     // token partition sizes: (nParts-1) 3-byte LE fields after part 0
     val sizesAt = part0 + firstPartSize
@@ -410,11 +450,22 @@ object Vp8Decoder {
     val uPlane = new Array[Int](cStride * mbH * 8)
     val vPlane = new Array[Int](cStride * mbH * 8)
 
-    // quantizers
-    val qYdc = dcQ(yacQi + ydcD); val qYac = acQ(yacQi)
-    val qY2dc = dcQ(yacQi + y2dcD) * 2; val qY2ac = acQ(yacQi + y2acD) * 155 / 100
-    val qUVdc = dcQ(yacQi + uvdcD); val qUVac = acQ(yacQi + uvacD)
-    val qY2acF = math.max(8, qY2ac)
+    // quantizers, per segment (index 0 when segmentation is off); the
+    // segment feature adjusts the BASE index (absolute or delta mode),
+    // the frame-level dc/ac deltas stack on top
+    def segQi(s: Int): Int = {
+      val base =
+        if (!segEnabled) yacQi
+        else if (segAbs) segQiDelta(s)
+        else yacQi + segQiDelta(s)
+      math.max(0, math.min(127, base))
+    }
+    val qYdcA = Array.tabulate(4)(s => dcQ(segQi(s) + ydcD))
+    val qYacA = Array.tabulate(4)(s => acQ(segQi(s)))
+    val qY2dcA = Array.tabulate(4)(s => dcQ(segQi(s) + y2dcD) * 2)
+    val qY2acA = Array.tabulate(4)(s => math.max(8, acQ(segQi(s) + y2acD) * 155 / 100))
+    val qUVdcA = Array.tabulate(4)(s => dcQ(segQi(s) + uvdcD))
+    val qUVacA = Array.tabulate(4)(s => acQ(segQi(s) + uvacD))
 
     // per-MB mode state for B_PRED context (above/left sub-modes)
     val aboveSub = Array.fill(mbW * 4)(0) // B_DC
@@ -444,6 +495,13 @@ object Vp8Decoder {
       val td = tokBd(mbY % nParts)
       var mbX = 0
       while (mbX < mbW) {
+        // MB header order (RFC §10): segment id, skip flag, modes
+        val segId =
+          if (segEnabled && segUpdateMap) bd.tree(SegTree, segTreeProbs)
+          else 0
+        val qYdc = qYdcA(segId); val qYac = qYacA(segId)
+        val qY2dc = qY2dcA(segId); val qY2acF = qY2acA(segId)
+        val qUVdc = qUVdcA(segId); val qUVac = qUVacA(segId)
         val skip = if (noSkip == 1) bd.bool(skipProb) else 0
         val yMode = bd.tree(KfYModeTree, KfYModeProbs)
         val subModes = new Array[Int](16)

@@ -123,7 +123,9 @@ object CodecPropertySpec extends Properties("graft.codecs") {
         val spec = graft.corpus.Vp8WriterEx.Spec(w, h, seed, yacQi = qi,
           nParts = parts, skipFlags = skips, smooth = seed % 2 == 0,
           filterLevel = flvl, filterSharpness = fsharp,
-          simpleFilter = (seed & 4) == 0)
+          simpleFilter = (seed & 4) == 0,
+          segments = (seed % 5) match { case 1 => 2; case 2 => 3; case 3 => 4; case _ => 0 },
+          segAbs = (seed & 8) == 0)
         graft.kernel.Vp8Decoder.decode(graft.corpus.Vp8WriterEx.write(spec)) match {
           case None => false
           case Some(img) =>

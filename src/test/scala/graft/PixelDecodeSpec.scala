@@ -369,7 +369,15 @@ class PixelDecodeSpec extends AnyFunSuite {
       "loop filter + skip MBs (inner edges exempt)" -> Vp8WriterEx.Spec(64, 48, 65,
         filterLevel = 30, skipFlags = true, yacQi = 115),
       "simple filter" -> Vp8WriterEx.Spec(44, 32, 66,
-        filterLevel = 20, simpleFilter = true))) {
+        filterLevel = 20, simpleFilter = true),
+      // segmentation: per-segment quantizer features (delta + absolute
+      // modes), segment map coded per MB through the tree
+      "segmentation x2 (delta qi)" -> Vp8WriterEx.Spec(48, 36, 67, segments = 2),
+      "segmentation x4 (delta qi)" -> Vp8WriterEx.Spec(64, 52, 68, segments = 4),
+      "segmentation x3 absolute qi" -> Vp8WriterEx.Spec(52, 44, 69,
+        segments = 3, segAbs = true),
+      "segmentation + filter + partitions" -> Vp8WriterEx.Spec(56, 40, 70,
+        segments = 4, filterLevel = 15, nParts = 2))) {
     test(s"VP8 round-trip: $label (reconstruction-exact)") {
       val bytes = Vp8WriterEx.write(spec)
       val img = graft.kernel.Vp8Decoder.decode(bytes).getOrElse(fail(label))
@@ -389,6 +397,13 @@ class PixelDecodeSpec extends AnyFunSuite {
     }
     val simple = base.copy(filterLevel = 20, simpleFilter = true)
     assert(!java.util.Arrays.equals(Vp8WriterEx.plane(base), Vp8WriterEx.plane(simple)))
+  }
+
+  test("VP8: segmentation demonstrably changes quantization per segment") {
+    val base = Vp8WriterEx.Spec(48, 36, 67)
+    val seg = base.copy(segments = 2)
+    // same source, same seed: only the per-segment quantizers differ
+    assert(!java.util.Arrays.equals(Vp8WriterEx.plane(base), Vp8WriterEx.plane(seg)))
   }
 
   test("VP8: truncated/garbage payloads reject cleanly (None, no throw)") {
