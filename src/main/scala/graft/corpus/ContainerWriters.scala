@@ -58,6 +58,27 @@ object EmlWriter {
         sb.append("Content-Type: text/html; charset=utf-8\r\n\r\n")
         sb.append("<html><body><p>decoy html alternative</p></body></html>\r\n")
         sb.append(s"--$b--\r\n")
+      case 4 =>
+        // multipart/mixed with attachments: the real mail shape — body
+        // text first, then a base64 binary and a named CSV part
+        val b = "----=_graft_mixed"
+        h("Content-Type", s"""multipart/mixed; boundary="$b"""")
+        sb.append("\r\n")
+        sb.append(s"--$b\r\n")
+        sb.append("Content-Type: text/plain; charset=utf-8\r\n\r\n")
+        sb.append(body)
+        sb.append(s"--$b\r\n")
+        sb.append("Content-Type: application/octet-stream\r\n")
+        sb.append("Content-Transfer-Encoding: base64\r\n")
+        sb.append("Content-Disposition: attachment; filename=\"report.bin\"\r\n\r\n")
+        sb.append(java.util.Base64.getMimeEncoder(72, "\r\n".getBytes)
+          .encodeToString(Array.tabulate[Byte](64)(i => (i * 7).toByte)))
+        sb.append("\r\n")
+        sb.append(s"--$b\r\n")
+        sb.append("Content-Type: text/csv; name=\"data.csv\"\r\n")
+        sb.append("Content-Disposition: attachment; filename=\"data.csv\"\r\n\r\n")
+        sb.append("a,b\r\n1,2\r\n")
+        sb.append(s"--$b--\r\n")
       case _ =>
         h("Content-Type", "text/plain; charset=utf-8")
         h("Content-Transfer-Encoding", "8bit")

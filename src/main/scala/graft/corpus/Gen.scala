@@ -645,7 +645,7 @@ object Gen {
       to = "docs@example.org",
       paragraphs = Vector.tabulate(1 + rng.nextInt(4))(_ =>
         TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))),
-      mode = rng.nextInt(4))
+      mode = rng.nextInt(5)) // incl. multipart/mixed with attachments
     val golden = textGolden(EmlWriter.expectedText(spec))
     if (rng.nextBoolean()) {
       // inline RFC-822 text span (extractText -> EmlKernel.extractStr)

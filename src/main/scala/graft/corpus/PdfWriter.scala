@@ -214,7 +214,9 @@ object PdfWriter {
     out.write(s2b("%PDF-1.4\n%Äåòå\n"))
     val dictBodies = Vector(
       s"<< /Title ${infoStr(1, spec.title)} /Author ${infoStr(1, spec.author)} " +
-        s"/Creator ${infoStr(1, "graftgen")} /Producer ${infoStr(1, "graft synthetic corpus")} >>",
+        s"/Creator ${infoStr(1, "graftgen")} /Producer ${infoStr(1, "graft synthetic corpus")} " +
+        s"/CreationDate ${infoStr(1, "D:20200723174639+02'00'")} " +
+        s"/ModDate ${infoStr(1, "D:20200724081500Z")} >>",
       "<< /Type /Catalog /Pages 3 0 R >>",
       "<< /Type /Pages /MediaBox [0 0 612 792] /Count 1 /Kids [ 4 0 R ] >>", {
         val xobjRes = if (spec.imageSeed != 0) "/XObject << /Im1 8 0 R >> " else ""

@@ -190,32 +190,52 @@ object EmlKernel {
     val text =
       if (ct.toLowerCase.startsWith("multipart/")) {
         param(ct, "boundary") match {
-          case Some(b) => multipartText(body, b, unicodeInput)
-          case None    => decodeBody(body, headers, unicodeInput)
+          case Some(b) =>
+            val (t, attachments) = multipartText(body, b, unicodeInput)
+            if (attachments.nonEmpty) {
+              meta += ("Message-Attachment-Count" -> attachments.size.toString)
+              meta += ("Message-Attachment-Names" ->
+                attachments.take(8).mkString(","))
+            }
+            t
+          case None => decodeBody(body, headers, unicodeInput)
         }
       } else decodeBody(body, headers, unicodeInput)
     Result(text, meta)
   }
 
-  /** First text/plain part's decoded text; falls back to the first part,
-    * then to the raw body.
+  /** Multipart walk: the first NON-ATTACHMENT text/plain part's decoded
+    * text (falling back to the first non-attachment part, then the raw
+    * body), plus the attachment filenames (Content-Disposition
+    * attachment, or any part carrying a filename/name parameter).
     */
   private def multipartText(body: String, boundary: String,
-      unicodeInput: Boolean): String = {
+      unicodeInput: Boolean): (String, Vector[String]) = {
     val marker = "--" + boundary
     val chunks = body.split(java.util.regex.Pattern.quote(marker), -1).toVector
       .drop(1) // preamble
       .filterNot(c => c.startsWith("--")) // closing marker tail
-    val parts = chunks.flatMap { c =>
+    val parts = chunks.map { c =>
       val trimmed = c.dropWhile(ch => ch == '\r' || ch == '\n')
       val (hb, pb) = splitAtBlank(trimmed)
       val hs = parseHeaders(hb)
-      Some((hs.getOrElse("content-type", "text/plain"), hs, pb))
+      val disp = hs.getOrElse("content-disposition", "")
+      val fname = param(disp, "filename")
+        .orElse(param(hs.getOrElse("content-type", ""), "name"))
+      val isAttachment = disp.trim.toLowerCase.startsWith("attachment") ||
+        fname.isDefined
+      (hs.getOrElse("content-type", "text/plain"), hs, pb, isAttachment, fname)
     }
-    parts.find(_._1.toLowerCase.startsWith("text/plain"))
-      .orElse(parts.headOption)
-      .map { case (_, hs, pb) => decodeBody(pb, hs, unicodeInput) }
+    val attachments = parts.collect {
+      case (_, _, _, true, Some(n)) => n
+      case (ct2, _, _, true, None)  => "unnamed (" + ct2.takeWhile(_ != ';').trim + ")"
+    }
+    val textParts = parts.filterNot(_._4)
+    val text = textParts.find(_._1.toLowerCase.startsWith("text/plain"))
+      .orElse(textParts.headOption)
+      .map { case (_, hs, pb, _, _) => decodeBody(pb, hs, unicodeInput) }
       .getOrElse(body)
+    (text, attachments)
   }
 
   private def decodeBody(body: String, headers: Map[String, String],

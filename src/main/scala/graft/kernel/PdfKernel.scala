@@ -1479,14 +1479,54 @@ object PdfKernel {
       str("Producer").foreach { v =>
         meta ++= Map("pdf:producer" -> v, "pdf:docinfo:producer" -> v)
       }
-      str("CreationDate").foreach(v => meta += ("pdf:docinfo:created" -> v))
-      str("ModDate").foreach(v => meta += ("pdf:docinfo:modified" -> v))
+      str("CreationDate").foreach { v =>
+        meta += ("pdf:docinfo:created" -> v)
+        pdfDateToIso(v).foreach(iso =>
+          meta ++= Map("dcterms:created" -> iso, "xmp:CreateDate" -> iso))
+      }
+      str("ModDate").foreach { v =>
+        meta += ("pdf:docinfo:modified" -> v)
+        pdfDateToIso(v).foreach(iso => meta += ("dcterms:modified" -> iso))
+      }
       str("Subject").foreach { v =>
         meta ++= Map("dc:subject" -> v, "pdf:docinfo:subject" -> v)
       }
       str("Keywords").foreach(v => meta += ("pdf:docinfo:keywords" -> v))
     }
     meta
+  }
+
+  /** PDF date string (ISO 32000 §7.9.4: D:YYYYMMDDHHmmSS±HH'mm' with
+    * every field after the year optional) -> UTC ISO 8601, the dcterms
+    * shape the reference surfaces via Tika. Unparseable -> None (the
+    * raw value stays under pdf:docinfo:*).
+    */
+  private[graft] def pdfDateToIso(v: String): Option[String] = {
+    var s = v.trim
+    if (s.startsWith("D:")) s = s.substring(2)
+    def num(off: Int, len: Int, dflt: Int): Int =
+      if (s.length >= off + len && s.substring(off, off + len).forall(_.isDigit))
+        s.substring(off, off + len).toInt
+      else dflt
+    if (s.length < 4 || !s.take(4).forall(_.isDigit)) return None
+    val y = num(0, 4, 0); val mo = num(4, 2, 1); val d = num(6, 2, 1)
+    val h = num(8, 2, 0); val mi = num(10, 2, 0); val se = num(12, 2, 0)
+    var offMin = 0
+    if (s.length > 14) {
+      val c = s.charAt(14)
+      if (c == '+' || c == '-') {
+        val oh = num(15, 2, 0)
+        val om = num(18, 2, 0) // skips the apostrophe at index 17
+        offMin = (oh * 60 + om) * (if (c == '-') -1 else 1)
+      } // 'Z' (or nothing): already UTC
+    }
+    if (mo < 1 || mo > 12 || d < 1 || d > 31 || h > 23 || mi > 59 || se > 60) return None
+    try {
+      val utc = java.time.LocalDateTime.of(y, mo, d, h, mi, math.min(59, se))
+        .minusMinutes(offMin)
+      Some(utc.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** PDF text string: UTF-16BE with BOM, else PDFDocEncoding (~latin-1). */

@@ -395,6 +395,29 @@ class KernelSpec extends AnyFunSuite {
     assert(out256.content.isEmpty)
   }
 
+  test("E3 dates: Info CreationDate/ModDate surface as UTC dcterms ISO 8601") {
+    import graft.corpus.PdfWriter
+    val bytes = PdfWriter.write(PdfWriter.Spec("Dated Doc", "A",
+      Vector(Vector("a line of text here")), useKernSpaces = false))
+    val out = PdfKernel.extract(bytes)
+    // writer: D:20200723174639+02'00' -> UTC 15:46:39
+    assert(out.metadata("dcterms:created") == "2020-07-23T15:46:39Z")
+    assert(out.metadata("xmp:CreateDate") == "2020-07-23T15:46:39Z")
+    assert(out.metadata("dcterms:modified") == "2020-07-24T08:15:00Z")
+    // raw values stay alongside
+    assert(out.metadata("pdf:docinfo:created") == "D:20200723174639+02'00'")
+    // parser unit shapes: negative offset, missing fields, garbage
+    assert(PdfKernel.pdfDateToIso("D:20200101120000-05'30'")
+      .contains("2020-01-01T17:30:00Z"))
+    assert(PdfKernel.pdfDateToIso("D:2020").contains("2020-01-01T00:00:00Z"))
+    assert(PdfKernel.pdfDateToIso("D:20201307000000").isEmpty) // month 13
+    assert(PdfKernel.pdfDateToIso("not a date").isEmpty)
+    // encrypted docs decrypt the date strings too
+    val enc = PdfKernel.extract(PdfWriter.write(PdfWriter.Spec("Dated Doc", "A",
+      Vector(Vector("a line of text here")), useKernSpaces = false, encrypt = "aes")))
+    assert(enc.metadata("dcterms:created") == "2020-07-23T15:46:39Z")
+  }
+
   test("E3 filters: LZWDecode / ASCII85 / RunLength content streams round-trip") {
     import graft.corpus.PdfWriter
     val stanzas = Vector(Vector("Filter Title"),

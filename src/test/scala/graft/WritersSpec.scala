@@ -190,15 +190,23 @@ class WritersSpec extends AnyFunSuite {
       val spec = EmlWriter.Spec(TextGen.titleLine(rng, "en"), "a@example.org",
         "b@example.org",
         Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))),
-        mode = seed % 4)
+        mode = seed % 5)
       val out = Extract.extractBytes("eml", EmlWriter.write(spec), opts)
       assert(out.contentType == "message/rfc822", s"seed $seed")
-      assert(out.content == EmlWriter.expectedText(spec), s"seed $seed mode ${seed % 4} lang $lang")
+      assert(out.content == EmlWriter.expectedText(spec), s"seed $seed mode ${seed % 5} lang $lang")
       assert(out.metadata("dc:title") == spec.subject, s"seed $seed")
       // inline string path must agree
       val inline = Extract.extractText("txt",
         new String(EmlWriter.write(spec), java.nio.charset.StandardCharsets.UTF_8), opts)
       assert(inline.content == out.content, s"seed $seed inline/bytes divergence")
+      // mode 4 (multipart/mixed): attachments surface as metadata, and
+      // their payloads never leak into the body text
+      if (seed % 5 == 4) {
+        assert(out.metadata("Message-Attachment-Count") == "2", s"seed $seed")
+        assert(out.metadata("Message-Attachment-Names") == "report.bin,data.csv", s"seed $seed")
+        assert(!out.content.contains("a,b"), s"seed $seed csv leaked")
+      } else
+        assert(!out.metadata.contains("Message-Attachment-Count"), s"seed $seed")
     }
   }
 
