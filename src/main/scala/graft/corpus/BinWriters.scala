@@ -360,6 +360,95 @@ object CfbWriter {
     out.toByteArray
   }
 
+  /** CFB with top-level streams PLUS sub-storages (the Outlook .msg
+    * attachment shape: `__attach_version1.0_#N` storages whose children
+    * carry the filename/data property streams). Top-level chain = root
+    * streams then storages (right-linked); each storage's child points
+    * at its own right-linked member chain — a degenerate but valid
+    * red-black sibling tree, same as buildStreams emits.
+    */
+  def buildWithStorages(rootStreams: Seq[(String, Array[Byte])],
+      storages: Seq[(String, Seq[(String, Array[Byte])])]): Array[Byte] = {
+    val sectorSize = 512
+    val allData: Seq[Array[Byte]] = rootStreams.map(_._2) ++
+      storages.flatMap(_._2.map(_._2))
+    val spans = allData.map(d => math.max(1, (d.length + sectorSize - 1) / sectorSize))
+    val starts = spans.scanLeft(0)(_ + _)
+    val dataSectors = starts.last
+    val nMembers = storages.map(_._2.size).sum
+    val nEntries = 1 + rootStreams.size + storages.size + nMembers
+    val dirSectors = math.max(1, (nEntries * 128 + sectorSize - 1) / sectorSize)
+    val dirStart = dataSectors
+    val fatStart = dirStart + dirSectors
+    var fatSectors = 1
+    while ((fatStart + fatSectors) * 4 > fatSectors * sectorSize) fatSectors += 1
+    val nSectors = fatStart + fatSectors
+    val body = new Array[Byte](nSectors * sectorSize)
+    val fatOff = fatStart * sectorSize
+    java.util.Arrays.fill(body, fatOff, nSectors * sectorSize, 0xff.toByte)
+    allData.zipWithIndex.foreach { case (data, i) =>
+      val s0 = starts(i)
+      System.arraycopy(data, 0, body, s0 * sectorSize, data.length)
+      var s = s0
+      while (s < s0 + spans(i) - 1) { putU32(body, fatOff + s * 4, s + 1); s += 1 }
+      putU32Signed(body, fatOff + (s0 + spans(i) - 1) * 4, 0xfffffffeL)
+    }
+    var d = dirStart
+    while (d < fatStart - 1) { putU32(body, fatOff + d * 4, d + 1); d += 1 }
+    putU32Signed(body, fatOff + (fatStart - 1) * 4, 0xfffffffeL)
+    for (k <- 0 until fatSectors)
+      putU32Signed(body, fatOff + (fatStart + k) * 4, 0xfffffffdL)
+    val dirOff = dirStart * sectorSize
+    // entry layout: 0 root | 1..R root streams | R+1..R+S storages |
+    // then each storage's members contiguously
+    val firstStorage = 1 + rootStreams.size
+    val memberBase = firstStorage + storages.size
+    val memberStart = storages.scanLeft(memberBase)((acc, st) => acc + st._2.size)
+    writeDirEntry(body, dirOff, "Root Entry", 5, 0xfffffffeL, 0)
+    rootStreams.zipWithIndex.foreach { case ((name, data), i) =>
+      val right: Long =
+        if (i + 1 < rootStreams.size) (i + 2).toLong
+        else if (storages.nonEmpty) firstStorage.toLong
+        else 0xffffffffL
+      writeDirEntry(body, dirOff + (i + 1) * 128, name, 2, starts(i),
+        data.length, right = right)
+    }
+    var dataIdx = rootStreams.size
+    storages.zipWithIndex.foreach { case ((stName, members), si) =>
+      val right: Long =
+        if (si + 1 < storages.size) (firstStorage + si + 1).toLong else 0xffffffffL
+      writeDirEntry(body, dirOff + (firstStorage + si) * 128, stName, 1,
+        0L, 0, right = right, child = memberStart(si).toLong)
+      members.zipWithIndex.foreach { case ((mName, mData), mi) =>
+        val mIdx = memberStart(si) + mi
+        val mRight: Long =
+          if (mi + 1 < members.size) (mIdx + 1).toLong else 0xffffffffL
+        writeDirEntry(body, dirOff + mIdx * 128, mName, 2, starts(dataIdx),
+          mData.length, right = mRight)
+        dataIdx += 1
+      }
+    }
+    val header = new Array[Byte](512)
+    val sig = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+    sig.zipWithIndex.foreach { case (b, k) => header(k) = b.toByte }
+    header(24) = 0x3e; header(26) = 0x03
+    header(28) = 0xfe.toByte; header(29) = 0xff.toByte
+    header(30) = 9; header(32) = 6
+    putU32(header, 44, fatSectors)
+    putU32(header, 48, dirStart)
+    putU32(header, 56, 0) // mini cutoff 0: everything via the regular FAT
+    putU32Signed(header, 60, 0xfffffffeL)
+    putU32Signed(header, 68, 0xfffffffeL)
+    var k = 0
+    while (k < 109) { putU32Signed(header, 76 + k * 4, 0xffffffffL); k += 1 }
+    for (f <- 0 until math.min(fatSectors, 109))
+      putU32(header, 76 + f * 4, fatStart + f)
+    val out = new ByteArrayOutputStream()
+    out.write(header)
+    out.write(body)
+    out.toByteArray
+  }
+
   private[corpus] def summaryInfo(title: Option[String], author: Option[String]): Array[Byte] = {
     val props = Seq(2L -> title, 4L -> author).collect { case (pid, Some(v)) => pid -> v }
     val secBase = 48 // header(28) + fmtid(16) + offset(4)
@@ -405,7 +494,7 @@ object CfbWriter {
     */
   private def writeDirEntry(b: Array[Byte], off: Int, name: String,
       typ: Int, start: Long, size: Int,
-      right: Long = 0xffffffffL): Unit = {
+      right: Long = 0xffffffffL, child: Long = -1L): Unit = {
     val n16 = name.getBytes("UTF-16LE")
     System.arraycopy(n16, 0, b, off, math.min(n16.length, 62))
     putU32(b, off + 64, 0); b(off + 64) = ((n16.length + 2) & 0xff).toByte
@@ -414,7 +503,8 @@ object CfbWriter {
     b(off + 67) = 1 // black
     putU32Signed(b, off + 68, 0xffffffffL) // left sibling
     putU32Signed(b, off + 72, right)       // right sibling
-    putU32Signed(b, off + 76, if (typ == 5) 1L else 0xffffffffL) // child
+    putU32Signed(b, off + 76,
+      if (child >= 0) child else if (typ == 5) 1L else 0xffffffffL) // child
     putU32Signed(b, off + 116, start)
     putU32(b, off + 120, size)
   }

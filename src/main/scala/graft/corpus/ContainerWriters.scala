@@ -114,7 +114,8 @@ object EmlWriter {
 object MsgWriter {
 
   final case class Spec(subject: String, sender: String, to: String,
-      bodyParagraphs: Vector[String])
+      bodyParagraphs: Vector[String],
+      attachments: Seq[(String, Array[Byte])] = Nil)
 
   def expectedText(spec: Spec): String =
     spec.bodyParagraphs.mkString("", "\n\n", "\n")
@@ -123,12 +124,19 @@ object MsgWriter {
     def utf16(s: String): Array[Byte] =
       s.getBytes(StandardCharsets.UTF_16LE)
     val body = spec.bodyParagraphs.mkString("", "\r\n\r\n", "\r\n")
-    CfbWriter.buildStreams(Seq(
+    val rootStreams = Seq(
       "__substg1.0_0037001F" -> utf16(spec.subject),
       "__substg1.0_0C1A001F" -> utf16(spec.sender),
       "__substg1.0_0E04001F" -> utf16(spec.to),
       "__substg1.0_1000001F" -> utf16(body),
-      "__properties_version1.0" -> new Array[Byte](32)))
+      "__properties_version1.0" -> new Array[Byte](32))
+    if (spec.attachments.isEmpty) CfbWriter.buildStreams(rootStreams)
+    else CfbWriter.buildWithStorages(rootStreams,
+      spec.attachments.zipWithIndex.map { case ((fname, data), i) =>
+        (f"__attach_version1.0_#$i%08X", Seq(
+          "__substg1.0_3707001F" -> utf16(fname), // PR_ATTACH_LONG_FILENAME
+          "__substg1.0_37010102" -> data))        // PR_ATTACH_DATA_BIN
+      })
   }
 }
 

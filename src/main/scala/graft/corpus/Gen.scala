@@ -701,7 +701,13 @@ object Gen {
       sender = s"$user@example.org",
       to = "docs@example.org",
       bodyParagraphs = Vector.tabulate(1 + rng.nextInt(4))(_ =>
-        TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))))
+        TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))),
+      // ~1-in-3 messages carry attachment sub-storages
+      attachments =
+        if (rng.nextInt(3) == 0)
+          Seq.tabulate(1 + rng.nextInt(2))(a =>
+            s"file$a.dat" -> PixelGen.bytes(rng.nextLong(), 64 + rng.nextInt(400)))
+        else Nil)
     val bytes = MsgWriter.write(spec)
     val ref = s"m-$docId-$k"
     Piece("msg", Span("msg", null, ref, -1),

@@ -87,7 +87,7 @@ private[kernel] object Cfb {
     private final case class DirEnt(name: String, typ: Int, start: Long,
         size: Long, left: Int, right: Int, child: Int)
 
-    private val (entries, rootStart) = {
+    private val (entries, rootStart, attachScopes) = {
       val dir = chain(firstDirSector)
       val n = dir.length / 128
       def i32(p: Int): Int =
@@ -111,25 +111,33 @@ private[kernel] object Cfb {
         }
         i += 1
       }
-      // collect the root's children by walking the sibling binary tree
-      val topLevel = Vector.newBuilder[DirEnt]
-      var treeOk = root >= 0 && ents(root) != null
-      if (treeOk) {
+      // sibling binary-tree walk (shared by the root scope and the
+      // attachment sub-storages); cycle -> (partial, false)
+      def walkSiblings(startIdx: Int): (Vector[DirEnt], Boolean) = {
+        val out = Vector.newBuilder[DirEnt]
+        var ok = true
         val visited = new java.util.BitSet(n)
-        val stack = scala.collection.mutable.ArrayDeque[Int](ents(root).child)
+        val stack = scala.collection.mutable.ArrayDeque[Int](startIdx)
         var steps = 0
-        while (stack.nonEmpty && treeOk && steps < n * 2) {
+        while (stack.nonEmpty && ok && steps < n * 2) {
           val k = stack.removeLast()
           steps += 1
           if (k >= 0 && k < n && ents(k) != null && !visited.get(k)) {
             visited.set(k)
-            topLevel += ents(k)
+            out += ents(k)
             stack += ents(k).left
             stack += ents(k).right
-          } else if (k >= 0 && k < n && visited.get(k)) treeOk = false // cycle
+          } else if (k >= 0 && k < n && visited.get(k)) ok = false // cycle
         }
+        (out.result(), ok)
       }
-      val scoped = topLevel.result()
+      var treeOk = root >= 0 && ents(root) != null
+      val scoped =
+        if (treeOk) {
+          val (tl, ok) = walkSiblings(ents(root).child)
+          treeOk = ok
+          tl
+        } else Vector.empty[DirEnt]
       val usable = if (treeOk && scoped.nonEmpty) scoped
         else ents.toVector.filter(e => e != null && e.typ != 5) // flat fallback
       var es = Map.empty[String, (Long, Long)]
@@ -139,7 +147,27 @@ private[kernel] object Cfb {
         val key = e.name.dropWhile(_ < ' ')
         if (e.typ == 2 && !es.contains(key)) es += (key -> (e.start, e.size))
       }
-      (es, if (root >= 0 && ents(root) != null) ents(root).start else -1L)
+      // Outlook attachment sub-storages: each __attach* STORAGE child of
+      // the root gets its own scoped name->(start, size) view, in name
+      // order (the #NNNNNNNN suffix orders them)
+      val attach = Vector.newBuilder[Map[String, (Long, Long)]]
+      if (treeOk) {
+        scoped.filter(e => e.typ == 1 && e.name.startsWith("__attach"))
+          .sortBy(_.name)
+          .foreach { st =>
+            val (members, ok) = walkSiblings(st.child)
+            if (ok) {
+              var sub = Map.empty[String, (Long, Long)]
+              members.foreach { m =>
+                if (m.typ == 2 && !sub.contains(m.name))
+                  sub += (m.name -> (m.start, m.size))
+              }
+              attach += sub
+            }
+          }
+      }
+      (es, if (root >= 0 && ents(root) != null) ents(root).start else -1L,
+        attach.result())
     }
 
     // Mini stream: objects smaller than miniCutoff live in 64-byte mini
@@ -170,12 +198,24 @@ private[kernel] object Cfb {
 
     def streamNames: Iterable[String] = entries.keys
 
+    private def readStream(start: Long, size: Long): Array[Byte] = {
+      val raw = if (size < miniCutoff) miniChain(start) else chain(start)
+      if (size >= 0 && size <= raw.length) java.util.Arrays.copyOf(raw, size.toInt)
+      else raw
+    }
+
     def stream(name: String): Option[Array[Byte]] =
-      entries.get(name).map { case (start, size) =>
-        val raw = if (size < miniCutoff) miniChain(start) else chain(start)
-        if (size >= 0 && size <= raw.length) java.util.Arrays.copyOf(raw, size.toInt)
-        else raw
-      }
+      entries.get(name).map { case (start, size) => readStream(start, size) }
+
+    /** Number of __attach* sub-storages (root children, name order). */
+    def attachmentCount: Int = attachScopes.length
+
+    /** A stream inside attachment sub-storage `i` (scoped — never
+      * shadows or is shadowed by root-level streams).
+      */
+    def attachmentStream(i: Int, name: String): Option[Array[Byte]] =
+      if (i < 0 || i >= attachScopes.length) None
+      else attachScopes(i).get(name).map { case (s, z) => readStream(s, z) }
   }
 }
 
@@ -209,6 +249,23 @@ object MsgKernel {
     }
     prop("0E04").foreach(v => meta += ("Message-To" -> v))         // PR_DISPLAY_TO
     prop("0E03").foreach(v => meta += ("Message-Cc" -> v))         // PR_DISPLAY_CC
+    // attachment sub-storages: names from PR_ATTACH_LONG_FILENAME (3707)
+    // falling back to PR_ATTACH_FILENAME (3704) — same metadata keys as
+    // the .eml kernel's attachment surface
+    val nAtt = c.attachmentCount
+    if (nAtt > 0) {
+      def attProp(i: Int, tag: String): Option[String] =
+        c.attachmentStream(i, s"__substg1.0_${tag}001F")
+          .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_16LE))
+          .orElse(c.attachmentStream(i, s"__substg1.0_${tag}001E")
+            .map(b => new String(b, java.nio.charset.Charset.forName("windows-1252"))))
+          .map(_.takeWhile(_ != 0.toChar).trim).filter(_.nonEmpty)
+      val names = (0 until math.min(8, nAtt)).map { i =>
+        attProp(i, "3707").orElse(attProp(i, "3704")).getOrElse("unnamed")
+      }
+      meta += ("Message-Attachment-Count" -> nAtt.toString)
+      meta += ("Message-Attachment-Names" -> names.mkString(","))
+    }
     val body = raw("1000").getOrElse("")                           // PR_BODY
     Result(body.replace("\r\n", "\n").replace('\r', '\n'), meta)
   }

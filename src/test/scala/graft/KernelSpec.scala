@@ -1257,6 +1257,21 @@ class KernelSpec extends AnyFunSuite {
     val g = Extract.extractBytes("doc", generic, Extract.Options())
     assert(g.contentType == "application/x-tika-msoffice")
     assert(g.content == "")
+    // attachment sub-storages: names via PR_ATTACH_LONG_FILENAME; the
+    // body and top-level metadata stay untouched, and attachment-scope
+    // streams never shadow root-level ones (the 0037 decoy)
+    val att = MsgWriter.Spec("With Files", "dave@example.org", "docs@example.org",
+      Vector("Body paragraph here."),
+      attachments = Seq(
+        "budget.xlsx" -> Array.tabulate[Byte](700)(i => (i * 3).toByte),
+        "notes.txt" -> "plain attachment bytes".getBytes("UTF-8")))
+    val aout = Extract.extractBytes("msg", MsgWriter.write(att), Extract.Options())
+    assert(aout.metadata("Message-Attachment-Count") == "2")
+    assert(aout.metadata("Message-Attachment-Names") == "budget.xlsx,notes.txt")
+    assert(aout.metadata("dc:title") == "With Files")
+    assert(aout.content == MsgWriter.expectedText(att))
+    // no-attachment messages carry no attachment keys
+    assert(!out.metadata.contains("Message-Attachment-Count"))
   }
 
   test("E21: .xls BIFF8 — SST (incl. mid-string Continue split), LABELSST/NUMBER cells, SI metadata") {
