@@ -93,7 +93,7 @@ object DocxWriter {
       sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n")
       sb.append("<w:footnotes xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\">")
       // the separator stubs every real producer emits — the kernel must
-      // skip these (their -style glyph runs carry no prose)
+      // skip these (their separator-glyph runs carry no prose)
       sb.append("<w:footnote w:type=\"separator\" w:id=\"-1\"><w:p><w:r><w:separator/></w:r></w:p></w:footnote>")
       sb.append("<w:footnote w:type=\"continuationSeparator\" w:id=\"0\"><w:p><w:r><w:continuationSeparator/></w:r></w:p></w:footnote>")
       spec.footnotes.zipWithIndex.foreach { case (fn, i) =>

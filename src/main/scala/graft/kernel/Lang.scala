@@ -260,6 +260,8 @@ object Lang {
     var srChars = 0   // ђ ћ: Serbian only
     var mkChars = 0   // ѓ ќ ѕ: Macedonian only
     var beChars = 0   // ў: Belarusian only
+    var kkChars = 0   // қ ғ ұ ә һ: Kazakh additions (checked before the
+                      // і+ы rule — Kazakh uses both і and ы routinely)
     var letters = 0
     var i = 0
     while (i < t.length) {
@@ -277,6 +279,7 @@ object Lang {
         if (lc == 'ђ' || lc == 'ћ') srChars += 1
         if (lc == 'ѓ' || lc == 'ќ' || lc == 'ѕ') mkChars += 1
         if (lc == 'ў') beChars += 1
+        if (lc == 'қ' || lc == 'ғ' || lc == 'ұ' || lc == 'ә' || lc == 'һ') kkChars += 1
         if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
         else if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)) han += 1
         else if (cp >= 0x3040 && cp <= 0x30ff) kana += 1
@@ -322,6 +325,9 @@ object Lang {
         if (mkChars > srChars) return "mk"
         return "sr"
       }
+      // Kazakh's additions (қ/ғ/ұ/ә/һ) are decisive and must beat the
+      // і+ы coexistence rule below (Kazakh writes both)
+      if (kkChars > 0) return "kk"
       // ў is Belarusian-only; so is і coexisting with ы/э (Ukrainian
       // lacks ы/э, Russian lacks і)
       if (beChars > 0) return "be"

@@ -65,6 +65,13 @@ class KernelSpec extends AnyFunSuite {
     assert(out.content.startsWith("The quick brown fox"))
   }
 
+  test("D3: Kazakh via Cyrillic additions (beats the і+ы Belarusian rule)") {
+    assert(Lang.detect("Бұл қазақ тілінде жазылған мәтін, онда көптеген сөздер бар.") == "kk")
+    // the be/uk/ru rules stay intact
+    assert(Lang.detect("Гэта тэкст на беларускай мове, у якім ёсць шмат слоў і таксама сказаў пра ўсё.") == "be")
+    assert(Lang.detect("Це текст українською мовою, він має багато слів і речень.") == "uk")
+  }
+
   test("D3: census-only scripts — am/km/lo/si/my (58 languages + und)") {
     assert(Lang.detect("ይህ በአማርኛ የተጻፈ ጽሑፍ ነው እና ብዙ ቃላት አሉት።") == "am")
     assert(Lang.detect("នេះជាអត្ថបទដែលសរសេរជាភាសាខ្មែរ ហើយមានពាក្យច្រើន។") == "km")
