@@ -140,7 +140,12 @@ object Gen {
     val spec = HtmlWriter.Spec(
       TextGen.titleLine(rng, lang),
       TextGen.titleLine(rng, lang),
-      Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 2 + rng.nextInt(3))))
+      Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 2 + rng.nextInt(3))),
+      // ~1-in-4 pages carry a data table in the main content
+      tables = if (rng.nextInt(4) == 0)
+        Vector(Vector.tabulate(2 + rng.nextInt(3))(_ =>
+          Vector.tabulate(2 + rng.nextInt(3))(_ => TextGen.titleLine(rng, lang))))
+      else Vector.empty)
     val html = HtmlWriter.write(spec, rng)
     val content = HtmlWriter.expectedBlocks(spec).mkString("\n\n")
     Piece("html", Span("html", html, null, -1), Nil, textGolden(content), html.length.toLong)

@@ -8,12 +8,20 @@ import java.util.SplittableRandom
   */
 object HtmlWriter {
 
-  final case class Spec(title: String, heading: String, paragraphs: Vector[String])
+  final case class Spec(title: String, heading: String,
+      paragraphs: Vector[String],
+      // data tables in the main content: rows of cells, each row kept
+      // as ONE tab-joined block (>= 2 cells triggers the data-table
+      // keep rule even for short cells)
+      tables: Vector[Vector[Vector[String]]] = Vector.empty)
 
-  /** Expected kept blocks: heading + paragraphs (whitespace-normalized —
-    * generator text is already single-spaced so this is the identity).
+  /** Expected kept blocks: heading + paragraphs + table rows (cells
+    * tab-joined), whitespace-normalized — generator text is already
+    * single-spaced so this is the identity.
     */
-  def expectedBlocks(spec: Spec): Vector[String] = spec.heading +: spec.paragraphs
+  def expectedBlocks(spec: Spec): Vector[String] =
+    (spec.heading +: spec.paragraphs) ++
+      spec.tables.flatMap(_.map(_.mkString("\t")))
 
   def write(spec: Spec, rng: SplittableRandom): String = {
     val navLinks = (0 until 4 + rng.nextInt(5))
@@ -21,6 +29,12 @@ object HtmlWriter {
     val farm = (0 until 8 + rng.nextInt(8))
       .map(k => s"""<a href="/t$k">tag$k</a>""").mkString(" ")
     val e = DocxWriter.xmlEsc _
+    val tablesHtml = spec.tables.map { rows =>
+      val trs = rows.map(cells =>
+        cells.map(c => s"<td>${e(c)}</td>").mkString("<tr>", "", "</tr>"))
+        .mkString("\n")
+      s"<table>\n$trs\n</table>"
+    }.mkString("\n")
     s"""<!DOCTYPE html>
 <html><head><title>${e(spec.title)}</title>
 <style>body { margin: 0 } .x { color: #333 }</style>
@@ -31,6 +45,7 @@ object HtmlWriter {
 <article>
 <h1>${e(spec.heading)}</h1>
 ${spec.paragraphs.map(p => s"<p>${e(p)}</p>").mkString("\n")}
+$tablesHtml
 </article>
 <div class="farm">$farm</div>
 <footer>site footer legal text ${rng.nextInt(100)}</footer>

@@ -17,7 +17,12 @@ package graft.kernel
   *    or 3 <= wordCount < 10 with linkDensity <= 0.33 when an adjacent
   *    block is content (quote/short-line rescue);
   *  - headings (h1..h6, title-like) with linkDensity = 0 are kept when any
-  *    body content exists.
+  *    body content exists;
+  *  - TABLE ROWS emit as ONE block per tr with cells tab-joined (the
+  *    DOCX/XLSX row convention); a row with >= 2 non-empty cells and
+  *    linkDensity <= 0.33 is content (data-table shape) — single-cell
+  *    layout-table rows follow the normal word-count rules, and link
+  *    farms inside tables still fail on link density.
   */
 object HtmlKernel {
 
@@ -26,7 +31,8 @@ object HtmlKernel {
       words: Int,
       linkedWords: Int,
       isHeading: Boolean,
-      inBoiler: Boolean) {
+      inBoiler: Boolean,
+      tableCells: Int = 0) { // > 0: a table ROW (non-empty cell count)
     def linkDensity: Double = if (words == 0) 0.0 else linkedWords.toDouble / words
   }
 
@@ -69,12 +75,35 @@ object HtmlKernel {
     var headingDepth = 0
     var dropDepth = 0
     var inTitle = false
+    // table state: rows collect cells; one block per tr, cells \t-joined
+    var tableDepth = 0
+    var cellDepth = 0
+    var rowCells = Vector.empty[String]
+    var rowWords = 0
+    var rowLinked = 0
 
     def flush(): Unit = {
       val t = normalizeWs(cur.toString)
       if (t.nonEmpty)
         blocks += Block(t, curWords, curLinked, headingDepth > 0, boilerDepth > 0)
       cur.setLength(0); curWords = 0; curLinked = 0
+    }
+    def flushCell(): Unit = {
+      rowCells :+= normalizeWs(cur.toString)
+      rowWords += curWords; rowLinked += curLinked
+      cur.setLength(0); curWords = 0; curLinked = 0
+    }
+    def flushRow(): Unit = {
+      if (cellDepth > 0) { flushCell(); cellDepth = 0 }
+      if (rowCells.nonEmpty) {
+        // trailing empty cells drop; interior empties keep their tab slot
+        val trimmed = rowCells.reverse.dropWhile(_.isEmpty).reverse
+        if (trimmed.nonEmpty)
+          blocks += Block(trimmed.mkString("\t"), rowWords, rowLinked,
+            isHeading = false, inBoiler = boilerDepth > 0,
+            tableCells = trimmed.count(_.nonEmpty))
+      }
+      rowCells = Vector.empty; rowWords = 0; rowLinked = 0
     }
 
     var i = 0
@@ -129,7 +158,24 @@ object HtmlKernel {
                 else if (closing && inAnchor > 0) inAnchor -= 1
               }
               if (blockTags.contains(rawName)) {
-                flush()
+                rawName match {
+                  case "table" =>
+                    if (!closing && !selfClosed) { flush(); flushRow(); tableDepth += 1 }
+                    else if (closing && tableDepth > 0) { flushRow(); flush(); tableDepth -= 1 }
+                    else flush()
+                  case "tr" if tableDepth > 0 =>
+                    if (!closing) { flushRow(); flush() } // stray caption text
+                    else flushRow()
+                  case "td" | "th" if tableDepth > 0 =>
+                    if (!closing && !selfClosed) {
+                      if (cellDepth > 0) flushCell() else flush() // stray text
+                      cellDepth = 1
+                    } else if (closing && cellDepth > 0) { flushCell(); cellDepth = 0 }
+                  case _ =>
+                    // a block boundary INSIDE a table cell separates with
+                    // a space, keeping the cell one tab field
+                    if (cellDepth > 0) cur.append(' ') else flush()
+                }
                 if (boilerTags.contains(rawName)) {
                   if (!closing && !selfClosed) boilerDepth += 1
                   else if (closing && boilerDepth > 0) boilerDepth -= 1
@@ -160,6 +206,7 @@ object HtmlKernel {
         i = end
       }
     }
+    flushRow() // unterminated table at EOF
     flush()
 
     val all = blocks.result()
@@ -171,7 +218,8 @@ object HtmlKernel {
   private def classify(all: Vector[Block]): Vector[String] = {
     if (all.isEmpty) return Vector.empty
     val core = all.map { b =>
-      !b.inBoiler && b.words >= 10 && b.linkDensity <= 0.33
+      !b.inBoiler && b.linkDensity <= 0.33 &&
+        (b.words >= 10 || (b.tableCells >= 2 && b.words >= 1))
     }
     val anyCore = core.contains(true)
     val keep = all.indices.map { i =>

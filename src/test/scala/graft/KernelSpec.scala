@@ -1541,6 +1541,35 @@ class KernelSpec extends AnyFunSuite {
     assert(full.content.contains("Main content paragraph"))
   }
 
+  test("E2+: HTML data tables — one tab-joined block per row, link rows still drop") {
+    val html = """<html><body>
+      <p>This paragraph has more than ten words of real main content in it.</p>
+      <table>
+        <tr><th>name</th><th>qty</th><th>price</th></tr>
+        <tr><td>apples</td><td>3</td><td>2.40</td></tr>
+        <tr><td>pears</td><td></td><td>1.10</td></tr>
+      </table>
+      <table><tr><td><a href="/a">one</a> <a href="/b">two</a></td><td><a href="/c">three</a></td></tr></table>
+    </body></html>"""
+    val r = HtmlKernel.extract(html)
+    assert(r.blocks.contains("name\tqty\tprice"))
+    assert(r.blocks.contains("apples\t3\t2.40"))
+    assert(r.blocks.contains("pears\t\t1.10"), r.blocks) // interior empty keeps its slot
+    assert(!r.blocks.exists(_.contains("one")), r.blocks) // all-links row fails density
+    // nested block tags inside a cell stay ONE tab field
+    val r2 = HtmlKernel.extract(
+      "<body><table><tr><td><p>alpha</p><p>beta</p></td><td>x</td></tr></table></body>")
+    assert(r2.blocks.contains("alpha beta\tx"), r2.blocks)
+    // single-cell layout rows follow the normal word-count rules
+    val r3 = HtmlKernel.extract(
+      "<body><table><tr><td>tiny</td></tr></table></body>")
+    assert(r3.blocks.isEmpty, r3.blocks)
+    // full-text mode keeps everything, rows still tab-joined
+    val ft = HtmlKernel.extractFullText(html)
+    assert(ft.blocks.contains("apples\t3\t2.40"))
+    assert(ft.blocks.contains("one two\tthree"), ft.blocks)
+  }
+
   test("E2: entity decoding") {
     assert(HtmlKernel.decodeEntities("a &amp; b &lt;c&gt; &#65; &#x42;") == "a & b <c> A B")
   }
