@@ -145,6 +145,11 @@ object Gen {
       tables = if (rng.nextInt(4) == 0)
         Vector(Vector.tabulate(2 + rng.nextInt(3))(_ =>
           Vector.tabulate(2 + rng.nextInt(3))(_ => TextGen.titleLine(rng, lang))))
+      else Vector.empty,
+      // ~1-in-4 carry a bulleted list (short items survive via the
+      // preceded-by-core list-run rule)
+      lists = if (rng.nextInt(4) == 0)
+        Vector(Vector.tabulate(2 + rng.nextInt(4))(_ => TextGen.titleLine(rng, lang)))
       else Vector.empty)
     val html = HtmlWriter.write(spec, rng)
     val content = HtmlWriter.expectedBlocks(spec).mkString("\n\n")

@@ -13,14 +13,18 @@ object HtmlWriter {
       // data tables in the main content: rows of cells, each row kept
       // as ONE tab-joined block (>= 2 cells triggers the data-table
       // keep rule even for short cells)
-      tables: Vector[Vector[Vector[String]]] = Vector.empty)
+      tables: Vector[Vector[Vector[String]]] = Vector.empty,
+      // bulleted lists in the main content: rendered right after the
+      // paragraphs so the list-run rule (preceded-by-core) keeps the
+      // items even when short
+      lists: Vector[Vector[String]] = Vector.empty)
 
-  /** Expected kept blocks: heading + paragraphs + table rows (cells
-    * tab-joined), whitespace-normalized — generator text is already
-    * single-spaced so this is the identity.
+  /** Expected kept blocks: heading + paragraphs + list items + table
+    * rows (cells tab-joined), whitespace-normalized — generator text is
+    * already single-spaced so this is the identity.
     */
   def expectedBlocks(spec: Spec): Vector[String] =
-    (spec.heading +: spec.paragraphs) ++
+    (spec.heading +: spec.paragraphs) ++ spec.lists.flatten ++
       spec.tables.flatMap(_.map(_.mkString("\t")))
 
   def write(spec: Spec, rng: SplittableRandom): String = {
@@ -29,6 +33,9 @@ object HtmlWriter {
     val farm = (0 until 8 + rng.nextInt(8))
       .map(k => s"""<a href="/t$k">tag$k</a>""").mkString(" ")
     val e = DocxWriter.xmlEsc _
+    val listsHtml = spec.lists.map { items =>
+      items.map(it => s"<li>${e(it)}</li>").mkString("<ul>\n", "\n", "\n</ul>")
+    }.mkString("\n")
     val tablesHtml = spec.tables.map { rows =>
       val trs = rows.map(cells =>
         cells.map(c => s"<td>${e(c)}</td>").mkString("<tr>", "", "</tr>"))
@@ -45,6 +52,7 @@ object HtmlWriter {
 <article>
 <h1>${e(spec.heading)}</h1>
 ${spec.paragraphs.map(p => s"<p>${e(p)}</p>").mkString("\n")}
+$listsHtml
 $tablesHtml
 </article>
 <div class="farm">$farm</div>

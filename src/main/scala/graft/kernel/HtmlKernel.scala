@@ -32,7 +32,8 @@ object HtmlKernel {
       linkedWords: Int,
       isHeading: Boolean,
       inBoiler: Boolean,
-      tableCells: Int = 0) { // > 0: a table ROW (non-empty cell count)
+      tableCells: Int = 0,   // > 0: a table ROW (non-empty cell count)
+      isListItem: Boolean = false) {
     def linkDensity: Double = if (words == 0) 0.0 else linkedWords.toDouble / words
   }
 
@@ -82,10 +83,13 @@ object HtmlKernel {
     var rowWords = 0
     var rowLinked = 0
 
+    var listDepth = 0
+
     def flush(): Unit = {
       val t = normalizeWs(cur.toString)
       if (t.nonEmpty)
-        blocks += Block(t, curWords, curLinked, headingDepth > 0, boilerDepth > 0)
+        blocks += Block(t, curWords, curLinked, headingDepth > 0, boilerDepth > 0,
+          isListItem = listDepth > 0)
       cur.setLength(0); curWords = 0; curLinked = 0
     }
     def flushCell(): Unit = {
@@ -171,6 +175,13 @@ object HtmlKernel {
                       if (cellDepth > 0) flushCell() else flush() // stray text
                       cellDepth = 1
                     } else if (closing && cellDepth > 0) { flushCell(); cellDepth = 0 }
+                  case "ul" | "ol" =>
+                    if (cellDepth > 0) cur.append(' ') // list inside a cell
+                    else {
+                      flush()
+                      if (!closing && !selfClosed) listDepth += 1
+                      else if (closing && listDepth > 0) listDepth -= 1
+                    }
                   case _ =>
                     // a block boundary INSIDE a table cell separates with
                     // a space, keeping the cell one tab field
@@ -214,7 +225,12 @@ object HtmlKernel {
       (if (title.trim.nonEmpty) Map("dc:title" -> normalizeWs(title)) else Map.empty))
   }
 
-  /** Keep/drop per the documented thresholds + neighbor rescue. */
+  /** Keep/drop per the documented thresholds + neighbor rescue + the
+    * list-run rule: a contiguous run of list items PRECEDED by a core
+    * block is content (bulleted lists follow their intro paragraph);
+    * each item still needs linkDensity <= 0.33 and a word — nav menus
+    * (inBoiler) and link lists keep dropping.
+    */
   private def classify(all: Vector[Block]): Vector[String] = {
     if (all.isEmpty) return Vector.empty
     val core = all.map { b =>
@@ -222,7 +238,7 @@ object HtmlKernel {
         (b.words >= 10 || (b.tableCells >= 2 && b.words >= 1))
     }
     val anyCore = core.contains(true)
-    val keep = all.indices.map { i =>
+    val keep = Array.tabulate(all.length) { i =>
       val b = all(i)
       if (b.inBoiler) false
       else if (core(i)) true
@@ -230,6 +246,22 @@ object HtmlKernel {
       else if (b.words >= 3 && b.linkDensity <= 0.33 &&
         ((i > 0 && core(i - 1)) || (i + 1 < all.length && core(i + 1)))) true
       else false
+    }
+    var i = 0
+    while (i < all.length) {
+      if (all(i).isListItem) {
+        var j = i
+        while (j < all.length && all(j).isListItem) j += 1
+        if (i > 0 && core(i - 1)) {
+          var k = i
+          while (k < j) {
+            val b = all(k)
+            if (!b.inBoiler && b.linkDensity <= 0.33 && b.words >= 1) keep(k) = true
+            k += 1
+          }
+        }
+        i = j
+      } else i += 1
     }
     all.indices.collect { case i if keep(i) => all(i).text }.toVector
   }

@@ -1570,6 +1570,27 @@ class KernelSpec extends AnyFunSuite {
     assert(ft.blocks.contains("one two\tthree"), ft.blocks)
   }
 
+  test("E2+: HTML lists — items after a content paragraph are kept, nav menus drop") {
+    val html = """<html><body>
+      <nav><ul><li><a href="/">home</a></li><li><a href="/x">about</a></li></ul></nav>
+      <p>This intro paragraph has well over ten words of real main content text.</p>
+      <ul><li>apples</li><li>pears and plums</li><li>late cherries</li></ul>
+      <div class="tags"><ul><li><a href="/a">tag</a></li><li><a href="/b">tag</a></li></ul></div>
+    </body></html>"""
+    val r = HtmlKernel.extract(html)
+    assert(r.blocks.contains("apples"), r.blocks)
+    assert(r.blocks.contains("pears and plums"))
+    assert(r.blocks.contains("late cherries"))
+    // nav list items stay boilerplate; the trailing link list has no
+    // preceding core block in ITS run... it does (the last kept li is
+    // not core), and its items fail link density anyway
+    assert(!r.blocks.exists(_.contains("home")), r.blocks)
+    assert(!r.blocks.exists(_.contains("tag")), r.blocks)
+    // a list with no content before it drops in main-content mode
+    val lone = HtmlKernel.extract("<body><ul><li>alpha</li><li>beta</li></ul></body>")
+    assert(lone.blocks.isEmpty, lone.blocks)
+  }
+
   test("E2: entity decoding") {
     assert(HtmlKernel.decodeEntities("a &amp; b &lt;c&gt; &#65; &#x42;") == "a & b <c> A B")
   }
