@@ -254,7 +254,11 @@ object Gen {
       Vector.tabulate(1 + rng.nextInt(4))(_ => TextGen.titleLine(rng, lang))
     }
     val spec = PptxWriter.Spec(TextGen.titleLine(rng, lang),
-      TextGen.titleLine(rng, "en"), slides)
+      TextGen.titleLine(rng, "en"), slides,
+      // ~1-in-3 decks carry speaker notes on a subset of slides
+      notes = if (rng.nextInt(3) == 0)
+        slides.map(_ => if (rng.nextBoolean()) TextGen.sentence(rng, lang) else "")
+      else Vector.empty)
     val bytes = PptxWriter.write(spec)
     val ref = s"m-$docId-$k"
     Piece("pptx", Span("pptx", null, ref, -1),

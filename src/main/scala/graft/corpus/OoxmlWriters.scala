@@ -125,27 +125,36 @@ object PptxWriter {
   final case class Spec(
       title: String,
       creator: String,
-      slides: Vector[Vector[String]])
+      slides: Vector[Vector[String]],
+      // speaker notes: notes(i) follows slide i+1 as its own block
+      // (empty string = no notes part for that slide)
+      notes: Vector[String] = Vector.empty)
 
   /** Expected extracted content: slide paragraphs joined by newline,
-    * slides separated by a blank line.
+    * slides separated by a blank line; a slide's speaker notes follow
+    * it as their own block.
     */
   def expectedText(spec: Spec): String =
-    spec.slides.map(_.filter(_.nonEmpty).mkString("\n")).filter(_.nonEmpty).mkString("\n\n")
+    spec.slides.zipWithIndex.flatMap { case (s, i) =>
+      Vector(s.filter(_.nonEmpty).mkString("\n")) ++
+        (if (i < spec.notes.length && spec.notes(i).nonEmpty) Vector(spec.notes(i))
+         else Vector.empty)
+    }.filter(_.nonEmpty).mkString("\n\n")
 
   def write(spec: Spec): Array[Byte] = {
-    def slideXml(paras: Vector[String]): String = {
+    def bodyXml(root: String, paras: Vector[String]): String = {
       val sb = new StringBuilder
       sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n")
-      sb.append("<p:sld xmlns:a=\"http://schemas.openxmlformats.org/drawingml/2006/main\" ")
+      sb.append(s"<p:$root xmlns:a=\"http://schemas.openxmlformats.org/drawingml/2006/main\" ")
       sb.append("xmlns:p=\"http://schemas.openxmlformats.org/presentationml/2006/main\">")
       sb.append("<p:cSld><p:spTree><p:sp><p:txBody>")
       paras.foreach { p =>
         sb.append("<a:p><a:r><a:t>").append(DocxWriter.xmlEsc(p)).append("</a:t></a:r></a:p>")
       }
-      sb.append("</p:txBody></p:sp></p:spTree></p:cSld></p:sld>")
+      sb.append(s"</p:txBody></p:sp></p:spTree></p:cSld></p:$root>")
       sb.toString
     }
+    def slideXml(paras: Vector[String]): String = bodyXml("sld", paras)
     val contentTypes =
       "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
       "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\">" +
@@ -171,6 +180,9 @@ object PptxWriter {
       "ppt/presentation.xml" -> presentation) ++
       spec.slides.zipWithIndex.map { case (s, i) =>
         s"ppt/slides/slide${i + 1}.xml" -> slideXml(s)
+      } ++
+      spec.notes.zipWithIndex.collect { case (n, i) if n.nonEmpty =>
+        s"ppt/notesSlides/notesSlide${i + 1}.xml" -> bodyXml("notes", Vector(n))
       } ++ Seq(
       "docProps/core.xml" -> OoxmlZip.coreXml(spec.title, spec.creator),
       "docProps/app.xml" -> appXml))

@@ -224,7 +224,8 @@ object XlsxKernel {
 
 /** PPTX (presentationml) text extractor: slides in numeric order, one
   * paragraph per a:p (concatenated a:t runs), slides separated by a blank
-  * line.
+  * line; SPEAKER NOTES (ppt/notesSlides/notesSlideN.xml) follow their
+  * slide as their own block — the same surface Tika emits.
   */
 object PptxKernel {
 
@@ -233,19 +234,25 @@ object PptxKernel {
   }
 
   private val SlideName = """ppt/slides/slide(\d+)\.xml""".r
+  private val NotesName = """ppt/notesSlides/notesSlide(\d+)\.xml""".r
 
   def extract(bytes: Array[Byte]): Result = {
     var slides = Vector.empty[(Int, Array[Byte])]
+    var notes = Vector.empty[(Int, Array[Byte])]
     var meta = Map.empty[String, String]
     OoxmlUtil.walkZip(bytes) { (name, read) =>
       name match {
         case SlideName(n)        => slides :+= (n.toInt, read())
+        case NotesName(n)        => notes :+= (n.toInt, read())
         case "docProps/core.xml" => meta ++= OoxmlUtil.coreProps(read())
         case "docProps/app.xml"  => meta ++= OoxmlUtil.appProps(read())
         case _                   => ()
       }
     }
-    val texts = slides.sortBy(_._1).map(s => slideText(s._2))
+    val noteByNum = notes.groupBy(_._1).view.mapValues(_.head._2).toMap
+    val texts = slides.sortBy(_._1).flatMap { case (n, x) =>
+      Vector(slideText(x)) ++ noteByNum.get(n).map(slideText)
+    }
     Result(texts, meta)
   }
 

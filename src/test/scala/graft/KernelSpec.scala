@@ -1436,6 +1436,24 @@ class KernelSpec extends AnyFunSuite {
     Extract.extractBytes("heic", Array.fill(64)(0x7f.toByte), Extract.Options())
   }
 
+  test("E10+: PPTX speaker notes follow their slide as their own block") {
+    import graft.corpus.PptxWriter
+    val spec = PptxWriter.Spec("Deck", "A",
+      Vector(Vector("slide one title", "slide one body"),
+        Vector("slide two title"),
+        Vector("slide three title")),
+      notes = Vector("remember the demo", "", "closing remarks here"))
+    val out = Extract.extractBytes("pptx", PptxWriter.write(spec), Extract.Options())
+    assert(out.content == PptxWriter.expectedText(spec), out.content)
+    assert(out.content ==
+      "slide one title\nslide one body\n\nremember the demo\n\n" +
+      "slide two title\n\nslide three title\n\nclosing remarks here")
+    // noteless decks are byte-compatible with the old layout
+    val plain = PptxWriter.Spec("Deck", "A", Vector(Vector("only slide")))
+    assert(Extract.extractBytes("pptx", PptxWriter.write(plain),
+      Extract.Options()).content == "only slide")
+  }
+
   test("D1 zip64: EOCD64-routed OOXML classifies (CD offset behind the sentinel)") {
     import graft.corpus.{ArchiveWriter, DocxWriter}
     val docx = DocxWriter.write(DocxWriter.Spec("Zip64 Doc", "A",
