@@ -52,23 +52,43 @@ object RtfWriter {
 
 object OdtWriter {
 
-  final case class Spec(title: String, creator: String, paragraphs: Vector[String])
+  final case class Spec(title: String, creator: String,
+      paragraphs: Vector[String],
+      // tables -> rows -> cells: one tab-joined line per row (the
+      // DOCX/HTML row convention), rendered after the paragraphs
+      tables: Vector[Vector[Vector[String]]] = Vector.empty)
 
-  /** Expected extracted content: paragraphs joined by \n, trailing \n
-    * (same shape as DOCX).
+  /** Expected extracted content: paragraphs then table rows (cells
+    * tab-joined), joined by \n, trailing \n (same shape as DOCX).
     */
-  def expectedText(spec: Spec): String =
-    if (spec.paragraphs.isEmpty) "" else spec.paragraphs.mkString("", "\n", "\n")
+  def expectedText(spec: Spec): String = {
+    val lines = spec.paragraphs ++ spec.tables.flatMap(_.map(_.mkString("\t")))
+    if (lines.isEmpty) "" else lines.mkString("", "\n", "\n")
+  }
 
   def write(spec: Spec): Array[Byte] = {
     val contentXml = {
       val sb = new StringBuilder
       sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
       sb.append("<office:document-content xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" ")
-      sb.append("xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">")
+      sb.append("xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\" ")
+      sb.append("xmlns:table=\"urn:oasis:names:tc:opendocument:xmlns:table:1.0\">")
       sb.append("<office:body><office:text>")
       spec.paragraphs.foreach { p =>
         sb.append("<text:p>").append(DocxWriter.xmlEsc(p)).append("</text:p>")
+      }
+      spec.tables.foreach { rows =>
+        sb.append("<table:table>")
+        rows.foreach { cells =>
+          sb.append("<table:table-row>")
+          cells.foreach { c =>
+            sb.append("<table:table-cell><text:p>")
+            sb.append(DocxWriter.xmlEsc(c))
+            sb.append("</text:p></table:table-cell>")
+          }
+          sb.append("</table:table-row>")
+        }
+        sb.append("</table:table>")
       }
       sb.append("</office:text></office:body></office:document-content>")
       sb.toString

@@ -186,11 +186,18 @@ object OdtKernel {
     out
   }
 
+  /** text:p / text:h paragraphs in document order; TABLE rows emit as
+    * ONE line per table:table-row with cells tab-joined (the DOCX/HTML
+    * row convention — cell paragraphs newline-join inside their field).
+    */
   private def contentParagraphs(xml: Array[Byte]): Vector[String] = {
     val r = OoxmlUtil.factory.createXMLStreamReader(new ByteArrayInputStream(xml))
     val paras = Vector.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0 // inside text:p/text:h nesting depth
+    var cellDepth = 0
+    var cellParas = Vector.empty[String]
+    var rowCells = Vector.empty[String]
     try {
       while (r.hasNext) {
         r.next() match {
@@ -198,6 +205,8 @@ object OdtKernel {
             case "p" | "h" =>
               if (depth == 0) cur.setLength(0)
               depth += 1
+            case "table-cell" => cellDepth += 1; if (cellDepth == 1) cellParas = Vector.empty
+            case "table-row" if cellDepth == 0 => rowCells = Vector.empty
             case "tab" if depth > 0 => cur.append('\t')
             case "line-break" if depth > 0 => cur.append('\n')
             case "s" if depth > 0 =>
@@ -211,7 +220,21 @@ object OdtKernel {
           case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
             case "p" | "h" =>
               depth -= 1
-              if (depth == 0) paras += cur.toString
+              if (depth == 0) {
+                if (cellDepth > 0) cellParas :+= cur.toString
+                else paras += cur.toString
+              }
+            case "table-cell" =>
+              if (cellDepth > 0) {
+                cellDepth -= 1
+                if (cellDepth == 0) {
+                  rowCells :+= cellParas.mkString("\n")
+                  cellParas = Vector.empty
+                }
+              }
+            case "table-row" if cellDepth == 0 =>
+              paras += rowCells.mkString("\t")
+              rowCells = Vector.empty
             case _ => ()
           }
           case _ => ()

@@ -1436,6 +1436,22 @@ class KernelSpec extends AnyFunSuite {
     Extract.extractBytes("heic", Array.fill(64)(0x7f.toByte), Extract.Options())
   }
 
+  test("E13+: ODT tables — one tab-joined line per row after the paragraphs") {
+    import graft.corpus.OdtWriter
+    val spec = OdtWriter.Spec("Tabled", "A",
+      Vector("intro paragraph text"),
+      tables = Vector(Vector(
+        Vector("h1", "h2"),
+        Vector("cell one", "cell two"))))
+    val out = Extract.extractBytes("odt", OdtWriter.write(spec), Extract.Options())
+    assert(out.content == OdtWriter.expectedText(spec), out.content)
+    assert(out.content == "intro paragraph text\nh1\th2\ncell one\tcell two\n")
+    // plain documents are unchanged
+    val plain = OdtWriter.Spec("T", "A", Vector("only text"))
+    assert(Extract.extractBytes("odt", OdtWriter.write(plain),
+      Extract.Options()).content == "only text\n")
+  }
+
   test("E10+: PPTX speaker notes follow their slide as their own block") {
     import graft.corpus.PptxWriter
     val spec = PptxWriter.Spec("Deck", "A",
