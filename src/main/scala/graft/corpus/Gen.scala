@@ -269,7 +269,12 @@ object Gen {
   private def rtfPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
     val spec = RtfWriter.Spec(TextGen.titleLine(rng, lang),
       TextGen.titleLine(rng, "en"),
-      Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))))
+      Vector.tabulate(1 + rng.nextInt(5))(_ => TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))),
+      // ~1-in-4 documents carry a \trowd/\cell/\row table
+      tables = if (rng.nextInt(4) == 0)
+        Vector(Vector.tabulate(2 + rng.nextInt(3))(_ =>
+          Vector.tabulate(2 + rng.nextInt(3))(_ => TextGen.titleLine(rng, lang))))
+      else Vector.empty)
     val bytes = RtfWriter.write(spec)
     val ref = s"m-$docId-$k"
     Piece("rtf", Span("rtf", null, ref, -1),

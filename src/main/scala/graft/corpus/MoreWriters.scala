@@ -11,13 +11,19 @@ import java.util.zip.{CRC32, ZipEntry, ZipOutputStream}
 
 object RtfWriter {
 
-  final case class Spec(title: String, author: String, paragraphs: Vector[String])
+  final case class Spec(title: String, author: String,
+      paragraphs: Vector[String],
+      // tables -> rows -> cells (\trowd/\cell/\row): one tab-joined
+      // line per row, after the paragraphs
+      tables: Vector[Vector[Vector[String]]] = Vector.empty)
 
   /** Expected extracted content: paragraphs joined by newlines (one \n
-    * per \par; a blank line between paragraphs = two \par marks).
+    * per \par; a blank line between paragraphs = two \par marks), then
+    * table rows as tab-joined lines.
     */
   def expectedText(spec: Spec): String =
-    spec.paragraphs.map(_ + "\n").mkString("\n")
+    spec.paragraphs.map(_ + "\n").mkString("\n") +
+      spec.tables.flatMap(_.map(_.mkString("\t") + "\n")).mkString
 
   def write(spec: Spec): Array[Byte] = {
     def esc(s: String): String = s.flatMap {
@@ -44,6 +50,15 @@ object RtfWriter {
     spec.paragraphs.zipWithIndex.foreach { case (p, i) =>
       if (i > 0) sb.append("\\par ") // blank line between paragraphs
       sb.append(esc(p)).append("\\par\n")
+    }
+    spec.tables.foreach { rows =>
+      rows.foreach { cells =>
+        sb.append("\\trowd")
+        cells.indices.foreach(ci => sb.append(s"\\cellx${(ci + 1) * 2000}"))
+        sb.append(' ')
+        cells.foreach(c => sb.append(esc(c)).append("\\cell "))
+        sb.append("\\row\n")
+      }
     }
     sb.append("}")
     sb.toString.getBytes(StandardCharsets.ISO_8859_1)

@@ -89,6 +89,17 @@ object RtfKernel {
             word match {
               case "par" | "line" | "sect" | "page" => emit('\n')
               case "tab" => emit('\t')
+              // tables: \cell ends a cell (tab field separator), \row
+              // ends the row — the trailing cell's tab becomes the row's
+              // newline, giving one tab-joined line per row (the
+              // DOCX/HTML/ODT convention). \nestcell/\nestrow (nested
+              // tables) flatten the same way.
+              case "cell" | "nestcell" => emit('\t')
+              case "row" | "nestrow" =>
+                if (cur.capture == null && !cur.skip && out.nonEmpty &&
+                  out.charAt(out.length - 1) == '\t')
+                  out.setCharAt(out.length - 1, '\n')
+                else emit('\n')
               case "emdash" => emit('—')
               case "endash" => emit('–')
               case "lquote" => emit('‘')

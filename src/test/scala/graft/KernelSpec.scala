@@ -1436,6 +1436,23 @@ class KernelSpec extends AnyFunSuite {
     Extract.extractBytes("heic", Array.fill(64)(0x7f.toByte), Extract.Options())
   }
 
+  test("E12+: RTF tables — \\cell/\\row become tab-joined row lines") {
+    import graft.corpus.RtfWriter
+    val spec = RtfWriter.Spec("Tabled", "A",
+      Vector("intro paragraph text"),
+      tables = Vector(Vector(
+        Vector("h1", "h2", "h3"),
+        Vector("cell one", "cell two", "cell three"))))
+    val out = Extract.extractBytes("rtf", RtfWriter.write(spec), Extract.Options())
+    assert(out.content == RtfWriter.expectedText(spec), out.content)
+    assert(out.content ==
+      "intro paragraph text\nh1\th2\th3\ncell one\tcell two\tcell three\n")
+    // plain documents unchanged
+    val plain = RtfWriter.Spec("T", "A", Vector("only text"))
+    assert(Extract.extractBytes("rtf", RtfWriter.write(plain),
+      Extract.Options()).content == "only text\n")
+  }
+
   test("E13+: ODT tables — one tab-joined line per row after the paragraphs") {
     import graft.corpus.OdtWriter
     val spec = OdtWriter.Spec("Tabled", "A",
