@@ -258,6 +258,11 @@ object Gen {
       // ~1-in-3 decks carry speaker notes on a subset of slides
       notes = if (rng.nextInt(3) == 0)
         slides.map(_ => if (rng.nextBoolean()) TextGen.sentence(rng, lang) else "")
+      else Vector.empty,
+      // ~1-in-4 decks carry a drawingml table on the first slide
+      slideTables = if (rng.nextInt(4) == 0)
+        Vector(Vector.tabulate(2 + rng.nextInt(2))(_ =>
+          Vector.tabulate(2 + rng.nextInt(3))(_ => TextGen.titleLine(rng, lang))))
       else Vector.empty)
     val bytes = PptxWriter.write(spec)
     val ref = s"m-$docId-$k"

@@ -128,15 +128,23 @@ object PptxWriter {
       slides: Vector[Vector[String]],
       // speaker notes: notes(i) follows slide i+1 as its own block
       // (empty string = no notes part for that slide)
-      notes: Vector[String] = Vector.empty)
+      notes: Vector[String] = Vector.empty,
+      // one optional drawingml table per slide (rows -> cells): rendered
+      // after the slide's text, rows as tab-joined lines
+      slideTables: Vector[Vector[Vector[String]]] = Vector.empty)
 
-  /** Expected extracted content: slide paragraphs joined by newline,
-    * slides separated by a blank line; a slide's speaker notes follow
-    * it as their own block.
+  /** Expected extracted content: slide paragraphs (then the slide's
+    * table rows, cells tab-joined) joined by newline, slides separated
+    * by a blank line; a slide's speaker notes follow it as their own
+    * block.
     */
   def expectedText(spec: Spec): String =
     spec.slides.zipWithIndex.flatMap { case (s, i) =>
-      Vector(s.filter(_.nonEmpty).mkString("\n")) ++
+      val rows =
+        if (i < spec.slideTables.length)
+          spec.slideTables(i).map(_.mkString("\t"))
+        else Vector.empty
+      Vector((s ++ rows).filter(_.nonEmpty).mkString("\n")) ++
         (if (i < spec.notes.length && spec.notes(i).nonEmpty) Vector(spec.notes(i))
          else Vector.empty)
     }.filter(_.nonEmpty).mkString("\n\n")
@@ -154,7 +162,32 @@ object PptxWriter {
       sb.append(s"</p:txBody></p:sp></p:spTree></p:cSld></p:$root>")
       sb.toString
     }
-    def slideXml(paras: Vector[String]): String = bodyXml("sld", paras)
+    def slideXml(paras: Vector[String], table: Vector[Vector[String]]): String = {
+      val sb = new StringBuilder
+      sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n")
+      sb.append("<p:sld xmlns:a=\"http://schemas.openxmlformats.org/drawingml/2006/main\" ")
+      sb.append("xmlns:p=\"http://schemas.openxmlformats.org/presentationml/2006/main\">")
+      sb.append("<p:cSld><p:spTree><p:sp><p:txBody>")
+      paras.foreach { p =>
+        sb.append("<a:p><a:r><a:t>").append(DocxWriter.xmlEsc(p)).append("</a:t></a:r></a:p>")
+      }
+      sb.append("</p:txBody></p:sp>")
+      if (table.nonEmpty) {
+        sb.append("<p:graphicFrame><a:graphic><a:graphicData><a:tbl>")
+        table.foreach { cells =>
+          sb.append("<a:tr>")
+          cells.foreach { c =>
+            sb.append("<a:tc><a:txBody><a:p><a:r><a:t>")
+            sb.append(DocxWriter.xmlEsc(c))
+            sb.append("</a:t></a:r></a:p></a:txBody></a:tc>")
+          }
+          sb.append("</a:tr>")
+        }
+        sb.append("</a:tbl></a:graphicData></a:graphic></p:graphicFrame>")
+      }
+      sb.append("</p:spTree></p:cSld></p:sld>")
+      sb.toString
+    }
     val contentTypes =
       "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
       "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\">" +
@@ -179,7 +212,8 @@ object PptxWriter {
       "_rels/.rels" -> rels,
       "ppt/presentation.xml" -> presentation) ++
       spec.slides.zipWithIndex.map { case (s, i) =>
-        s"ppt/slides/slide${i + 1}.xml" -> slideXml(s)
+        s"ppt/slides/slide${i + 1}.xml" -> slideXml(s,
+          if (i < spec.slideTables.length) spec.slideTables(i) else Vector.empty)
       } ++
       spec.notes.zipWithIndex.collect { case (n, i) if n.nonEmpty =>
         s"ppt/notesSlides/notesSlide${i + 1}.xml" -> bodyXml("notes", Vector(n))

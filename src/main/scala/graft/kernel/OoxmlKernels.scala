@@ -256,12 +256,19 @@ object PptxKernel {
     Result(texts, meta)
   }
 
+  /** a:p paragraphs in order; drawingml TABLES (a:tbl/a:tr/a:tc inside
+    * a graphicFrame) emit one tab-joined line per row, cell paragraphs
+    * newline-joined inside their field — the shared row convention.
+    */
   private def slideText(xml: Array[Byte]): String = {
     val r = OoxmlUtil.factory.createXMLStreamReader(new ByteArrayInputStream(xml))
     val paras = Vector.newBuilder[String]
     val cur = new StringBuilder
     var inP = false
     var inT = false
+    var cellDepth = 0
+    var cellParas = Vector.empty[String]
+    var rowCells = Vector.empty[String]
     try {
       while (r.hasNext) {
         r.next() match {
@@ -269,14 +276,32 @@ object PptxKernel {
             case "p" => inP = true; cur.setLength(0)
             case "t" if inP => inT = true
             case "br" if inP => cur.append('\n')
+            case "tc" => cellDepth += 1; if (cellDepth == 1) cellParas = Vector.empty
+            case "tr" if cellDepth == 0 => rowCells = Vector.empty
             case _ => ()
           }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
             if (inT) cur.append(r.getText)
           case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
-            case "p" => if (inP) { paras += cur.toString; inP = false }
+            case "p" =>
+              if (inP) {
+                if (cellDepth > 0) cellParas :+= cur.toString
+                else paras += cur.toString
+                inP = false
+              }
             case "t" => inT = false
-            case _   => ()
+            case "tc" =>
+              if (cellDepth > 0) {
+                cellDepth -= 1
+                if (cellDepth == 0) {
+                  rowCells :+= cellParas.filter(_.nonEmpty).mkString("\n")
+                  cellParas = Vector.empty
+                }
+              }
+            case "tr" if cellDepth == 0 =>
+              paras += rowCells.mkString("\t")
+              rowCells = Vector.empty
+            case _ => ()
           }
           case _ => ()
         }

@@ -1469,6 +1469,17 @@ class KernelSpec extends AnyFunSuite {
       Extract.Options()).content == "only text\n")
   }
 
+  test("E10++: PPTX drawingml tables — tab-joined rows after the slide text") {
+    import graft.corpus.PptxWriter
+    val spec = PptxWriter.Spec("Deck", "A",
+      Vector(Vector("slide one text"), Vector("slide two text")),
+      slideTables = Vector(
+        Vector(Vector("q1", "q2"), Vector("10", "20"))))
+    val out = Extract.extractBytes("pptx", PptxWriter.write(spec), Extract.Options())
+    assert(out.content == PptxWriter.expectedText(spec), out.content)
+    assert(out.content == "slide one text\nq1\tq2\n10\t20\n\nslide two text")
+  }
+
   test("E10+: PPTX speaker notes follow their slide as their own block") {
     import graft.corpus.PptxWriter
     val spec = PptxWriter.Spec("Deck", "A",
