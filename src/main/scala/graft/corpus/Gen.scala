@@ -526,7 +526,12 @@ object Gen {
           simpleFilter = rng.nextInt(4) == 0,
           // ~1-in-3 use segmentation (adaptive-quantization shape)
           segments = if (rng.nextInt(3) == 0) 2 + rng.nextInt(3) else 0,
-          segAbs = rng.nextInt(4) == 0))
+          segAbs = rng.nextInt(4) == 0,
+          // per-segment filter levels + lf deltas (libwebp's default
+          // encoder output carries the segment filter feature)
+          segLf = rng.nextInt(3) == 0,
+          lfRefDelta = if (rng.nextInt(4) == 0) rng.nextInt(41) - 20 else 0,
+          lfModeDelta = if (rng.nextInt(4) == 0) rng.nextInt(41) - 20 else 0))
       else if (rng.nextInt(3) < 2) {
         if (rng.nextInt(4) == 0)
           // 1-in-4 real streams are paletted (graphics/icons shape)

@@ -2,7 +2,7 @@ package graft.corpus
 
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
-import graft.kernel.Vp8Decoder
+import graft.kernel.{Vp8Decoder, Vp8Tables}
 
 /** Decode-grade lossy-WebP (VP8) KEY-FRAME encoder — the oracle for
   * kernel.Vp8Decoder. Real bitstream machinery throughout: the RFC 6386
@@ -36,7 +36,16 @@ object Vp8WriterEx {
       // deltas (segAbs = absolute-mode indices); segment map coded per
       // MB through the segment tree
       segments: Int = 0,
-      segAbs: Boolean = false)
+      segAbs: Boolean = false,
+      // per-segment LOOP-FILTER feature (abs mode follows segAbs) and
+      // mode/ref lf deltas (key frame: ref 0 = intra, mode 0 = B_PRED)
+      segLf: Boolean = false,
+      lfRefDelta: Int = 0,
+      lfModeDelta: Int = 0,
+      // false = the conformant RFC 6386 value tables (Vp8Tables.Rfc);
+      // true = the round-5 deterministic stand-in set, kept so the
+      // original round-trip pins run under both table sets
+      standInTables: Boolean = false)
 
   // ------------------------------------------------------ bool encoder
 
@@ -288,6 +297,7 @@ object Vp8WriterEx {
     val su = padPlane(srcU, cw, chh, cStride, mbH * 8)
     val sv = padPlane(srcV, cw, chh, cStride, mbH * 8)
 
+    val tbl = if (spec.standInTables) Vp8Tables.StandIn else Vp8Tables.Rfc
     val yacQi = math.max(0, math.min(127, spec.yacQi))
     require(spec.segments == 0 || (spec.segments >= 2 && spec.segments <= 4))
     // per-segment quantizer feature: deterministic deltas (or absolute
@@ -306,15 +316,23 @@ object Vp8WriterEx {
         else yacQi + segDeltas(s)
       math.max(0, math.min(127, b))
     }
-    val qYdcA = Array.tabulate(4)(s => Vp8Decoder.dcQ(segQi(s)))
-    val qYacA = Array.tabulate(4)(s => Vp8Decoder.acQ(segQi(s)))
-    val qY2dcA = Array.tabulate(4)(s => Vp8Decoder.dcQ(segQi(s)) * 2)
-    val qY2acA = Array.tabulate(4)(s => math.max(8, Vp8Decoder.acQ(segQi(s)) * 155 / 100))
-    val qUVdcA = Array.tabulate(4)(s => Vp8Decoder.dcQ(segQi(s)))
-    val qUVacA = Array.tabulate(4)(s => Vp8Decoder.acQ(segQi(s)))
+    val qYdcA = Array.tabulate(4)(s => tbl.dcQ(segQi(s)))
+    val qYacA = Array.tabulate(4)(s => tbl.acQ(segQi(s)))
+    val qY2dcA = Array.tabulate(4)(s => tbl.y2DcQ(segQi(s)))
+    val qY2acA = Array.tabulate(4)(s => tbl.y2AcQ(segQi(s)))
+    val qUVdcA = Array.tabulate(4)(s => tbl.uvDcQ(segQi(s)))
+    val qUVacA = Array.tabulate(4)(s => tbl.uvAcQ(segQi(s)))
     val segTreeProbs = Array(128, 128, 128)
     def segOf(mbX: Int, mbY: Int): Int =
       if (spec.segments == 0) 0 else (mbX + mbY) % spec.segments
+    // per-segment filter-feature values (absolute levels or deltas,
+    // following the shared segAbs flag), deterministic spread
+    val lvl0 = math.max(0, math.min(63, spec.filterLevel))
+    val segLfVals: Array[Int] =
+      if (!spec.segLf) new Array[Int](4)
+      else if (spec.segAbs) Array(lvl0, math.min(63, lvl0 + 18),
+        math.max(0, lvl0 - 8), math.min(63, lvl0 + 40))
+      else Array(0, 12, -6, 25)
 
     val head = new BoolEnc
     head.literal(0, 1) // color space
@@ -333,7 +351,12 @@ object Vp8WriterEx {
         i += 1
       }
       i = 0
-      while (i < 4) { head.bool(0, 128); i += 1 } // no lf features
+      while (i < 4) { // loop-filter features
+        if (spec.segLf && (segLfVals(i) != 0 || (spec.segAbs && i < spec.segments))) {
+          head.bool(1, 128); head.signed(segLfVals(i), 6)
+        } else head.bool(0, 128)
+        i += 1
+      }
       i = 0
       while (i < 3) { // tree prob updates
         head.bool(1, 128); head.literal(segTreeProbs(i), 8)
@@ -341,9 +364,19 @@ object Vp8WriterEx {
       }
     }
     head.literal(if (spec.simpleFilter) 1 else 0, 1) // filter type
-    head.literal(math.max(0, math.min(63, spec.filterLevel)), 6)
+    head.literal(lvl0, 6)
     head.literal(math.max(0, math.min(7, spec.filterSharpness)), 3)
-    head.bool(0, 128)  // lf deltas disabled
+    val useLfDeltas = spec.lfRefDelta != 0 || spec.lfModeDelta != 0
+    if (useLfDeltas) {
+      head.bool(1, 128) // lf deltas enabled
+      head.bool(1, 128) // update
+      head.bool(1, 128); head.signed(spec.lfRefDelta, 6) // ref 0 (intra)
+      var di = 0
+      while (di < 3) { head.bool(0, 128); di += 1 } // inter refs untouched
+      head.bool(1, 128); head.signed(spec.lfModeDelta, 6) // mode 0 (B_PRED)
+      di = 0
+      while (di < 3) { head.bool(0, 128); di += 1 }
+    } else head.bool(0, 128) // lf deltas disabled
     head.literal(Integer.numberOfTrailingZeros(spec.nParts), 2)
     head.literal(yacQi, 7)
     var d = 0
@@ -358,7 +391,7 @@ object Vp8WriterEx {
         while (c0 < 3) {
           var n0 = 0
           while (n0 < 11) {
-            head.bool(0, Vp8Decoder.TokenUpdateProbs(p0)(b0)(c0)(n0))
+            head.bool(0, tbl.tokenUpdateProbs(p0)(b0)(c0)(n0))
             n0 += 1
           }
           c0 += 1
@@ -372,7 +405,7 @@ object Vp8WriterEx {
     else head.bool(0, 128)
 
     val tokEnc = Array.fill(spec.nParts)(new BoolEnc)
-    val probs = Vp8Decoder.TokenProbs
+    val probs = tbl.tokenProbs
 
     // context state mirroring the decoder exactly
     val aboveSub = Array.fill(mbW * 4)(0)
@@ -388,6 +421,7 @@ object Vp8WriterEx {
 
     val rng = new java.util.SplittableRandom(spec.seed ^ 0x8BADF00DL)
     val innerFlags = new Array[Boolean](mbW * mbH)
+    val mbLevels = new Array[Int](mbW * mbH)
 
     var mbY = 0
     while (mbY < mbH) {
@@ -480,7 +514,7 @@ object Vp8WriterEx {
         if (spec.skipFlags) head.bool(skip, skipProb)
         if (hasY2) {
           head.tree(Vp8Decoder.KfYModeTree, Vp8Decoder.KfYModeProbs, yMode)
-          java.util.Arrays.fill(subModes, 0)
+          java.util.Arrays.fill(subModes, Vp8Decoder.SubModeOf16x16(yMode))
         } else {
           head.tree(Vp8Decoder.KfYModeTree, Vp8Decoder.KfYModeProbs, 4)
           var sb = 0
@@ -489,7 +523,7 @@ object Vp8WriterEx {
             val above = if (sy2 == 0) aboveSub(mbX * 4 + sx) else subModes(sb - 4)
             val left = if (sx == 0) leftSub(sy2) else subModes(sb - 1)
             head.tree(Vp8Decoder.BModeTree,
-              Vp8Decoder.KfBModeProbs(above)(left), subModes(sb))
+              tbl.kfBModeProbs(above)(left), subModes(sb))
             sb += 1
           }
         }
@@ -575,6 +609,9 @@ object Vp8WriterEx {
         mbTotNz += writeChroma(te, probs, skip, vQ, vPlane, cStride, mbX, mbY,
           leftNzV, aboveNzV, qUVdc, qUVac, block, zz)
         innerFlags(mbY * mbW + mbX) = mbTotNz > 0 || !hasY2
+        mbLevels(mbY * mbW + mbX) = Vp8Decoder.mbFilterLevel(lvl0,
+          spec.segments > 0, spec.segAbs, segLfVals, segId, useLfDeltas,
+          spec.lfRefDelta, spec.lfModeDelta, !hasY2)
 
         i2 = 0
         while (i2 < 4) { aboveSub(mbX * 4 + i2) = subModes(12 + i2); i2 += 1 }
@@ -589,11 +626,11 @@ object Vp8WriterEx {
     val parts = tokEnc.map(_.finish())
 
     // in-loop deblocking over the finished reconstruction — the shared
-    // decoder implementation, so the filtered round-trip stays exact
-    if (spec.filterLevel > 0)
+    // decoder implementation (per-MB levels), so the filtered
+    // round-trip stays exact
+    if (mbLevels.exists(_ > 0))
       Vp8Decoder.loopFilterFrame(yPlane, uPlane, vPlane, yStride, cStride,
-        mbW, mbH, if (spec.simpleFilter) 1 else 0,
-        math.max(0, math.min(63, spec.filterLevel)),
+        mbW, mbH, if (spec.simpleFilter) 1 else 0, mbLevels,
         math.max(0, math.min(7, spec.filterSharpness)), innerFlags)
 
     // ---- expected RGB (the decoder's crop + YUV->RGB conversion)

@@ -23,15 +23,15 @@ package graft.kernel
   * Probability tables: the tree SHAPES, kf mode probabilities
   * ({145,156,163,128} / {142,114,183}), token category extra-bit
   * probabilities, zigzag and coefficient bands are transcribed from the
-  * RFC. The three large VALUE tables (default token probabilities 4x8x3x11,
-  * their update-flag probabilities, and the kf 4x4-mode context table
-  * 10x10x9) plus the quantizer lookups are DETERMINISTIC STAND-INS
-  * (seeded, range-safe) shared verbatim with the corpus encoder
-  * (Vp8WriterEx): every arithmetic path — bool coder, trees, contexts,
-  * tokenization, reconstruction — is pinned exactly by plane round-trips,
-  * and conforming to third-party streams is a pure data swap of those
-  * tables (no code change). This sandbox has no external VP8 streams, so
-  * the swap is unverifiable here and is documented rather than faked.
+  * RFC. The three large VALUE tables (default token probabilities
+  * 4x8x3x11, their update-flag probabilities, the kf 4x4-mode context
+  * table 10x10x9) and the dc/ac quantizer lookups are injected via
+  * [[Vp8Tables]]: the default `decode` runs on the conformant RFC 6386
+  * data (`Vp8Tables.Rfc`); the round-5 deterministic stand-in set
+  * (`Vp8Tables.StandIn`) is kept as a second injected set so the
+  * original round-trip pins run under both. Conformance against real
+  * third-party streams (libwebp-encoded fixtures) is pinned in
+  * Vp8ConformanceSpec.
   *
   * Like every decoder here: malformed input -> None, never a throw.
   */
@@ -50,7 +50,12 @@ object Vp8Decoder {
   /** Segment-id tree (4 segments, 2 levels). */
   private[graft] val SegTree = Array(2, 4, -0, -1, -2, -3)
 
-  /** 4x4 sub-mode tree (10 modes: DC,TM,VE,HE,LD,RD,VR,VL,HD,HU). */
+  /** 4x4 sub-mode tree; modes are numbered in TREE-TRAVERSAL order
+    * (the same numbering libwebp's enum uses): 0=DC, 1=TM, 2=VE, 3=HE,
+    * 4=RD, 5=VR, 6=LD, 7=VL, 8=HD, 9=HU. This is the axis order of the
+    * RFC's kf_bmode_prob context table, so conformant streams decode
+    * with no index remapping.
+    */
   private[graft] val BModeTree = Array(
     -0, 2,      // B_DC_PRED
     -1, 4,      // B_TM_PRED
@@ -92,41 +97,10 @@ object Vp8Decoder {
   /** Coefficient bands (RFC 6386 §13.3). */
   private[graft] val CoeffBands = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
 
-  /** Deterministic stand-in probability value in [1, 254] (see header). */
-  private def standIn(seed: Long): Int = {
-    val x = seed * 6364136223846793005L + 1442695040888963407L
-    1 + (((x >>> 33) % 254).toInt + 254) % 254
-  }
-
-  /** Default token probabilities [plane 4][band 8][ctx 3][node 11] —
-    * deterministic stand-in values shared with the encoder (header).
+  /** Neighbor sub-mode context registered by a 16x16-coded MB (RFC:
+    * DC->B_DC(0), V->B_VE(2), H->B_HE(3), TM->B_TM(1)).
     */
-  private[graft] val TokenProbs: Array[Array[Array[Array[Int]]]] =
-    Array.tabulate(4, 8, 3, 11) { (p, b, c, n) =>
-      standIn(0x70B8L * 1000003L + p * 970003L + b * 10007L + c * 1009L + n)
-    }
-
-  /** Token-probability update-flag probabilities (same shape, stand-in). */
-  private[graft] val TokenUpdateProbs: Array[Array[Array[Array[Int]]]] =
-    Array.tabulate(4, 8, 3, 11) { (p, b, c, n) =>
-      // biased high so "no update" stays cheap, like the real table
-      128 + standIn(0x0BDA7EL + p * 131071L + b * 8191L + c * 127L + n) / 2
-    }
-
-  /** kf 4x4-mode probabilities conditioned on (above, left) modes —
-    * stand-in values (header), shared with the encoder.
-    */
-  private[graft] val KfBModeProbs: Array[Array[Array[Int]]] =
-    Array.tabulate(10, 10, 9) { (a, l, n) =>
-      standIn(0xB40DE5L + a * 92821L + l * 1013L + n)
-    }
-
-  /** Quantizer lookups (stand-in monotone ramps, shared; real VP8 uses
-    * the RFC's 128-entry dc/ac tables).
-    */
-  private[graft] def dcQ(qi: Int): Int = 8 + clamp127(qi)
-  private[graft] def acQ(qi: Int): Int = 8 + clamp127(qi) * 3 / 2
-  private def clamp127(v: Int): Int = if (v < 0) 0 else if (v > 127) 127 else v
+  private[graft] val SubModeOf16x16 = Array(0, 2, 3, 1)
 
   // ------------------------------------------------------- bool decoder
 
@@ -269,14 +243,19 @@ object Vp8Decoder {
 
   // --------------------------------------------------------- top level
 
-  def decode(bytes: Array[Byte]): Option[RawImage] = {
-    try decodeImpl(bytes)
+  def decode(bytes: Array[Byte]): Option[RawImage] = decode(bytes, Vp8Tables.Rfc)
+
+  /** Table-set-parameterized entry (tests pin both sets; production
+    * always decodes with the conformant RFC values).
+    */
+  private[graft] def decode(bytes: Array[Byte], tables: Vp8Tables): Option[RawImage] = {
+    try decodeImpl(bytes, tables)
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** RGB output through the shared exact YUV->RGB integer conversion. */
-  private def decodeImpl(bytes: Array[Byte]): Option[RawImage] =
-    decodeYuv(bytes).map { f =>
+  private def decodeImpl(bytes: Array[Byte], tables: Vp8Tables): Option[RawImage] =
+    decodeYuv(bytes, tables).map { f =>
       val out = new Array[Byte](f.w * f.h * 3)
       var yy = 0
       while (yy < f.h) {
@@ -321,7 +300,8 @@ object Vp8Decoder {
     None
   }
 
-  private[graft] def decodeYuv(bytes: Array[Byte]): Option[Yuv] = {
+  private[graft] def decodeYuv(bytes: Array[Byte],
+      tables: Vp8Tables = Vp8Tables.Rfc): Option[Yuv] = {
     val (s, e) = vp8Chunk(bytes).getOrElse(return None)
     if (e - s < 10) return None
     // frame tag (3 bytes LE)
@@ -342,14 +322,14 @@ object Vp8Decoder {
 
     bd.literal(1) // color space (0 expected)
     bd.literal(1) // clamping type
-    // segmentation (RFC §9.3): per-segment QUANTIZER features are fully
-    // modeled; per-segment loop-filter features combined with a nonzero
-    // filter level degrade to None (declared, like lf-deltas)
+    // segmentation (RFC §9.3): per-segment QUANTIZER and per-segment
+    // LOOP-FILTER features are both modeled (libwebp's encoder emits
+    // the filter feature by default, so real streams require it)
     var segEnabled = false
     var segUpdateMap = false
     var segAbs = false
     val segQiDelta = new Array[Int](4)
-    var segLfFeature = false
+    val segLfVal = new Array[Int](4)
     val segTreeProbs = Array(255, 255, 255)
     if (bd.bool(128) == 1) {
       segEnabled = true
@@ -364,7 +344,7 @@ object Vp8Decoder {
         }
         i = 0
         while (i < 4) {
-          if (bd.bool(128) == 1) { bd.signed(6); segLfFeature = true }
+          if (bd.bool(128) == 1) segLfVal(i) = bd.signed(6)
           i += 1
         }
       }
@@ -379,19 +359,21 @@ object Vp8Decoder {
     val filterType = bd.literal(1) // 0 = normal, 1 = simple
     val filterLevel = bd.literal(6)
     val sharpness = bd.literal(3)
+    // mode/ref loop-filter deltas (RFC §9.4): on a key frame every MB
+    // is intra (ref delta 0) and B_PRED MBs add mode delta 0; the other
+    // six deltas are inter-only and just parsed for bit sync
     var lfDeltas = false
+    val refLfDelta = new Array[Int](4)
+    val modeLfDelta = new Array[Int](4)
     if (bd.bool(128) == 1) { // lf delta enabled
       lfDeltas = true
       if (bd.bool(128) == 1) { // update deltas
         var i = 0
-        while (i < 8) { if (bd.bool(128) == 1) bd.signed(6); i += 1 }
+        while (i < 4) { if (bd.bool(128) == 1) refLfDelta(i) = bd.signed(6); i += 1 }
+        i = 0
+        while (i < 4) { if (bd.bool(128) == 1) modeLfDelta(i) = bd.signed(6); i += 1 }
       }
     }
-    // per-mode/ref filter-level deltas and per-segment filter levels
-    // are parsed (bit-sync) but not modeled — a filtered frame under
-    // either would be silently wrong, so it degrades to the metadata
-    // tier (declared subset)
-    if (filterLevel != 0 && (lfDeltas || segLfFeature)) return None
     val nParts = 1 << bd.literal(2)
     // token partition sizes: (nParts-1) 3-byte LE fields after part 0
     val sizesAt = part0 + firstPartSize
@@ -417,8 +399,8 @@ object Vp8Decoder {
     val ydcD = delta(); val y2dcD = delta(); val y2acD = delta()
     val uvdcD = delta(); val uvacD = delta()
     bd.literal(1) // refresh entropy probs (kf: ignored)
-    // token probability updates (stand-in-table conditioned flags)
-    val probs = Array.tabulate(4, 8, 3, 11) { (p, b, c, n) => TokenProbs(p)(b)(c)(n) }
+    // token probability updates (update-table conditioned flags)
+    val probs = Array.tabulate(4, 8, 3, 11) { (p, b, c, n) => tables.tokenProbs(p)(b)(c)(n) }
     var p0 = 0
     while (p0 < 4) {
       var b0 = 0
@@ -427,7 +409,7 @@ object Vp8Decoder {
         while (c0 < 3) {
           var n0 = 0
           while (n0 < 11) {
-            if (bd.bool(TokenUpdateProbs(p0)(b0)(c0)(n0)) == 1)
+            if (bd.bool(tables.tokenUpdateProbs(p0)(b0)(c0)(n0)) == 1)
               probs(p0)(b0)(c0)(n0) = bd.literal(8)
             n0 += 1
           }
@@ -460,12 +442,12 @@ object Vp8Decoder {
         else yacQi + segQiDelta(s)
       math.max(0, math.min(127, base))
     }
-    val qYdcA = Array.tabulate(4)(s => dcQ(segQi(s) + ydcD))
-    val qYacA = Array.tabulate(4)(s => acQ(segQi(s)))
-    val qY2dcA = Array.tabulate(4)(s => dcQ(segQi(s) + y2dcD) * 2)
-    val qY2acA = Array.tabulate(4)(s => math.max(8, acQ(segQi(s) + y2acD) * 155 / 100))
-    val qUVdcA = Array.tabulate(4)(s => dcQ(segQi(s) + uvdcD))
-    val qUVacA = Array.tabulate(4)(s => acQ(segQi(s) + uvacD))
+    val qYdcA = Array.tabulate(4)(s => tables.dcQ(segQi(s) + ydcD))
+    val qYacA = Array.tabulate(4)(s => tables.acQ(segQi(s)))
+    val qY2dcA = Array.tabulate(4)(s => tables.y2DcQ(segQi(s) + y2dcD))
+    val qY2acA = Array.tabulate(4)(s => tables.y2AcQ(segQi(s) + y2acD))
+    val qUVdcA = Array.tabulate(4)(s => tables.uvDcQ(segQi(s) + uvdcD))
+    val qUVacA = Array.tabulate(4)(s => tables.uvAcQ(segQi(s) + uvacD))
 
     // per-MB mode state for B_PRED context (above/left sub-modes)
     val aboveSub = Array.fill(mbW * 4)(0) // B_DC
@@ -484,6 +466,9 @@ object Vp8Decoder {
     // loop-filter internal-edge eligibility: an MB with no coefficients
     // that is not B_PRED keeps its internal edges unfiltered (RFC §15.2)
     val innerFilter = new Array[Boolean](mbW * mbH)
+    // per-MB filter level: segment feature (abs or frame+delta) plus
+    // the intra ref delta and, for B_PRED MBs, mode delta 0
+    val mbLevels = new Array[Int](mbW * mbH)
 
     var mbY = 0
     while (mbY < mbH) {
@@ -511,12 +496,13 @@ object Vp8Decoder {
             val sx = sb & 3; val sy = sb >> 2
             val above = if (sy == 0) aboveSub(mbX * 4 + sx) else subModes(sb - 4)
             val left = if (sx == 0) leftSub(sy) else subModes(sb - 1)
-            subModes(sb) = bd.tree(BModeTree, KfBModeProbs(above)(left))
+            subModes(sb) = bd.tree(BModeTree, tables.kfBModeProbs(above)(left))
             sb += 1
           }
         } else {
-          // 16x16 modes register as B_DC for neighbor sub-mode context
-          java.util.Arrays.fill(subModes, 0)
+          // 16x16 modes register for neighbor sub-mode context as their
+          // matching sub-mode: DC->B_DC, V->B_VE, H->B_HE, TM->B_TM
+          java.util.Arrays.fill(subModes, SubModeOf16x16(yMode))
         }
         val uvMode = bd.tree(UvModeTree, KfUvModeProbs)
         if (bd.bad) return None
@@ -587,6 +573,9 @@ object Vp8Decoder {
           leftNzV, aboveNzV, qUVdc, qUVac, coefs, block)
         if (td.bad) return None
         innerFilter(mbY * mbW + mbX) = mbNz > 0 || yMode == 4
+        mbLevels(mbY * mbW + mbX) = mbFilterLevel(filterLevel, segEnabled,
+          segAbs, segLfVal, segId, lfDeltas, refLfDelta(0), modeLfDelta(0),
+          yMode == 4)
 
         i = 0
         while (i < 4) { aboveSub(mbX * 4 + i) = subModes(12 + i); i += 1 }
@@ -599,9 +588,12 @@ object Vp8Decoder {
 
     // in-loop deblocking over the whole reconstructed frame (intra
     // prediction above used the unfiltered samples, per the spec)
-    if (filterLevel > 0)
+    var anyLevel = false
+    var li = 0
+    while (li < mbLevels.length) { if (mbLevels(li) > 0) anyLevel = true; li += 1 }
+    if (anyLevel)
       loopFilterFrame(yPlane, uPlane, vPlane, yStride, cStride, mbW, mbH,
-        filterType, filterLevel, sharpness, innerFilter)
+        filterType, mbLevels, sharpness, innerFilter)
 
     // crop to the true dimensions
     val y = new Array[Int](w * h)
@@ -730,27 +722,50 @@ object Vp8Decoder {
 
   // ------------------------------------------------------- loop filter
 
-  /** In-loop deblocking (RFC 6386 §15), key-frame single-level shape:
-    * per MB in raster order — left MB edge, internal vertical edges,
-    * top MB edge, internal horizontal edges; MB edges use the stronger
-    * 6-tap filter, internal edges the subblock filter; the simple
-    * filter type touches luma only. Internal edges are skipped for
-    * coefficient-free non-B_PRED MBs. Shared verbatim with the corpus
-    * encoder, so filtered round-trips stay exact.
+  /** Per-MB loop-filter level (RFC §9.3/§9.4, key-frame shape): the
+    * segment filter feature (absolute, or frame level + delta) plus —
+    * when lf-deltas are enabled — the intra ref delta and, for B_PRED
+    * MBs, mode delta 0; clamped to [0, 63]. Shared with the encoder.
+    */
+  private[graft] def mbFilterLevel(frameLevel: Int, segEnabled: Boolean,
+      segAbs: Boolean, segLfVal: Array[Int], segId: Int, lfDeltas: Boolean,
+      refDelta0: Int, modeDelta0: Int, isBPred: Boolean): Int = {
+    var lvl =
+      if (segEnabled) { if (segAbs) segLfVal(segId) else frameLevel + segLfVal(segId) }
+      else frameLevel
+    if (lfDeltas) { lvl += refDelta0; if (isBPred) lvl += modeDelta0 }
+    if (lvl < 0) 0 else if (lvl > 63) 63 else lvl
+  }
+
+  /** In-loop deblocking (RFC 6386 §15) with PER-MB filter levels: per
+    * MB in raster order — left MB edge, internal vertical edges, top MB
+    * edge, internal horizontal edges; MB edges use the stronger 6-tap
+    * filter, internal edges the subblock filter; the simple filter type
+    * touches luma only. Internal edges are skipped for coefficient-free
+    * non-B_PRED MBs; a level-0 MB is not filtered at all. Shared
+    * verbatim with the corpus encoder, so filtered round-trips stay
+    * exact.
     */
   private[graft] def loopFilterFrame(yPlane: Array[Int], uPlane: Array[Int],
       vPlane: Array[Int], yStride: Int, cStride: Int, mbW: Int, mbH: Int,
-      filterType: Int, level: Int, sharpness: Int,
+      filterType: Int, mbLevels: Array[Int], sharpness: Int,
       innerFilter: Array[Boolean]): Unit = {
-    var interior = level
-    if (sharpness > 0) {
-      interior >>= (if (sharpness > 4) 2 else 1)
-      if (interior > 9 - sharpness) interior = 9 - sharpness
+    // thresholds derived per MB from its level (set by filterMbAt)
+    var interior = 1
+    var hevThr = 0
+    var mbLimit = 0
+    var subLimit = 0
+    def setLevel(level: Int): Unit = {
+      interior = level
+      if (sharpness > 0) {
+        interior >>= (if (sharpness > 4) 2 else 1)
+        if (interior > 9 - sharpness) interior = 9 - sharpness
+      }
+      if (interior < 1) interior = 1
+      hevThr = if (level >= 40) 2 else if (level >= 15) 1 else 0
+      mbLimit = (level + 2) * 2 + interior
+      subLimit = level * 2 + interior
     }
-    if (interior < 1) interior = 1
-    val hevThr = if (level >= 40) 2 else if (level >= 15) 1 else 0
-    val mbLimit = (level + 2) * 2 + interior
-    val subLimit = level * 2 + interior
 
     def cs(v: Int): Int = if (v < -128) -128 else if (v > 127) 127 else v
     def u2s(v: Int): Int = v - 128
@@ -864,11 +879,15 @@ object Vp8Decoder {
     while (mbY < mbH) {
       var mbX = 0
       while (mbX < mbW) {
-        val inner = innerFilter(mbY * mbW + mbX)
-        filterMb(yPlane, yStride, mbX * 16, mbY * 16, 16, mbX > 0, mbY > 0, inner)
-        if (filterType == 0) { // the normal filter touches chroma too
-          filterMb(uPlane, cStride, mbX * 8, mbY * 8, 8, mbX > 0, mbY > 0, inner)
-          filterMb(vPlane, cStride, mbX * 8, mbY * 8, 8, mbX > 0, mbY > 0, inner)
+        val level = mbLevels(mbY * mbW + mbX)
+        if (level > 0) {
+          setLevel(level)
+          val inner = innerFilter(mbY * mbW + mbX)
+          filterMb(yPlane, yStride, mbX * 16, mbY * 16, 16, mbX > 0, mbY > 0, inner)
+          if (filterType == 0) { // the normal filter touches chroma too
+            filterMb(uPlane, cStride, mbX * 8, mbY * 8, 8, mbX > 0, mbY > 0, inner)
+            filterMb(vPlane, cStride, mbX * 8, mbY * 8, 8, mbX > 0, mbY > 0, inner)
+          }
         }
         mbX += 1
       }
@@ -953,9 +972,14 @@ object Vp8Decoder {
 
   /** The 10 B_PRED sub-modes over a 4x4 block with spec edge handling
     * (missing above/left default to 127/129 per RFC 6386 §12.2);
-    * prediction reads the evolving reconstruction, and the above-right
-    * run extends the above row's last in-stride pixel (shared with the
-    * encoder, so the pair cannot drift on this edge rule).
+    * prediction reads the evolving reconstruction. Above-right rule
+    * (§12.3, matching libwebp's reconstruction): sub-blocks in the MB's
+    * RIGHT column all read the four pixels of the row ABOVE the
+    * macroblock at columns 16..19 (the above-right MB's bottom edge) —
+    * the lower three share block 3's values, never the undecoded
+    * right-neighbor rows; at the frame's right edge the above row's
+    * last pixel replicates; a missing above row is 127. Shared with the
+    * encoder, so the pair cannot drift on this edge rule.
     */
   private[graft] def applySub(plane: Array[Int], stride: Int, x: Int, y: Int,
       mode: Int, residual: Array[Int]): Unit =
@@ -980,17 +1004,27 @@ object Vp8Decoder {
   /** The 4x4 predicted values for one sub-mode (no residual applied). */
   private[graft] def subPredict(plane: Array[Int], stride: Int, x: Int, y: Int,
       mode: Int): Array[Int] = {
-    // gather borders
-    val a = new Array[Int](8) // above + above-right
+    // gather borders: above (a(0..3)) from the evolving reconstruction,
+    // above-right (a(4..7)) per the spec rule (see applySub doc)
+    val a = new Array[Int](8)
     val l = new Array[Int](4)
+    val rightCol = (x & 15) == 12 // right column of the 16-aligned MB
+    val mbTopRow = (y & ~15) - 1  // plane row above the macroblock
     var i = 0
+    while (i < 4) {
+      a(i) = if (y == 0) 127 else plane((y - 1) * stride + x + i)
+      i += 1
+    }
     while (i < 8) {
       a(i) =
-        if (y == 0) 127
+        if (!rightCol) {
+          // interior blocks: the already-reconstructed above-right block
+          if (y == 0) 127 else plane((y - 1) * stride + x + i)
+        } else if (mbTopRow < 0) 127
         else {
-          val px = x + i
-          if (px < stride) plane((y - 1) * stride + px)
-          else plane((y - 1) * stride + (stride - 1))
+          val px = (x & ~15) + 16 + (i - 4)
+          if (px < stride) plane(mbTopRow * stride + px)
+          else plane(mbTopRow * stride + (stride - 1))
         }
       i += 1
     }
@@ -1005,13 +1039,12 @@ object Vp8Decoder {
 
     val pred = new Array[Int](16)
     mode match {
-      case 0 => // B_DC_PRED
-        var sum = 0
-        var n = 0
-        if (y > 0) { var k = 0; while (k < 4) { sum += a(k); k += 1 }; n += 4 }
-        if (x > 0) { var k = 0; while (k < 4) { sum += l(k); k += 1 }; n += 4 }
-        val dc = if (n == 0) 128 else (sum + n / 2) / n
-        java.util.Arrays.fill(pred, dc)
+      case 0 => // B_DC_PRED: ALWAYS 4 above + 4 left, with the 127/129
+        // border substitutes — unlike the adaptive 16x16/chroma DC
+        var sum = 4
+        var k = 0
+        while (k < 4) { sum += a(k) + l(k); k += 1 }
+        java.util.Arrays.fill(pred, sum >> 3)
       case 1 => // B_TM_PRED
         var r = 0
         while (r < 4) {
@@ -1039,20 +1072,7 @@ object Vp8Decoder {
           while (c2 < 4) { pred(r * 4 + c2) = v; c2 += 1 }
           r += 1
         }
-      case 4 => // B_LD_PRED (down-left diagonal)
-        var r = 0
-        while (r < 4) {
-          var c = 0
-          while (c < 4) {
-            val k = r + c
-            pred(r * 4 + c) =
-              if (k < 6) (a(k) + 2 * a(k + 1) + a(math.min(7, k + 2)) + 2) >> 2
-              else (a(6) + 3 * a(7) + 2) >> 2
-            c += 1
-          }
-          r += 1
-        }
-      case 5 => // B_RD_PRED (down-right diagonal)
+      case 4 => // B_RD_PRED (down-right diagonal)
         val e = new Array[Int](9) // l3..l0, tl, a0..a3
         e(0) = l(3); e(1) = l(2); e(2) = l(1); e(3) = l(0); e(4) = tl
         e(5) = a(0); e(6) = a(1); e(7) = a(2); e(8) = a(3)
@@ -1066,53 +1086,56 @@ object Vp8Decoder {
           }
           r += 1
         }
-      case 6 => // B_VR_PRED
-        val e = new Array[Int](9)
-        e(0) = l(3); e(1) = l(2); e(2) = l(1); e(3) = l(0); e(4) = tl
-        e(5) = a(0); e(6) = a(1); e(7) = a(2); e(8) = a(3)
+      case 5 => // B_VR_PRED (explicit spec cell map, RFC 6386 §12.3)
+        val iL = l(0); val j = l(1); val k = l(2)
+        val aA = a(0); val bB = a(1); val cC = a(2); val dD = a(3)
+        def avg2(p: Int, q: Int) = (p + q + 1) >> 1
+        def avg3(p: Int, q: Int, s: Int) = (p + 2 * q + s + 2) >> 2
+        pred(0) = avg2(tl, aA); pred(1) = avg2(aA, bB)
+        pred(2) = avg2(bB, cC); pred(3) = avg2(cC, dD)
+        pred(4) = avg3(iL, tl, aA); pred(5) = avg3(tl, aA, bB)
+        pred(6) = avg3(aA, bB, cC); pred(7) = avg3(bB, cC, dD)
+        pred(8) = avg3(j, iL, tl); pred(9) = pred(0)
+        pred(10) = pred(1); pred(11) = pred(2)
+        pred(12) = avg3(k, j, iL); pred(13) = pred(4)
+        pred(14) = pred(5); pred(15) = pred(6)
+      case 6 => // B_LD_PRED (down-left diagonal)
         var r = 0
         while (r < 4) {
           var c = 0
           while (c < 4) {
-            val k = 2 * c - r
+            val k = r + c
             pred(r * 4 + c) =
-              if (k >= 0 && k % 2 == 0) (e(4 + k / 2) + e(5 + k / 2) + 1) >> 1
-              else if (k >= -1) (e(3 + (k + 1) / 2) + 2 * e(4 + (k + 1) / 2) + e(5 + (k + 1) / 2) + 2) >> 2
-              else (e(4 + (k + 1) / 2 - 1) + 2 * e(4 + (k + 1) / 2) + e(5 + (k + 1) / 2) + 2) >> 2
+              if (k < 6) (a(k) + 2 * a(k + 1) + a(math.min(7, k + 2)) + 2) >> 2
+              else (a(6) + 3 * a(7) + 2) >> 2
             c += 1
           }
           r += 1
         }
-      case 7 => // B_VL_PRED
-        var r = 0
-        while (r < 4) {
-          var c = 0
-          while (c < 4) {
-            val k = 2 * c + r
-            pred(r * 4 + c) =
-              if (r % 2 == 0) (a(c + r / 2) + a(c + r / 2 + 1) + 1) >> 1
-              else (a(c + r / 2) + 2 * a(c + r / 2 + 1) + a(math.min(7, c + r / 2 + 2)) + 2) >> 2
-            c += 1
-          }
-          r += 1
-        }
-      case 8 => // B_HD_PRED
-        val e = new Array[Int](9)
-        e(0) = l(3); e(1) = l(2); e(2) = l(1); e(3) = l(0); e(4) = tl
-        e(5) = a(0); e(6) = a(1); e(7) = a(2); e(8) = a(3)
-        var r = 0
-        while (r < 4) {
-          var c = 0
-          while (c < 4) {
-            val k = 2 * (3 - r) + c
-            pred(r * 4 + c) =
-              if (c % 2 == 0 && k / 2 < 4) (e(k / 2) + e(k / 2 + 1) + 1) >> 1
-              else if (k / 2 + 2 <= 8) (e(k / 2) + 2 * e(k / 2 + 1) + e(k / 2 + 2) + 2) >> 2
-              else (e(7) + 3 * e(8) + 2) >> 2
-            c += 1
-          }
-          r += 1
-        }
+      case 7 => // B_VL_PRED (explicit spec cell map, RFC 6386 §12.3)
+        def avg2(p: Int, q: Int) = (p + q + 1) >> 1
+        def avg3(p: Int, q: Int, s: Int) = (p + 2 * q + s + 2) >> 2
+        pred(0) = avg2(a(0), a(1)); pred(1) = avg2(a(1), a(2))
+        pred(2) = avg2(a(2), a(3)); pred(3) = avg2(a(3), a(4))
+        pred(4) = avg3(a(0), a(1), a(2)); pred(5) = avg3(a(1), a(2), a(3))
+        pred(6) = avg3(a(2), a(3), a(4)); pred(7) = avg3(a(3), a(4), a(5))
+        pred(8) = pred(1); pred(9) = pred(2)
+        pred(10) = pred(3); pred(11) = avg3(a(4), a(5), a(6))
+        pred(12) = pred(5); pred(13) = pred(6)
+        pred(14) = pred(7); pred(15) = avg3(a(5), a(6), a(7))
+      case 8 => // B_HD_PRED (explicit spec cell map, RFC 6386 §12.3)
+        val iL = l(0); val j = l(1); val k = l(2); val lL = l(3)
+        val aA = a(0); val bB = a(1); val cC = a(2)
+        def avg2(p: Int, q: Int) = (p + q + 1) >> 1
+        def avg3(p: Int, q: Int, s: Int) = (p + 2 * q + s + 2) >> 2
+        pred(0) = avg2(iL, tl); pred(1) = avg3(iL, tl, aA)
+        pred(2) = avg3(tl, aA, bB); pred(3) = avg3(aA, bB, cC)
+        pred(4) = avg2(j, iL); pred(5) = avg3(j, iL, tl)
+        pred(6) = pred(0); pred(7) = pred(1)
+        pred(8) = avg2(k, j); pred(9) = avg3(k, j, iL)
+        pred(10) = pred(4); pred(11) = pred(5)
+        pred(12) = avg2(lL, k); pred(13) = avg3(lL, k, j)
+        pred(14) = pred(8); pred(15) = pred(9)
       case _ => // B_HU_PRED
         var r = 0
         while (r < 4) {

@@ -377,13 +377,52 @@ class PixelDecodeSpec extends AnyFunSuite {
       "segmentation x3 absolute qi" -> Vp8WriterEx.Spec(52, 44, 69,
         segments = 3, segAbs = true),
       "segmentation + filter + partitions" -> Vp8WriterEx.Spec(56, 40, 70,
-        segments = 4, filterLevel = 15, nParts = 2))) {
+        segments = 4, filterLevel = 15, nParts = 2),
+      // per-segment loop-filter feature (delta + absolute modes) and
+      // mode/ref lf deltas (intra ref + B_PRED mode), per-MB levels
+      "per-segment filter levels (delta)" -> Vp8WriterEx.Spec(64, 48, 71,
+        segments = 3, segLf = true, filterLevel = 20),
+      "per-segment filter levels (absolute)" -> Vp8WriterEx.Spec(48, 36, 72,
+        segments = 4, segAbs = true, segLf = true, filterLevel = 30),
+      "lf deltas (ref + B_PRED mode)" -> Vp8WriterEx.Spec(64, 48, 73,
+        filterLevel = 25, lfRefDelta = 10, lfModeDelta = -6),
+      "lf deltas + simple filter" -> Vp8WriterEx.Spec(48, 32, 74,
+        filterLevel = 12, lfRefDelta = -4, lfModeDelta = 20,
+        simpleFilter = true))) {
     test(s"VP8 round-trip: $label (reconstruction-exact)") {
       val bytes = Vp8WriterEx.write(spec)
       val img = graft.kernel.Vp8Decoder.decode(bytes).getOrElse(fail(label))
       assert(img.width == spec.width && img.height == spec.height && img.channels == 3)
       assert(java.util.Arrays.equals(img.data, Vp8WriterEx.plane(spec)), label)
     }
+  }
+
+  // Both table SETS round-trip: the default matrix above runs on the
+  // conformant RFC 6386 values; this re-runs a cross-section under the
+  // round-5 deterministic stand-in set, so the table injection itself
+  // is pinned (a stream encoded under one set will NOT decode under
+  // the other — also asserted).
+  for ((label, spec) <- Seq(
+      "stand-in: multi-MB" -> Vp8WriterEx.Spec(64, 48, 53, standInTables = true),
+      "stand-in: noise + partitions" -> Vp8WriterEx.Spec(52, 70, 58,
+        nParts = 8, smooth = false, standInTables = true),
+      "stand-in: filter + segmentation" -> Vp8WriterEx.Spec(56, 40, 70,
+        segments = 4, filterLevel = 15, nParts = 2, standInTables = true))) {
+    test(s"VP8 round-trip under the stand-in table set: $label") {
+      val bytes = Vp8WriterEx.write(spec)
+      val img = graft.kernel.Vp8Decoder.decode(bytes, graft.kernel.Vp8Tables.StandIn)
+        .getOrElse(fail(label))
+      assert(java.util.Arrays.equals(img.data, Vp8WriterEx.plane(spec)), label)
+    }
+  }
+
+  test("VP8: table sets are not interchangeable (probability data is live)") {
+    val rfc = Vp8WriterEx.Spec(64, 48, 53)
+    val bytes = Vp8WriterEx.write(rfc)
+    // decoding an RFC-encoded stream under the stand-in set must NOT
+    // reproduce the reconstruction (it may fail outright or mis-decode)
+    val wrong = graft.kernel.Vp8Decoder.decode(bytes, graft.kernel.Vp8Tables.StandIn)
+    assert(wrong.forall(img => !java.util.Arrays.equals(img.data, Vp8WriterEx.plane(rfc))))
   }
 
   test("VP8: the loop filter demonstrably alters the reconstruction") {
