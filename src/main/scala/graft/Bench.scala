@@ -56,6 +56,39 @@ object Bench {
   def spread(xs: Seq[Double]): Double =
     if (xs.isEmpty || xs.min <= 0) Double.PositiveInfinity else xs.max / xs.min
 
+  /** LEVEL-aware window guard (r5 VERDICT item 2): the spread check
+    * misses a UNIFORMLY slow window (sustained external load drags every
+    * pass equally, spread stays ~1). A window is degraded-vs-clean when
+    * its extract median is more than 2x the last clean headline AND its
+    * own diagnostics corroborate external interference (best-pass
+    * process CPU > 2x the clean window's, or best-pass GC > 10x) — the
+    * exact signature of the r4/r5 driver windows (CPU 5-8x, GC 20-50x).
+    * A genuine regression slows wall clock WITHOUT inflating CPU/GC per
+    * pass, so it still lands in bench.json and is visible.
+    */
+  def degradedVsClean(extractSec: Double, minCpuSec: Double, minGcMs: Long,
+      cleanExtractSec: Double, cleanMinCpuSec: Double, cleanMinGcMs: Long): Boolean =
+    extractSec > 2.0 * cleanExtractSec &&
+      (minCpuSec > 2.0 * math.max(0.1, cleanMinCpuSec) ||
+        minGcMs > 10L * math.max(10L, cleanMinGcMs))
+
+  /** Parse (extract_sec, min pass cpu, min pass gc) from a bench.json
+    * line, provided it was a clean window (guards never chain off a
+    * degraded or noisy headline).
+    */
+  def parseCleanHeadline(json: String): Option[(Double, Double, Long)] = {
+    if (!json.contains("\"noisy_window\":false") ||
+      json.contains("\"degraded_window\":true")) return None
+    def nums(field: String): Seq[Double] =
+      (s""""$field":\\[([0-9.,]*)\\]""".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("")).split(',').filter(_.nonEmpty).toSeq.map(_.toDouble)
+    val ex = s""""x_extract":([0-9.]+)""".r.findFirstMatchIn(json).map(_.group(1).toDouble)
+    val cpus = nums("pass_cpu_sec")
+    val gcs = nums("pass_gc_ms")
+    for (e <- ex; if cpus.nonEmpty && gcs.nonEmpty)
+      yield (e, cpus.min, gcs.min.toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -128,6 +161,33 @@ object Bench {
       if (spread(second.map(_._1).toSeq) < spread(passBuf.map(_._1).toSeq))
         passBuf = second
     }
+    def windowExtractSec = passBuf.map(_._1).toSeq.sorted.take(3).apply(1)
+    // LEVEL guard: a uniformly slow window (spread ok) that is >2x the
+    // last clean headline with CPU/GC-corroborated external load gets
+    // one 45 s backoff retry, then parks in bench_noisy.json
+    val benchPath = s"${SparkEntry.DataRoot}/bench.json"
+    val cleanRef: Option[(Double, Double, Long)] = {
+      val f = new java.io.File(benchPath)
+      if (!f.exists) None
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        parseCleanHeadline(txt)
+      }
+    }
+    def isDegraded: Boolean = cleanRef.exists { case (ce, cc, cg) =>
+      degradedVsClean(windowExtractSec,
+        passBuf.map(_._2.cpuSec).min, passBuf.map(_._2.gcMs).min, ce, cc, cg)
+    }
+    if (isDegraded && !retriedWindow) {
+      System.err.println(f"[bench] window uniformly degraded vs clean headline (${windowExtractSec}%.2f s vs ${cleanRef.get._1}%.2f s, CPU/GC corroborate) — 45 s backoff, one full retry")
+      Thread.sleep(45000)
+      val second = collectWindow()
+      retriedWindow = true
+      if (second.map(_._1).toSeq.sorted.take(3).apply(1) < windowExtractSec)
+        passBuf = second
+    }
+    val degraded = isDegraded
     val passes = passBuf.map(_._1).toSeq
     val diags = passBuf.map(_._2).toSeq
     val best3 = passes.sorted.take(3)
@@ -164,13 +224,12 @@ object Bench {
     val cpuStr = diags.map(d => f"${d.cpuSec}%.1f").mkString("[", ",", "]")
     val loadStr = diags.map(d => f"${d.load}%.1f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$outDocs,"docs_per_sec":$docsPerSec%.1f,"bytes_per_sec":$bytesPerSec%.0f,"cpus":$cpus,"corpus_docs":$nDocs,"extract_passes_sec":$passStr,"extract_stat":"median_of_fastest_3","pass_gc_ms":$gcStr,"pass_cpu_sec":$cpuStr,"pass_load_avg":$loadStr,"pass_spread":${f"${spread(passes)}%.2f"},"noisy_window":$noisy,"retried_window":$retriedWindow}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$outDocs,"docs_per_sec":$docsPerSec%.1f,"bytes_per_sec":$bytesPerSec%.0f,"cpus":$cpus,"corpus_docs":$nDocs,"extract_passes_sec":$passStr,"extract_stat":"median_of_fastest_3","pass_gc_ms":$gcStr,"pass_cpu_sec":$cpuStr,"pass_load_avg":$loadStr,"pass_spread":${f"${spread(passes)}%.2f"},"noisy_window":$noisy,"degraded_window":$degraded,"retried_window":$retriedWindow}"""
     println(json)
-    // a noisy window must never replace a clean tracked headline
-    // (r4 VERDICT item 5): keep the last clean data/bench.json, park the
-    // degraded measurement alongside as bench_noisy.json
-    val benchPath = s"${SparkEntry.DataRoot}/bench.json"
-    if (!noisy) writeJson(benchPath, json)
+    // neither a noisy (spread) nor a uniformly-degraded (level) window
+    // may replace a clean tracked headline: keep the last clean
+    // data/bench.json, park the measurement alongside as bench_noisy.json
+    if (!noisy && !degraded) writeJson(benchPath, json)
     else {
       writeJson(s"${SparkEntry.DataRoot}/bench_noisy.json", json)
       val prev = new java.io.File(benchPath)

@@ -205,9 +205,11 @@ object EmlKernel {
   }
 
   /** Multipart walk: the first NON-ATTACHMENT text/plain part's decoded
-    * text (falling back to the first non-attachment part, then the raw
-    * body), plus the attachment filenames (Content-Disposition
-    * attachment, or any part carrying a filename/name parameter).
+    * text (falling back to the first non-attachment part, then to the
+    * first text-typed part even if attachment-classified, then empty:
+    * raw multipart body is never surfaced), plus the attachment
+    * filenames (Content-Disposition attachment, or any part carrying a
+    * filename/name parameter).
     */
   private def multipartText(body: String, boundary: String,
       unicodeInput: Boolean): (String, Vector[String]) = {
@@ -231,10 +233,16 @@ object EmlKernel {
       case (ct2, _, _, true, None)  => "unnamed (" + ct2.takeWhile(_ != ';').trim + ")"
     }
     val textParts = parts.filterNot(_._4)
+    // When every part is attachment-classified (some mailers add a
+    // name= parameter to the main body part), fall back to DECODING the
+    // first text/* part rather than leaking the raw multipart body —
+    // base64 payloads and MIME headers must never surface as content
+    // (ADVICE r5)
     val text = textParts.find(_._1.toLowerCase.startsWith("text/plain"))
       .orElse(textParts.headOption)
+      .orElse(parts.find(_._1.toLowerCase.startsWith("text/")))
       .map { case (_, hs, pb, _, _) => decodeBody(pb, hs, unicodeInput) }
-      .getOrElse(body)
+      .getOrElse("")
     (text, attachments)
   }
 

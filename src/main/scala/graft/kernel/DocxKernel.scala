@@ -108,7 +108,8 @@ object DocxKernel {
                 rowCells :+= cellParas.mkString("\n")
                 cellParas = Vector.empty
               case "tr" if cellDepth == 0 =>
-                paras += rowCells.mkString("\t")
+                // empty rows add no blank line (ADVICE r5)
+                if (rowCells.exists(_.nonEmpty)) paras += rowCells.mkString("\t")
                 rowCells = Vector.empty
               case _ => ()
             }

@@ -79,6 +79,10 @@ object HtmlKernel {
     // table state: rows collect cells; one block per tr, cells \t-joined
     var tableDepth = 0
     var cellDepth = 0
+    // tables OPENED INSIDE a cell (nested layout tables, common in real
+    // HTML): their table/tr/td tags are in-cell content so the outer
+    // row's structure survives (ADVICE r5)
+    var cellTableDepth = 0
     var rowCells = Vector.empty[String]
     var rowWords = 0
     var rowLinked = 0
@@ -163,10 +167,16 @@ object HtmlKernel {
               }
               if (blockTags.contains(rawName)) {
                 rawName match {
+                  case "table" if !closing && !selfClosed && cellDepth > 0 =>
+                    cur.append(' '); cellTableDepth += 1 // nested in-cell table
+                  case "table" if closing && cellTableDepth > 0 =>
+                    cur.append(' '); cellTableDepth -= 1
                   case "table" =>
                     if (!closing && !selfClosed) { flush(); flushRow(); tableDepth += 1 }
                     else if (closing && tableDepth > 0) { flushRow(); flush(); tableDepth -= 1 }
                     else flush()
+                  case "tr" | "td" | "th" if cellTableDepth > 0 =>
+                    cur.append(' ') // structure of a nested in-cell table
                   case "tr" if tableDepth > 0 =>
                     if (!closing) { flushRow(); flush() } // stray caption text
                     else flushRow()

@@ -244,7 +244,9 @@ object OdtKernel {
                 }
               }
             case "table-row" if cellDepth == 0 =>
-              paras += rowCells.mkString("\t")
+              // covered-cell-only / self-closed rows add no blank line
+              // (ADVICE r5): require at least one non-empty cell
+              if (rowCells.exists(_.nonEmpty)) paras += rowCells.mkString("\t")
               rowCells = Vector.empty
             case _ => ()
           }

@@ -299,7 +299,8 @@ object PptxKernel {
                 }
               }
             case "tr" if cellDepth == 0 =>
-              paras += rowCells.mkString("\t")
+              // empty rows add no blank line (ADVICE r5)
+              if (rowCells.exists(_.nonEmpty)) paras += rowCells.mkString("\t")
               rowCells = Vector.empty
             case _ => ()
           }

@@ -1019,24 +1019,39 @@ object PdfKernel {
       }
     }
 
-    /** The object number whose "N G obj" header sits at `off` (-1 if
-      * that is not an object header).
+    /** True iff a full "num gen obj" header sits at `off`. Validating
+      * all three tokens (not just a digit run matching the number)
+      * means a stale or crafted offset landing on a coincidental
+      * integer — e.g. inside stream data — discards the chain and the
+      * brute scan recovers the document (ADVICE r5).
       */
-    private def headerNumAt(off: Int): Int = {
+    private def headerMatchesAt(off: Int, num: Int, gen: Int): Boolean = {
       var p = off
-      while (p < bytes.length && (bytes(p) == ' ' || bytes(p) == '\r' ||
-        bytes(p) == '\n' || bytes(p) == '\t')) p += 1
-      var v = 0
-      var any = false
-      while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
-        v = v * 10 + (bytes(p) - '0')
-        if (v > (1 << 24)) return -1
-        p += 1
-        any = true
+      def skipWs(): Unit =
+        while (p < bytes.length && (bytes(p) == ' ' || bytes(p) == '\r' ||
+          bytes(p) == '\n' || bytes(p) == '\t')) p += 1
+      def readInt(): Int = {
+        var v = 0
+        var any = false
+        while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+          v = v * 10 + (bytes(p) - '0')
+          if (v > (1 << 24)) return -1
+          p += 1
+          any = true
+        }
+        if (!any) -1 else v
       }
-      if (!any || p >= bytes.length || bytes(p) != ' ' && bytes(p) != '\r' &&
-        bytes(p) != '\n' && bytes(p) != '\t') return -1
-      v
+      skipWs()
+      if (readInt() != num) return false
+      val p1 = p
+      skipWs()
+      if (p == p1) return false // whitespace required between tokens
+      if (readInt() != gen) return false
+      val p2 = p
+      skipWs()
+      if (p == p2) return false
+      p + 3 <= bytes.length && bytes(p) == 'o' && bytes(p + 1) == 'b' &&
+        bytes(p + 2) == 'j'
     }
 
     private val xrefIndex: Option[(Map[Int, Int], Map[Int, Int], Map[String, PObj])] =
@@ -1076,7 +1091,8 @@ object PdfKernel {
               }
             }
             if (!ok || offsets.isEmpty) None
-            else if (offsets.forall { case (num, o) => headerNumAt(o) == num })
+            else if (offsets.forall { case (num, o) =>
+              headerMatchesAt(o, num, gens.getOrElse(num, 0)) })
               Some((offsets.toMap, gens.toMap, trailerDict))
             else None
           }
@@ -1516,7 +1532,11 @@ object PdfKernel {
       val c = s.charAt(14)
       if (c == '+' || c == '-') {
         val oh = num(15, 2, 0)
-        val om = num(18, 2, 0) // skips the apostrophe at index 17
+        // the minutes field may follow an apostrophe (D:...+05'30') or
+        // not (D:...+0530), or be absent entirely (ADVICE r5)
+        val om =
+          if (s.length > 17 && s.charAt(17) == '\'') num(18, 2, 0)
+          else num(17, 2, 0)
         offMin = (oh * 60 + om) * (if (c == '-') -1 else 1)
       } // 'Z' (or nothing): already UTC
     }

@@ -43,7 +43,17 @@ object Pipeline {
         * bytes still never cross an exchange. Full runs over
         * fully-referenced corpora pay one extra pruned keys-only scan.
         */
-      gateMediaByReference: Boolean = true)
+      gateMediaByReference: Boolean = true,
+      /** Broadcast cap for the gate's referenced-key set. A full run
+        * over a 100 TB corpus has ~1e9 distinct media_refs — far past
+        * any broadcast threshold and a driver OOM if forced. When the
+        * key-set row-count estimate exceeds this cap the gate switches
+        * to a shuffle left_semi on media_ref (keys are uniform md5-like
+        * ids, so the exchange is balanced and still keys-only; payload
+        * bytes never move either way). Resume runs keep the broadcast:
+        * their todo set is small by construction.
+        */
+      gateBroadcastMaxKeys: Long = 4L * 1000 * 1000)
 
   /** Full pipeline. `docs(doc_id, spans)`, `media(media_ref, bytes_b64)`. */
   def extract(spark: SparkSession, docs: DataFrame, media: DataFrame,
@@ -111,11 +121,26 @@ object Pipeline {
     // gated out by a broadcast semi-join on keys BEFORE payloads are
     // decoded — see Config.gateMediaByReference.
     val mediaSpans = spanRows(withText = false).filter(col("media_ref").isNotNull)
+    // The gate's key set is broadcast ONLY while its size estimate is
+    // under gateBroadcastMaxKeys. Above the cap (a full run over a
+    // ~1e9-media corpus) the gate is dropped entirely rather than
+    // switched to a shuffled semi-join: a shuffled left_semi would move
+    // the MEDIA side — payload bytes — through an exchange, which this
+    // pipeline never does. Over-extraction is harmless for results (the
+    // downstream span join is a LEFT join keyed by span-side refs, so
+    // unreferenced extracts simply drop out) and a full-scale run is
+    // fully-referenced by construction; resume runs have a small todo
+    // key set and always stay on the broadcast path.
     val gatedMedia =
-      if (cfg.gateMediaByReference)
-        media.join(broadcast(mediaSpans.select(col("media_ref")).distinct()),
-          Seq("media_ref"), "left_semi")
-      else media
+      if (cfg.gateMediaByReference) {
+        val keys = mediaSpans.select(col("media_ref")).distinct()
+        val stats = keys.queryExecution.optimizedPlan.stats
+        val estKeys = stats.rowCount.map(_.longValue)
+          .getOrElse(stats.sizeInBytes.longValue / 48L) // ~48 B per md5-ish id row
+        if (estKeys <= cfg.gateBroadcastMaxKeys)
+          media.join(broadcast(keys), Seq("media_ref"), "left_semi")
+        else media
+      } else media
     val extractedMedia: Dataset[MediaExtract] = gatedMedia
       .select(col("media_ref"), unbase64(col("bytes_b64")).as("bytes"))
       .as[(String, Array[Byte])]

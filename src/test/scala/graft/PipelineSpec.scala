@@ -69,6 +69,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("media gate: broadcast semi-join under the key cap, dropped above it") {
+    val docs = Gen.readDocs(spark, corpusDir)
+    val media = Gen.readMedia(spark, corpusDir)
+    val below = Pipeline.extract(spark, docs, media).toDF()
+    val planBelow = below.queryExecution.executedPlan.toString
+    assert(planBelow.contains("LeftSemi"), "gate must semi-join under the cap")
+    assert(planBelow.contains("Broadcast"), "the key set must be broadcast, never shuffled")
+    // cap 0 simulates the ~1e9-key full-scale regime: the gate drops out
+    // entirely (no payload-shuffling semi-join may appear in its place)
+    val above = Pipeline.extract(spark, docs, media,
+      Pipeline.Config(gateBroadcastMaxKeys = 0)).toDF()
+    val planAbove = above.queryExecution.executedPlan.toString
+    assert(!planAbove.contains("LeftSemi"),
+      "above the cap the gate is dropped; a shuffled semi-join would move payloads")
+    // and the results are identical either way (left join drops extras)
+    val diff = spanFingerprints(below).as("a")
+      .join(spanFingerprints(above).as("b"), Seq("doc_id"), "full_outer")
+      .filter(col("a.fp").isNull || col("b.fp").isNull || col("a.fp") =!= col("b.fp"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("doc-level envelope: content types, language, sorted metadata") {
     val docs = Gen.readDocs(spark, corpusDir).limit(0) // placeholder no-op
     assert(docs.count() == 0)
