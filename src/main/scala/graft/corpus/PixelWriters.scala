@@ -440,19 +440,23 @@ object WebpWriterEx {
     * optional color cache, and the two dominant pixel transforms
     * (subtract-green; the predictor transform with a seeded mix of all
     * 14 modes over a coded mode sub-image) — exactly the subset
-    * kernel.Vp8lDecoder decodes. Uniform code lengths keep the
-    * canonical-code emission trivially correct (symbol == code) while
-    * exercising the decoder's full code-length machinery.
+    * kernel.Vp8lDecoder decodes. Every emitted prefix code is COMPLETE
+    * (Kraft sum 1: two-length canonical codes over non-power-of-two
+    * alphabets), so the streams are accepted by strict third-party
+    * decoders — cross-validated byte-exactly against system libwebp.
     */
   final case class Spec(width: Int, height: Int, seed: Long,
       useLz77: Boolean = true, cacheBits: Int = 0, smooth: Boolean = false,
       subtractGreen: Boolean = false, predictor: Boolean = false,
       predSizeBits: Int = 4,
       colorXform: Boolean = false, colorSizeBits: Int = 3,
-      paletteSize: Int = 0, // 2..256: color-indexing transform (alone)
+      // 2..256: color-indexing transform; combines with the spatial
+      // transforms (they then operate on the bundled index sub-image)
+      paletteSize: Int = 0,
       // >= 2: meta prefix groups — a coded entropy sub-image selects a
-      // per-block prefix-code group; group green-code lengths DIFFER so
-      // the decoder's per-symbol group selection is pinned by the oracle
+      // per-block prefix-code group; group green-code tables DIFFER (the
+      // long-length rotation varies per group) so the decoder's
+      // per-symbol group selection is pinned by the oracle
       metaGroups: Int = 0, metaGroupBits: Int = 4,
       // back-references emit 2-D plane distance codes (1..120) whenever
       // the distance maps into the spec's neighborhood table; vertical
@@ -555,28 +559,72 @@ object WebpWriterEx {
     def flush(): Unit = if (cnt > 0) { out.write(buf); buf = 0; cnt = 0 }
   }
 
-  /** Serialize a uniform-length code over alphabet [0, count): every
-    * symbol gets `len` bits via code-length symbol `len` + repeat-16s.
+  /** Canonical code assignment for a length vector — the deflate-style
+    * construction the decoder's Prefix (and libwebp) use: count per
+    * length, first-code per length, codes in symbol order within a
+    * length.
     */
-  private def writeUniformCode(bw: Bw, count: Int, len: Int): Unit = {
+  private final class CodeSet(val lens: Array[Int]) {
+    val codes: Array[Int] = {
+      val maxLen = lens.max
+      val counts = new Array[Int](maxLen + 1)
+      lens.foreach(l => if (l > 0) counts(l) += 1)
+      val next = new Array[Int](maxLen + 1)
+      var code = 0
+      var l = 1
+      while (l <= maxLen) { next(l) = code; code = (code + counts(l)) << 1; l += 1 }
+      lens.map { l => if (l == 0) 0 else { val c = next(l); next(l) += 1; c } }
+    }
+  }
+
+  /** Serialize a COMPLETE canonical prefix code over alphabet [0,
+    * count): with count = 2^k + r, the code gives count - 2r symbols
+    * length k and 2r symbols length k+1, making the Kraft sum exactly 1.
+    * Strict decoders (libwebp) REJECT incomplete codes, so a uniform
+    * k-bit code over a non-power-of-two alphabet is not conformant.
+    * `rot` rotates WHICH symbols carry the long codes, so per-group
+    * code tables differ and a wrong meta-group selection in the decoder
+    * cannot round-trip. Returns the per-symbol (code, len) table to
+    * emit pixels with.
+    */
+  private def writeCompleteCode(bw: Bw, count: Int, rot: Int = 0): CodeSet = {
+    var k = 0
+    while ((1 << (k + 1)) <= count) k += 1 // k = floor(log2 count)
+    val r = count - (1 << k)
+    val lens = Array.fill(count)(k)
+    if (r > 0) {
+      val start = (rot * 37) % count
+      var j = 0
+      while (j < 2 * r) { lens((start + j) % count) = k + 1; j += 1 }
+    }
     bw.bits(0, 1)        // not simple
     bw.bits(15, 4)       // 19 code-length codes follow
-    // cl-lengths in CodeLengthOrder(17,18,0..5,16,6..15): {len:1, 16:1}
     val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
-    for (s <- order) bw.bits(if (s == len || s == 16) 1 else 0, 3)
+    val clLen = new Array[Int](19)
+    if (r == 0) { clLen(k) = 1; clLen(16) = 1 }
+    else { clLen(k) = 1; clLen(k + 1) = 2; clLen(16) = 2 }
+    for (s <- order) bw.bits(clLen(s), 3)
     bw.bits(0, 1)        // no max-symbol limit
-    // cl code: two 1-bit symbols; canonical => smaller symbol = code 0
-    val lenCode = if (len < 16) 0 else 1
-    val repCode = 1 - lenCode
-    bw.code(lenCode, 1)  // first symbol: length `len`
-    var remaining = count - 1
-    while (remaining > 0) {
-      var c = math.min(6, remaining)
-      if (remaining - c != 0 && remaining - c < 3) c = remaining - 3
-      bw.code(repCode, 1)
-      bw.bits(c - 3, 2)
-      remaining -= c
+    val cl = new CodeSet(clLen)
+    def clEmit(sym: Int): Unit = bw.code(cl.codes(sym), clLen(sym))
+    var i = 0
+    while (i < count) {
+      val v = lens(i)
+      var run = 1
+      while (i + run < count && lens(i + run) == v) run += 1
+      clEmit(v) // first of the run
+      var rem = run - 1
+      while (rem >= 3) { // repeat-16: copy previous length 3-6 times
+        var c = math.min(6, rem)
+        if (rem - c != 0 && rem - c < 3) c = rem - 3
+        clEmit(16)
+        bw.bits(c - 3, 2)
+        rem -= c
+      }
+      while (rem > 0) { clEmit(v); rem -= 1 }
+      i += run
     }
+    new CodeSet(lens)
   }
 
   /** value (>=1) -> (symbol, extraBits, extraVal): inverse of the
@@ -638,17 +686,23 @@ object WebpWriterEx {
     }
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val greenAlpha = 256 + 24 + cacheSize
-    val baseLen = 9 + (if (greenAlpha > 512) 2 else 0) // 11 covers +2048 cache
-    // per-group green lengths alternate so a wrong group selection in
-    // the decoder cannot round-trip
-    val greenLens = Array.tabulate(nGroups)(g => baseLen + (g % 2))
+    // per-group green codes ROTATE which symbols carry the long lengths
+    // (greenAlpha is never a power of two, so rotation always changes
+    // the table) — a wrong group selection in the decoder cannot
+    // round-trip. red/blue/alpha are 256-symbol uniform-8 complete
+    // codes; distance is a 40-symbol two-length complete code.
+    val greenSets = new Array[CodeSet](nGroups)
+    var redSet: CodeSet = null
+    var blueSet: CodeSet = null
+    var alphaSet: CodeSet = null
+    var distSet: CodeSet = null
     var gi = 0
     while (gi < nGroups) {
-      writeUniformCode(bw, greenAlpha, greenLens(gi))
-      writeUniformCode(bw, 256, 8) // red
-      writeUniformCode(bw, 256, 8) // blue
-      writeUniformCode(bw, 256, 8) // alpha
-      writeUniformCode(bw, 40, 6)  // distance
+      greenSets(gi) = writeCompleteCode(bw, greenAlpha, rot = gi)
+      redSet = writeCompleteCode(bw, 256)
+      blueSet = writeCompleteCode(bw, 256)
+      alphaSet = writeCompleteCode(bw, 256)
+      distSet = writeCompleteCode(bw, 40)
       gi += 1
     }
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
@@ -660,7 +714,7 @@ object WebpWriterEx {
       else Map.empty
     var i = 0
     while (i < n) {
-      val greenLen = greenLens(groupOf(i)) // group chosen per symbol
+      val gs = greenSets(groupOf(i)) // group chosen per symbol
       val cur = argb(i)
       // LZ77: longest run of pixels equal to their d=1 predecessor, or
       // (2-D mode) to the pixel one row above (distance = width)
@@ -681,11 +735,11 @@ object WebpWriterEx {
       if (len >= 3) {
         val dist = if (useVert) w else 1
         val (ls, leb, lev) = lzSym(len)
-        bw.code(256 + ls, greenLen)
+        bw.code(gs.codes(256 + ls), gs.lens(256 + ls))
         if (leb > 0) bw.bits(lev, leb)
         val dCode = planeCode.getOrElse(dist, dist + 120)
         val (ds, deb, dev) = lzSym(dCode)
-        bw.code(ds, 6)
+        bw.code(distSet.codes(ds), distSet.lens(ds))
         if (deb > 0) bw.bits(dev, deb)
         var k = 0
         while (k < len) {
@@ -694,13 +748,18 @@ object WebpWriterEx {
         }
         i += len
       } else if (cache != null && cache(cacheIdx(cur)) == cur) {
-        bw.code(256 + 24 + cacheIdx(cur), greenLen)
+        val s = 256 + 24 + cacheIdx(cur)
+        bw.code(gs.codes(s), gs.lens(s))
         i += 1
       } else {
-        bw.code((cur >> 8) & 0xff, greenLen)   // green
-        bw.code((cur >> 16) & 0xff, 8)         // red
-        bw.code(cur & 0xff, 8)                 // blue
-        bw.code((cur >>> 24) & 0xff, 8)        // alpha
+        val g = (cur >> 8) & 0xff
+        val rr = (cur >> 16) & 0xff
+        val bb = cur & 0xff
+        val aa = (cur >>> 24) & 0xff
+        bw.code(gs.codes(g), gs.lens(g))
+        bw.code(redSet.codes(rr), redSet.lens(rr))
+        bw.code(blueSet.codes(bb), blueSet.lens(bb))
+        bw.code(alphaSet.codes(aa), alphaSet.lens(aa))
         if (cache != null) cache(cacheIdx(cur)) = cur
         i += 1
       }
@@ -789,41 +848,21 @@ object WebpWriterEx {
   }
 
   def write(spec: Spec): Array[Byte] = {
-    require(spec.paletteSize == 0 ||
-      !(spec.subtractGreen || spec.predictor || spec.colorXform),
-      "palette combines with no other transform (decoder subset)")
     val px = plane(spec)
     val n = spec.width * spec.height
     var argb = Array.tabulate(n) { i =>
       ((px(i * 4 + 3) & 0xff) << 24) | ((px(i * 4) & 0xff) << 16) |
         ((px(i * 4 + 1) & 0xff) << 8) | (px(i * 4 + 2) & 0xff)
     }
-    // forward transforms in bitstream order (SG -> predictor -> color,
-    // or palette alone — the decoder inverts in reverse read order)
+    // forward transforms in bitstream order = forward application order
+    // (the decoder inverts in reverse read order). The palette packs
+    // FIRST, so subtract-green / predictor / cross-color operate on the
+    // bundled index sub-image at the reduced width — the decoder tracks
+    // the running width exactly as libwebp does.
     var modesArgb: Array[Int] = null
     var colorArgb: Array[Int] = null
     var paletteDeltas: Array[Int] = null
     var mainW = spec.width
-    if (spec.subtractGreen) {
-      argb = argb.map { p =>
-        val g = (p >> 8) & 0xff
-        val r = (((p >> 16) & 0xff) - g) & 0xff
-        val b = ((p & 0xff) - g) & 0xff
-        (p & 0xff00ff00) | (r << 16) | b
-      }
-    }
-    if (spec.predictor) {
-      val (res, m) = forwardPredictor(argb, spec.width, spec.height,
-        spec.predSizeBits, spec.seed)
-      argb = res
-      modesArgb = m
-    }
-    if (spec.colorXform) {
-      val (res, e) = forwardColor(argb, spec.width, spec.height,
-        spec.colorSizeBits, spec.seed)
-      argb = res
-      colorArgb = e
-    }
     if (spec.paletteSize > 0) {
       val pal = paletteOf(spec)
       paletteDeltas = Array.tabulate(pal.length) { i =>
@@ -854,6 +893,28 @@ object WebpWriterEx {
       }
       argb = packed.map(b => 0xff000000 | (b << 8)) // index byte in green
     }
+    // spatial transforms operate at mainW: the bundled width when a
+    // palette is present, the full width otherwise
+    if (spec.subtractGreen) {
+      argb = argb.map { p =>
+        val g = (p >> 8) & 0xff
+        val r = (((p >> 16) & 0xff) - g) & 0xff
+        val b = ((p & 0xff) - g) & 0xff
+        (p & 0xff00ff00) | (r << 16) | b
+      }
+    }
+    if (spec.predictor) {
+      val (res, m) = forwardPredictor(argb, mainW, spec.height,
+        spec.predSizeBits, spec.seed)
+      argb = res
+      modesArgb = m
+    }
+    if (spec.colorXform) {
+      val (res, e) = forwardColor(argb, mainW, spec.height,
+        spec.colorSizeBits, spec.seed)
+      argb = res
+      colorArgb = e
+    }
     val payload = new ByteArrayOutputStream()
     payload.write(0x2f)
     val bw = new Bw(payload)
@@ -861,6 +922,11 @@ object WebpWriterEx {
     bw.bits(spec.height - 1, 14)
     bw.bits(1, 1)  // alpha hint
     bw.bits(0, 3)  // version
+    if (spec.paletteSize > 0) {
+      bw.bits(1, 1); bw.bits(3, 2)
+      bw.bits(spec.paletteSize - 1, 8)
+      codePixels(bw, paletteDeltas, cacheBits = 0, useLz77 = false, isMain = false)
+    }
     if (spec.subtractGreen) { bw.bits(1, 1); bw.bits(2, 2) }
     if (spec.predictor) {
       bw.bits(1, 1); bw.bits(0, 2)
@@ -871,11 +937,6 @@ object WebpWriterEx {
       bw.bits(1, 1); bw.bits(1, 2)
       bw.bits(spec.colorSizeBits - 2, 3)
       codePixels(bw, colorArgb, cacheBits = 0, useLz77 = false, isMain = false)
-    }
-    if (spec.paletteSize > 0) {
-      bw.bits(1, 1); bw.bits(3, 2)
-      bw.bits(spec.paletteSize - 1, 8)
-      codePixels(bw, paletteDeltas, cacheBits = 0, useLz77 = false, isMain = false)
     }
     bw.bits(0, 1)  // no more transforms
     codePixels(bw, argb, spec.cacheBits, spec.useLz77, isMain = true,

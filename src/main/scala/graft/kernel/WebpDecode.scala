@@ -12,9 +12,10 @@ package graft.kernel
   * (per-block prefix-code group selection through a coded entropy
   * sub-image), and 2-D PLANE DISTANCE CODES (the spec's 120-entry
   * near-neighborhood mapping, generated from its closed form below).
-  * Scope boundary (clean None -> metadata tier): palette combined with a
-  * spatial transform (not produced by real encoders). Lossy VP8 remains
-  * the declared perceptual stub.
+  * Transforms combine freely — palette together with the spatial
+  * transforms tracks the bundled sub-image width through the inverse
+  * chain (libwebp's running-xsize rule), so any legal transform set
+  * decodes.
   *
   * Like every decoder here: malformed input -> None, never a throw.
   */
@@ -223,7 +224,15 @@ object Vp8lDecoder {
     var colorElemsW = 0
     var palette: Array[Int] = null
     var paletteWidthBits = 0
-    var xformOrder = List.empty[Int] // head = last read = first inverted
+    // (type, width at read time): head = last read = first inverted.
+    // Color indexing with sub-8-bit bundling REDUCES the running width,
+    // so transforms read after it (their sub-images AND their inverses)
+    // operate on the bundled sub-image — mirroring libwebp, which
+    // subsamples the running xsize in ReadTransform. Tracking the width
+    // per transform makes palette freely combinable with the spatial
+    // transforms in either bitstream order.
+    var xformOrder = List.empty[(Int, Int)]
+    var curW = w
     var seen = 0
     var moreXf = br.bits(1) == 1
     while (moreXf) {
@@ -232,21 +241,21 @@ object Vp8lDecoder {
       seen |= 1 << t
       t match {
         case 2 => // subtract green: no payload
-          xformOrder ::= 2
+          xformOrder ::= ((2, curW))
         case 0 => // predictor: mode sub-image at block resolution
           predSizeBits = br.bits(3) + 2
-          predModesW = (w + (1 << predSizeBits) - 1) >> predSizeBits
+          predModesW = (curW + (1 << predSizeBits) - 1) >> predSizeBits
           val modesH = (h + (1 << predSizeBits) - 1) >> predSizeBits
           predModes = decodeCoded(br, predModesW, modesH, isMain = false)
             .getOrElse(return None)
-          xformOrder ::= 0
+          xformOrder ::= ((0, curW))
         case 1 => // cross-color: transform-element sub-image per block
           colorSizeBits = br.bits(3) + 2
-          colorElemsW = (w + (1 << colorSizeBits) - 1) >> colorSizeBits
+          colorElemsW = (curW + (1 << colorSizeBits) - 1) >> colorSizeBits
           val elemsH = (h + (1 << colorSizeBits) - 1) >> colorSizeBits
           colorElems = decodeCoded(br, colorElemsW, elemsH, isMain = false)
             .getOrElse(return None)
-          xformOrder ::= 1
+          xformOrder ::= ((1, curW))
         case _ => // 3 = color indexing (palette), delta-coded entries
           val size = br.bits(8) + 1
           val raw = decodeCoded(br, size, 1, isMain = false).getOrElse(return None)
@@ -260,23 +269,24 @@ object Vp8lDecoder {
           }
           paletteWidthBits =
             if (size <= 2) 3 else if (size <= 4) 2 else if (size <= 16) 1 else 0
-          xformOrder ::= 3
+          xformOrder ::= ((3, curW))
+          curW = (curW + (1 << paletteWidthBits) - 1) >> paletteWidthBits
       }
       moreXf = br.bits(1) == 1
     }
-    // palette changes image geometry; combining it with the spatial
-    // transforms is not produced by real encoders — declared subset
-    if (palette != null && xformOrder.length > 1) return None
-    val mainW =
-      if (palette != null)
-        (w + (1 << paletteWidthBits) - 1) >> paletteWidthBits
-      else w
+    val mainW = curW
     var argb = decodeCoded(br, mainW, h, isMain = true).getOrElse(return None)
-    xformOrder.foreach {
-      case 0 => if (!inversePredictor(argb, w, h, predModes, predSizeBits, predModesW)) return None
-      case 1 => inverseColorTransform(argb, w, h, colorElems, colorSizeBits, colorElemsW)
-      case 2 => addGreen(argb)
-      case 3 => argb = inversePalette(argb, mainW, w, h, palette, paletteWidthBits)
+    // each inverse runs at the width the image has AT THAT STAGE of the
+    // chain (tw); the palette inverse expands the bundled width back out
+    xformOrder.foreach { case (t, tw) =>
+      t match {
+        case 0 => if (!inversePredictor(argb, tw, h, predModes, predSizeBits, predModesW)) return None
+        case 1 => inverseColorTransform(argb, tw, h, colorElems, colorSizeBits, colorElemsW)
+        case 2 => addGreen(argb)
+        case 3 =>
+          val packedW = (tw + (1 << paletteWidthBits) - 1) >> paletteWidthBits
+          argb = inversePalette(argb, packedW, tw, h, palette, paletteWidthBits)
+      }
     }
     // ARGB -> RGBA plane
     val n = w * h

@@ -279,6 +279,26 @@ class PixelDecodeSpec extends AnyFunSuite {
           subtractGreen = true, predictor = true, predSizeBits = 3),
       "meta groups + palette" -> WebpWriterEx.Spec(35, 21, 29,
         useLz77 = false, paletteSize = 9, metaGroups = 2, metaGroupBits = 2),
+      // palette combined with the spatial transforms: the spatial
+      // transforms operate on the BUNDLED index sub-image (reduced
+      // width), every bundling width exercised; the decoder must track
+      // the running width through the inverse chain
+      "palette 6 (2 px/byte) + predictor" -> WebpWriterEx.Spec(29, 18, 40,
+        useLz77 = false, paletteSize = 6, predictor = true, predSizeBits = 2),
+      "palette 3 (4 px/byte) + cross-color" -> WebpWriterEx.Spec(26, 15, 41,
+        useLz77 = false, paletteSize = 3, colorXform = true, colorSizeBits = 2),
+      "palette 2 (8 px/byte) + SG + predictor" -> WebpWriterEx.Spec(39, 13, 42,
+        useLz77 = false, paletteSize = 2, subtractGreen = true,
+        predictor = true, predSizeBits = 3),
+      "palette 180 (unbundled) + full spatial stack" ->
+        WebpWriterEx.Spec(27, 16, 43, paletteSize = 180, subtractGreen = true,
+          predictor = true, predSizeBits = 2, colorXform = true,
+          colorSizeBits = 3),
+      "palette 11 + predictor + lz77 + cache" -> WebpWriterEx.Spec(34, 22, 44,
+        paletteSize = 11, predictor = true, predSizeBits = 2, cacheBits = 4),
+      "palette 5 + predictor, odd width partial bundle" ->
+        WebpWriterEx.Spec(23, 9, 45, useLz77 = false, paletteSize = 5,
+          predictor = true, predSizeBits = 2),
       // 2-D plane distance codes: vertical (dy>0) refs planted; a wrong
       // neighborhood table or dy*w+dx mapping cannot round-trip
       "2-D distance codes" -> WebpWriterEx.Spec(33, 25, 30, use2dDist = true),
