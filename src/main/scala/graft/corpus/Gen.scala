@@ -534,11 +534,18 @@ object Gen {
           lfModeDelta = if (rng.nextInt(4) == 0) rng.nextInt(41) - 20 else 0))
       else if (rng.nextInt(3) < 2) {
         if (rng.nextInt(4) == 0)
-          // 1-in-4 real streams are paletted (graphics/icons shape)
+          // 1-in-4 real streams are paletted (graphics/icons shape);
+          // 1-in-3 of those stack a spatial transform on the bundled
+          // index sub-image (palette+predictor / palette+cross-color)
           WebpWriterEx.write(WebpWriterEx.Spec(
             8 + rng.nextInt(120), 8 + rng.nextInt(120), seed = rng.nextLong(),
             useLz77 = rng.nextBoolean(),
-            paletteSize = Vector(2, 4, 9, 16, 48, 256)(rng.nextInt(6))))
+            paletteSize = Vector(2, 4, 9, 16, 48, 256)(rng.nextInt(6)),
+            predictor = rng.nextInt(3) == 0,
+            predSizeBits = 2 + rng.nextInt(3),
+            colorXform = rng.nextInt(6) == 0,
+            colorSizeBits = 2 + rng.nextInt(3),
+            subtractGreen = rng.nextInt(6) == 0))
         else
           WebpWriterEx.write(WebpWriterEx.Spec(
             8 + rng.nextInt(120), 8 + rng.nextInt(120), seed = rng.nextLong(),
