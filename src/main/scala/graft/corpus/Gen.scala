@@ -176,8 +176,13 @@ object Gen {
       author = TextGen.titleLine(rng, "en"),
       stanzas = stanzas,
       useKernSpaces = rng.nextBoolean(),
-      // 1-in-4 embed a real DCTDecode image XObject (text unaffected)
+      // 1-in-4 embed a real image XObject (text unaffected); of those,
+      // 1-in-3 are CCITT-fax bilevel scans (the scanned-PDF shape)
+      // across the three /K regimes instead of a DCTDecode JPEG
       imageSeed = if (rng.nextInt(4) == 0) rng.nextLong() | 1L else 0L,
+      faxK = if (rng.nextInt(3) == 0) Some(rng.nextInt(3) match {
+        case 0 => -1; case 1 => 0; case _ => 4
+      }) else None,
       encrypt = encrypt,
       xrefStream = xrefStream,
       xrefFilter = rng.nextInt(6) match {

@@ -24,6 +24,10 @@ object PdfWriter {
       stanzas: Vector[Vector[String]], // title line is stanzas.head.head? no: body only
       useKernSpaces: Boolean,          // encode spaces as -250 TJ kerns instead of glyphs
       imageSeed: Long = 0,             // != 0: embed a real DCTDecode image XObject
+      // with imageSeed != 0: Some(k) embeds a CCITTFaxDecode bilevel
+      // scan image (the scanned-PDF shape) instead of the JPEG; k is the
+      // PDF /K regime (-1 = G4 MMR, 0 = G3 1-D, >0 = G3 mixed 2-D)
+      faxK: Option[Int] = None,
       // "" = plain; "rc4-40" = V1/R2, "rc4" = V2/R3 128-bit,
       // "aes" = V4/R4 AESV2 — all with EMPTY user+owner passwords
       // (PdfKernel must open them transparently)
@@ -45,6 +49,27 @@ object PdfWriter {
       // unencrypted only (ObjStm payloads encrypt as a whole; that
       // combination stays out of the corpus writer's scope).
       objStm: Boolean = false)
+
+  /** Fax image geometry + the analytic bilevel plane (1 = black, packed
+    * MSB-first at stride ceil(w/8)) a faxK image decodes to: thresholded
+    * PixelGen bytes, so it has realistic run structure for the coder.
+    */
+  val FaxW = 64
+  val FaxH = 48
+  def faxPlane(seed: Long): Array[Byte] = {
+    val src = PixelGen.bytes(seed, FaxW * FaxH)
+    val stride = (FaxW + 7) / 8
+    val px = new Array[Byte](stride * FaxH)
+    var i = 0
+    while (i < src.length) {
+      if ((src(i) & 0xff) >= 128) {
+        val x = i % FaxW; val y = i / FaxW
+        px(y * stride + (x >> 3)) = (px(y * stride + (x >> 3)) | (0x80 >> (x & 7))).toByte
+      }
+      i += 1
+    }
+    px
+  }
 
   /** The text PdfKernel is expected to extract from write(spec). */
   def expectedText(spec: Spec): String = {
@@ -251,23 +276,42 @@ object PdfWriter {
       b.write(s2b("\nendstream\nendobj\n"))
       b.toByteArray
     }
-    if (spec.imageSeed != 0) {
-      // a REAL baseline-JPEG image XObject (DCTDecode): JpegDecoder can
-      // pull actual pixels back out of the PDF
-      val jw = 64; val jh = 48
-      val jpeg = JpegWriterEx.encode(
-        JpegWriterEx.Spec(jw, jh, spec.imageSeed, gray = true, quality = 85),
-        PixelGen.bytes(spec.imageSeed, jw * jh))
-      obj {
-        val enc = encStream(8, jpeg)
-        val b = new ByteArrayOutputStream()
-        b.write(s2b(s"8 0 obj\n<< /Type /XObject /Subtype /Image /Width $jw /Height $jh " +
-          s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode " +
-          s"/Length ${enc.length} >>\nstream\n"))
-        b.write(enc)
-        b.write(s2b("\nendstream\nendobj\n"))
-        b.toByteArray
-      }
+    if (spec.imageSeed != 0) spec.faxK match {
+      case Some(k) =>
+        // a CCITT-fax bilevel image XObject (CCITTFaxDecode): the
+        // scanned-PDF page-image shape; losslessly round-trippable, so
+        // CcittFax.decode must return faxPlane(seed) bit-exactly
+        val fw = FaxW; val fh = FaxH
+        val px = faxPlane(spec.imageSeed)
+        val fax = graft.kernel.CcittFax.encode(px, fw, fh, k, byteAlign = false)
+        obj {
+          val enc = encStream(8, fax)
+          val b = new ByteArrayOutputStream()
+          b.write(s2b(s"8 0 obj\n<< /Type /XObject /Subtype /Image /Width $fw /Height $fh " +
+            s"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /CCITTFaxDecode " +
+            s"/DecodeParms << /K $k /Columns $fw /Rows $fh /BlackIs1 true >> " +
+            s"/Length ${enc.length} >>\nstream\n"))
+          b.write(enc)
+          b.write(s2b("\nendstream\nendobj\n"))
+          b.toByteArray
+        }
+      case None =>
+        // a REAL baseline-JPEG image XObject (DCTDecode): JpegDecoder can
+        // pull actual pixels back out of the PDF
+        val jw = 64; val jh = 48
+        val jpeg = JpegWriterEx.encode(
+          JpegWriterEx.Spec(jw, jh, spec.imageSeed, gray = true, quality = 85),
+          PixelGen.bytes(spec.imageSeed, jw * jh))
+        obj {
+          val enc = encStream(8, jpeg)
+          val b = new ByteArrayOutputStream()
+          b.write(s2b(s"8 0 obj\n<< /Type /XObject /Subtype /Image /Width $jw /Height $jh " +
+            s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode " +
+            s"/Length ${enc.length} >>\nstream\n"))
+          b.write(enc)
+          b.write(s2b("\nendstream\nendobj\n"))
+          b.toByteArray
+        }
     }
     var objStmNum = -1
     if (spec.objStm) {

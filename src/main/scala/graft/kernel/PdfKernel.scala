@@ -264,6 +264,14 @@ object PdfKernel {
           padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
         case "ASCII85Decode" | "A85" => ascii85Decode(data)
         case "RunLengthDecode" | "RL" => runLengthDecode(data)
+        case "CCITTFaxDecode" | "CCF" =>
+          // scanned-page bilevel images (ISO 32000 §7.4.6): K selects
+          // G4 (<0) / G3 1-D (0) / G3 2-D (>0); output rows pack 1 bpp
+          CcittFax.decode(data, p.getOrElse("K", 0),
+              p.getOrElse("Columns", 1728), p.getOrElse("Rows", 0),
+              blackIs1 = p.getOrElse("BlackIs1", 0) == 1,
+              byteAlign = p.getOrElse("EncodedByteAlign", 0) == 1)
+            .map(_._1).getOrElse(data) // malformed: pass through
         case _ => data // unsupported filter: pass through (best effort)
       }
     }
@@ -1402,8 +1410,9 @@ object PdfKernel {
       def intParms(d: PDict): Map[String, Int] =
         d.m.flatMap { case (k, v) =>
           deref(v) match {
-            case Some(PNum(x)) => Some(k -> x.toInt)
-            case _             => None
+            case Some(PNum(x))  => Some(k -> x.toInt)
+            case Some(PBool(b)) => Some(k -> (if (b) 1 else 0)) // BlackIs1 etc.
+            case _              => None
           }
         }
       val parms: Seq[Map[String, Int]] =

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernel.{CcittFax, PdfKernel}
+import graft.corpus.PdfWriter
+
+/** CCITT G3/G4 fax codec (kernel/CcittFax.scala) — the compression
+  * scanned PDFs use for page images (reference reaches it through its
+  * delegate parser stack, /root/reference/README.md:3-8).
+  *
+  * Three gates:
+  *  1. encoder/decoder round-trips across all three PDF /K regimes,
+  *     both EncodedByteAlign settings and adversarial plane shapes;
+  *  2. bitstream conformance: system-libtiff-encoded G4 / G3-1D / G3-2D
+  *     streams (committed fixtures from tools/ccitt_conformance.py gen)
+  *     decode bit-exactly — and the encoder's streams decode exactly in
+  *     libtiff (48/48, run via tools/ccitt_conformance.py check);
+  *  3. the PDF integration: PdfWriter faxK images surface through
+  *     pageImages metadata and their stream round-trips to the analytic
+  *     plane exactly (lossless, unlike the DCT path's mae bound).
+  */
+class CcittSpec extends AnyFunSuite {
+
+  private def plane(cols: Int, rows: Int, kind: String, seed: Long): Array[Byte] = {
+    val rnd = new java.util.Random(seed)
+    val stride = (cols + 7) / 8
+    val px = new Array[Byte](stride * rows)
+    def set(x: Int, y: Int): Unit =
+      px(y * stride + (x >> 3)) = (px(y * stride + (x >> 3)) | (0x80 >> (x & 7))).toByte
+    kind match {
+      case "noise" =>
+        rnd.nextBytes(px)
+        // mask bits past cols so comparisons are clean
+        if ((cols & 7) != 0) {
+          val mask = ((0xff00 >> (cols & 7)) & 0xff).toByte
+          for (y <- 0 until rows) px(y * stride + stride - 1) = (px(y * stride + stride - 1) & mask).toByte
+        }
+      case "runs" =>
+        for (y <- 0 until rows; x <- 0 until cols if (x / (3 + y % 7)) % 2 == 0) set(x, y)
+      case "black" =>
+        for (y <- 0 until rows; x <- 0 until cols) set(x, y)
+      case "edges" =>
+        for (y <- 0 until rows) { set(0, y); set(cols - 1, y) }
+      case _ => () // white
+    }
+    px
+  }
+
+  test("CCITT round-trips: K=-1/0/4 x byteAlign x plane shapes, bit-exact") {
+    var n = 0
+    for {
+      (cols, rows) <- Seq((64, 48), (100, 33), (17, 9), (8, 8), (63, 21))
+      k <- Seq(-1, 0, 4)
+      byteAlign <- Seq(false, true)
+      kind <- Seq("noise", "runs", "black", "edges", "white")
+    } {
+      val px = plane(cols, rows, kind, cols * 1000L + rows * 31L + k)
+      val enc = CcittFax.encode(px, cols, rows, k, byteAlign)
+      CcittFax.decode(enc, k, cols, rows, blackIs1 = true, byteAlign = byteAlign) match {
+        case Some((dec, nr)) =>
+          assert(nr == rows, s"$kind ${cols}x$rows k=$k align=$byteAlign rows")
+          assert(java.util.Arrays.equals(dec, px),
+            s"$kind ${cols}x$rows k=$k align=$byteAlign pixels")
+        case None => fail(s"$kind ${cols}x$rows k=$k align=$byteAlign rejected")
+      }
+      n += 1
+    }
+    assert(n == 150)
+  }
+
+  test("CCITT polarity: PDF default BlackIs1=false inverts the plane") {
+    val px = plane(40, 12, "runs", 7)
+    val enc = CcittFax.encode(px, 40, 12, -1, byteAlign = false)
+    val Some((dec, _)) = CcittFax.decode(enc, -1, 40, 12, blackIs1 = false, byteAlign = false)
+    val inv = px.map(b => (~b).toByte)
+    assert(java.util.Arrays.equals(dec, inv))
+  }
+
+  test("CCITT never throws on malformed input (fuzz)") {
+    val rnd = new java.util.Random(0xCC177)
+    for (_ <- 0 until 300) {
+      val data = new Array[Byte](1 + rnd.nextInt(200))
+      rnd.nextBytes(data)
+      for (k <- Seq(-1, 0, 4))
+        CcittFax.decode(data, k, 1 + rnd.nextInt(300), 1 + rnd.nextInt(40),
+          blackIs1 = rnd.nextBoolean(), byteAlign = rnd.nextBoolean()) // must not throw
+    }
+  }
+
+  test("CCITT conformance: system-libtiff G4/G3-1D/G3-2D streams decode bit-exactly") {
+    val dir = new java.io.File("src/test/resources/ccitt")
+    val bins = dir.listFiles().map(_.getName).filter(_.endsWith(".bin")).sorted
+    assert(bins.length == 15, "fixture set: 5 planes x 3 codings")
+    for (f <- bins) {
+      val stem = f.stripSuffix(".bin")
+      val base = stem.substring(0, stem.lastIndexOf('_'))
+      val label = stem.substring(stem.lastIndexOf('_') + 1)
+      val Array(cols, rows) = new String(
+        java.nio.file.Files.readAllBytes(new java.io.File(dir, base + ".dims").toPath),
+        "UTF-8").trim.split(' ').map(_.toInt)
+      val k = label match { case "g4" => -1; case "g31d" => 0; case _ => 1 }
+      val enc = java.nio.file.Files.readAllBytes(new java.io.File(dir, f).toPath)
+      val exp = java.nio.file.Files.readAllBytes(new java.io.File(dir, base + ".pix").toPath)
+      CcittFax.decode(enc, k, cols, rows, blackIs1 = true, byteAlign = false) match {
+        case Some((dec, nr)) =>
+          assert(nr == rows, s"$stem rows")
+          assert(java.util.Arrays.equals(dec, exp), s"$stem pixels")
+        case None => fail(s"$stem rejected")
+      }
+    }
+  }
+
+  test("E3 fax: CCITTFaxDecode page images — metadata surfaced, text unchanged, plane exact") {
+    val stanzas = Vector(Vector("Scan Title"),
+      Vector("first line of text", "second line of text", "third line here"))
+    val plain = PdfWriter.Spec("Scan Title", "An Author", stanzas, useKernSpaces = false)
+    for (k <- Seq(-1, 0, 4)) {
+      val spec = plain.copy(imageSeed = 42L, faxK = Some(k))
+      val bytes = PdfWriter.write(spec)
+      val out = PdfKernel.extract(bytes)
+      assert(out.text == PdfWriter.expectedText(spec), s"k=$k text")
+      assert(out.metadata.get("pdf:imageCount").contains("1"), s"k=$k count")
+      assert(out.metadata.get("pdf:imageDimensions")
+        .contains(s"${PdfWriter.FaxW}x${PdfWriter.FaxH}"), s"k=$k dims")
+      assert(out.metadata.get("pdf:imageFilters").contains("CCITTFaxDecode"), s"k=$k filter")
+      // pull the raw fax stream back out of the PDF and decode: bilevel
+      // fax is lossless, so the plane must be the analytic one EXACTLY
+      val expStream = graft.kernel.CcittFax.encode(
+        PdfWriter.faxPlane(42L), PdfWriter.FaxW, PdfWriter.FaxH, k, byteAlign = false)
+      val hay = bytes
+      val idx = indexOfSlice(hay, expStream)
+      assert(idx > 0, s"k=$k embedded fax stream present verbatim")
+      val Some((dec, nr)) = CcittFax.decode(expStream, k, PdfWriter.FaxW, PdfWriter.FaxH,
+        blackIs1 = true, byteAlign = false)
+      assert(nr == PdfWriter.FaxH)
+      assert(java.util.Arrays.equals(dec, PdfWriter.faxPlane(42L)), s"k=$k plane exact")
+    }
+    // encrypted variant: the fax stream is RC4-wrapped but still surfaces
+    val encBytes = PdfWriter.write(plain.copy(imageSeed = 42L, faxK = Some(-1), encrypt = "rc4"))
+    val encOut = PdfKernel.extract(encBytes)
+    assert(encOut.metadata.get("pdf:imageFilters").contains("CCITTFaxDecode"))
+  }
+
+  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i + needle.length <= hay.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+}
