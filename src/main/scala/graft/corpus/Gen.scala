@@ -669,9 +669,21 @@ object Gen {
     */
   private def docPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
     val lang = Vector("en", "de", "fr", "es")(rng.nextInt(4))
+    // ~1-in-3 carry a table: in the Word character stream each cell ends
+    // with mark 0x07 and the row with one more 0x07 — DocKernel maps
+    // that onto the shared tab-joined row convention, so the expected
+    // text has one "c1\tc2" line per row (same surface as DOCX/ODT/RTF)
+    val tableMarks =
+      if (rng.nextInt(3) == 0) {
+        val rows = Vector.fill(2 + rng.nextInt(3))(
+          Vector.fill(2 + rng.nextInt(3))(TextGen.titleLine(rng, lang)))
+        rows.map(r => r.mkString("" + 7.toChar) + "" + 7.toChar + 7.toChar).mkString
+      } else ""
     val text = (TextGen.titleLine(rng, lang) +
       "\n\n" + TextGen.paragraph(rng, lang, 2 + rng.nextInt(4)) +
-      "\n\n" + TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))) + "\n"
+      "\n\n" + TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))) + "\n" + tableMarks
+    // golden = the text with marks resolved to the tab-joined convention
+    val expected = text.replace("" + 7.toChar + 7.toChar, "\n").replace(7.toChar, '\t')
     val bytes =
       if (rng.nextInt(3) == 0) CfbWriter.writeComplex(text)
       else CfbWriter.write(text,
@@ -680,7 +692,7 @@ object Gen {
     val ref = s"m-$docId-$k"
     Piece("doc", Span("doc", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
-      textGolden(text), bytes.length.toLong)
+      textGolden(expected), bytes.length.toLong)
   }
 
   private def emlPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {

@@ -199,10 +199,16 @@ object DocKernel {
     clean(text)
   }
 
-  /** Word paragraph mark is CR; cell/row mark is 0x07; control chars
+  /** Word paragraph mark is CR. Table marks map onto the shared
+    * tab-joined row convention (same surface as DOCX/ODT/RTF/HTML): in
+    * the character stream every cell ends with 0x07 and the row itself
+    * ends with a TTP paragraph that is one more 0x07, so "A␇B␇␇" is a
+    * two-cell row — the doubled mark becomes the row's newline and the
+    * remaining single marks become the in-row tab joins. Control chars
     * other than tab/newline are stripped.
     */
   private def clean(text: String): String =
-    text.replace("\r\n", "\n").replace('\r', '\n').replace(7.toChar, '\n')
+    text.replace("\r\n", "\n").replace('\r', '\n')
+      .replace("" + 7.toChar + 7.toChar, "\n").replace(7.toChar, '\t')
       .filter(c => c == '\n' || c == '\t' || c >= ' ')
 }

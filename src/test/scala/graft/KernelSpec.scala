@@ -714,6 +714,24 @@ class KernelSpec extends AnyFunSuite {
     assert(!out.content.contains("DECOY"))
   }
 
+  test("E5+: DOC tables — cell/row marks map onto the tab-joined row convention") {
+    import graft.corpus.CfbWriter
+    val C = "" + 7.toChar // cell mark; row ends with one more mark (TTP)
+    val body = "Intro paragraph before the table.\n" +
+      s"Name${C}Role$C$C" + s"Ada${C}Engineer$C$C" + s"Grace${C}Admiral$C$C" +
+      "Closing paragraph after.\n"
+    val expected = "Intro paragraph before the table.\n" +
+      "Name\tRole\nAda\tEngineer\nGrace\tAdmiral\n" +
+      "Closing paragraph after.\n"
+    // both layouts share the text cleaner: plain fcMin..fcMac range and
+    // the fComplex piece table must emit the same table surface
+    for (bytes <- Seq(CfbWriter.write(body), CfbWriter.writeComplex(body))) {
+      val out = Extract.extractBytes("doc", bytes, Extract.Options())
+      assert(out.contentType == "application/msword")
+      assert(out.content == expected, s"got: ${out.content}")
+    }
+  }
+
   test("E5: DOC SummaryInformation -> dc:title / dc:creator") {
     import graft.corpus.CfbWriter
     val bytes = CfbWriter.write("Body text here.\n",
