@@ -234,6 +234,181 @@ object ArchiveWriter {
   def writeTarGz(members: Seq[(String, Array[Byte])]): Array[Byte] =
     writeWrapped(writeTar(members), "gz")
 
+  /** 7z archive, one single-coder folder per member. codec "copy"
+    * stores members raw (7z -m0=Copy); "lzma2" encodes each member as a
+    * raw LZMA2 chunk stream (the 7-Zip default coder, id 0x21, 64 KiB
+    * dict). encodedHeader compresses the end header itself as an LZMA2
+    * folder behind a kEncodedHeader (0x17) stub — the layout 7-Zip
+    * writes for any non-trivial archive.
+    */
+  def write7z(members: Seq[(String, Array[Byte])], codec: String = "copy",
+      encodedHeader: Boolean = false): Array[Byte] = {
+    require(members.nonEmpty && members.size <= 0xffff)
+    val Lzma2DictCode = 8 // (2|(8&1)) << (8/2+11) = 2 << 15 = 64 KiB
+    def lzma2(data: Array[Byte]): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      val opts = new org.tukaani.xz.LZMA2Options(3)
+      opts.setDictSize(64 << 10)
+      val enc = opts.getOutputStream(
+        new org.tukaani.xz.FinishableWrapperOutputStream(bo))
+      enc.write(data); enc.finish()
+      bo.toByteArray
+    }
+    val packed = members.map { case (_, data) =>
+      if (codec == "lzma2") lzma2(data) else data
+    }
+    def num(out: ByteArrayOutputStream, v0: Long): Unit = {
+      var i = 0
+      var fits = false
+      while (i < 8 && !fits) {
+        if (v0 >= 0 && v0 < (1L << (8 * i + 7 - i))) {
+          val prefix = (0xff << (8 - i)) & 0xff
+          out.write(prefix | (v0 >>> (8 * i)).toInt)
+          var j = 0
+          while (j < i) { out.write(((v0 >> (8 * j)) & 0xff).toInt); j += 1 }
+          fits = true
+        }
+        i += 1
+      }
+      if (!fits) {
+        out.write(0xff)
+        var j = 0
+        while (j < 8) { out.write(((v0 >> (8 * j)) & 0xff).toInt); j += 1 }
+      }
+    }
+    def streamsInfo(out: ByteArrayOutputStream, packPos: Long, sizes: Seq[Long],
+        unpackSizes: Seq[Long]): Unit = {
+      out.write(0x06) // PackInfo
+      num(out, packPos); num(out, sizes.length)
+      out.write(0x09); sizes.foreach(num(out, _))
+      out.write(0x00)
+      out.write(0x07) // UnpackInfo
+      out.write(0x0b); num(out, sizes.length); out.write(0x00) // folders, internal
+      unpackSizes.indices.foreach { _ =>
+        num(out, 1) // one coder
+        if (codec == "lzma2") {
+          out.write(0x21) // idSize 1 | attrs flag
+          out.write(0x21) // coder id LZMA2
+          num(out, 1); out.write(Lzma2DictCode)
+        } else {
+          out.write(0x01) // idSize 1, no attrs
+          out.write(0x00) // coder id Copy
+        }
+      }
+      out.write(0x0c); unpackSizes.foreach(num(out, _)) // CodersUnpackSize
+      out.write(0x00) // end UnpackInfo
+      out.write(0x08) // SubStreamsInfo (empty: 1 stream per folder,
+      out.write(0x00) //   sizes = folder sizes — strict readers want it)
+      out.write(0x00) // end StreamsInfo
+    }
+    // end header
+    val hdr = new ByteArrayOutputStream()
+    hdr.write(0x01) // kHeader
+    hdr.write(0x04) // MainStreamsInfo
+    streamsInfo(hdr, 0L, packed.map(_.length.toLong), members.map(_._2.length.toLong))
+    hdr.write(0x05) // FilesInfo
+    num(hdr, members.length)
+    val nameBytes = new ByteArrayOutputStream()
+    nameBytes.write(0x00) // internal names
+    members.foreach { case (n, _) =>
+      nameBytes.write((n + 0.toChar).getBytes(StandardCharsets.UTF_16LE))
+    }
+    hdr.write(0x11); num(hdr, nameBytes.size()); nameBytes.writeTo(hdr)
+    hdr.write(0x00) // end FilesInfo
+    hdr.write(0x00) // end Header
+    val hdrBytes = hdr.toByteArray
+
+    val membersLen = packed.map(_.length.toLong).sum
+    // encoded-header mode: the LZMA2-packed header bytes live in the
+    // stream area after the member data; the NextHeader is a 0x17 stub
+    // whose StreamsInfo points at them
+    val (tail, nextHeader): (Array[Byte], Array[Byte]) =
+      if (!encodedHeader) (Array.empty[Byte], hdrBytes)
+      else {
+        val packedHdr = lzma2(hdrBytes)
+        val eh = new ByteArrayOutputStream()
+        eh.write(0x17)
+        eh.write(0x06); num(eh, membersLen); num(eh, 1)
+        eh.write(0x09); num(eh, packedHdr.length)
+        eh.write(0x00)
+        eh.write(0x07); eh.write(0x0b); num(eh, 1); eh.write(0x00)
+        num(eh, 1); eh.write(0x21); eh.write(0x21); num(eh, 1); eh.write(Lzma2DictCode)
+        eh.write(0x0c); num(eh, hdrBytes.length)
+        eh.write(0x00); eh.write(0x00)
+        (packedHdr, eh.toByteArray)
+      }
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte]('7', 'z', 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c))
+    out.write(0x00); out.write(0x04) // version
+    val nhOff = membersLen + tail.length
+    val start = new ByteArrayOutputStream()
+    def w64(o: ByteArrayOutputStream, v: Long): Unit =
+      (0 until 8).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))
+    def w32(o: ByteArrayOutputStream, v: Long): Unit =
+      (0 until 4).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))
+    w64(start, nhOff); w64(start, nextHeader.length.toLong)
+    val nhCrc = new java.util.zip.CRC32(); nhCrc.update(nextHeader)
+    w32(start, nhCrc.getValue)
+    val startBytes = start.toByteArray
+    val shCrc = new java.util.zip.CRC32(); shCrc.update(startBytes)
+    w32(out, shCrc.getValue)
+    out.write(startBytes)
+    packed.foreach(out.write)
+    out.write(tail)
+    out.write(nextHeader)
+    out.toByteArray
+  }
+
+  /** RAR5 archive: real header blocks (signature, main, one stored file
+    * block per member, end) with correct CRC32s and vint fields. The
+    * data areas carry the raw member bytes; RarKernel reads names and
+    * sizes from the headers (metadata-only, matching the kernel scope).
+    */
+  def writeRar5(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x01, 0x00))
+    def vint(o: ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      var go = true
+      while (go) {
+        val c = (v & 0x7f).toInt
+        v >>>= 7
+        if (v == 0) { o.write(c); go = false } else o.write(c | 0x80)
+      }
+    }
+    def block(body: ByteArrayOutputStream => Unit, data: Array[Byte]): Unit = {
+      val b = new ByteArrayOutputStream()
+      body(b)
+      val hdr = b.toByteArray
+      val sz = new ByteArrayOutputStream()
+      vint(sz, hdr.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(sz.toByteArray); crc.update(hdr)
+      (0 until 4).foreach(i => out.write(((crc.getValue >> (8 * i)) & 0xff).toInt))
+      sz.writeTo(out)
+      out.write(hdr)
+      out.write(data)
+    }
+    block(b => { vint(b, 1); vint(b, 0); vint(b, 0) }, Array.empty) // main: type 1
+    members.foreach { case (name, data) =>
+      block(b => {
+        vint(b, 2)            // type: file
+        vint(b, 0x2)          // flags: data area present
+        vint(b, data.length)  // data size
+        vint(b, 0)            // file flags
+        vint(b, data.length)  // unpacked size
+        vint(b, 0)            // attributes
+        vint(b, 0)            // compression info: stored
+        vint(b, 1)            // host os: unix
+        val nb = name.getBytes(StandardCharsets.UTF_8)
+        vint(b, nb.length)
+        b.write(nb, 0, nb.length)
+      }, data)
+    }
+    block(b => { vint(b, 5); vint(b, 0); vint(b, 0) }, Array.empty) // end: type 5
+    out.toByteArray
+  }
+
   /** Wrap arbitrary bytes in one of the wrapper codecs ("gz"/"bz2"/
     * "xz"/"zst") — bzip2/xz/zstd via the jars the Spark platform ships.
     */

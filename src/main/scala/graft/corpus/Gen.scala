@@ -70,7 +70,9 @@ object Gen {
       else if (roll < 79) Vector(xlsPiece(rng, lang, docId, 0))
       else if (roll < 81) Vector(pptPiece(rng, lang, docId, 0))
       else if (roll < 83) Vector(emlPiece(rng, lang, docId, 0))
-      else if (roll < 84) Vector(zipPiece(rng, lang, docId, 0))
+      else if (roll < 84) Vector(
+        if (rng.nextInt(3) == 0) sevenZPiece(rng, lang, docId, 0)
+        else zipPiece(rng, lang, docId, 0))
       else if (roll < 85) Vector(targzPiece(rng, lang, docId, 0))
       else if (roll < 87) Vector(subtextPiece(rng, lang, docId, 0))
       else if (roll < 88) Vector(msgPiece(rng, lang, docId, 0))
@@ -835,11 +837,50 @@ object Gen {
       textGolden(expected), bytes.length.toLong)
   }
 
-  /** Detection-only exotic magics (7z/rar/flac/ogg): typed opaque rows
-    * in the tallies, no golden text.
+  /** 7z archives: member text extracts through the normal dispatch
+    * (same golden convention as zip); codec mix Copy / LZMA2, half with
+    * the encoded-header layout real 7-Zip emits.
+    */
+  private def sevenZPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val n = 2 + rng.nextInt(3)
+    val members = Vector.tabulate(n) { m =>
+      val text = TextGen.paragraph(rng, lang, 1 + rng.nextInt(3))
+      (s"docs/part$m.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8), text)
+    }
+    val codec = if (rng.nextBoolean()) "lzma2" else "copy"
+    val bytes = ArchiveWriter.write7z(
+      members.map(m => (m._1, m._2)), codec, encodedHeader = rng.nextBoolean())
+    val expected = members.map(_._3).mkString("\n\n")
+    val ref = s"m-$docId-$k"
+    Piece("7z", Span("7z", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      textGolden(expected), bytes.length.toLong)
+  }
+
+  /** RAR5 with real header blocks: names/counts surface as metadata,
+    * payloads stay opaque (no golden text, like the detection tier).
+    */
+  private def rar5Piece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val n = 1 + rng.nextInt(3)
+    val members = Vector.tabulate(n) { m =>
+      (s"files/item$m.dat",
+        TextGen.paragraph(rng, lang, 1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val bytes = ArchiveWriter.writeRar5(members)
+    val ref = s"m-$docId-$k"
+    Piece("rar", Span("rar", null, ref, -1),
+      Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),
+      Nil, bytes.length.toLong)
+  }
+
+  /** Detection-only exotic magics (7z-garbage/rar4/flac/ogg): typed
+    * opaque rows in the tallies, no golden text; 1-in-5 a REAL rar5
+    * archive whose headers parse to metadata.
     */
   private def exoticPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
-    val magic: Array[Byte] = rng.nextInt(4) match {
+    val roll = rng.nextInt(5)
+    if (roll == 4) return rar5Piece(rng, Vector("en", "de", "fr")(rng.nextInt(3)), docId, k)
+    val magic: Array[Byte] = roll match {
       case 0 => Array('7', 'z', 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c)
       case 1 => Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00)
       case 2 => "fLaC".getBytes(java.nio.charset.StandardCharsets.US_ASCII)

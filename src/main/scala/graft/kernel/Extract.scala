@@ -174,11 +174,17 @@ object Extract {
         case Magic.Kind.Midi =>
           val m = MidiKernel.extract(bytes)
           Out("", Vector.empty, "audio/midi", m, isMedia = m.nonEmpty, issue = None)
-        case k @ (Magic.Kind.SevenZ | Magic.Kind.Rar) =>
-          // detection-only breadth: correctly TYPED opaque rows (the
-          // codecs have no JVM-expressible parser in this environment)
-          Out("", Vector.empty, Magic.contentTypeOf(k, None), Map.empty,
-            isMedia = false, issue = None)
+        case Magic.Kind.SevenZ =>
+          // full container parse: names/codecs always; member payloads
+          // through the normal dispatch for Copy/LZMA/LZMA2 folders
+          if (depth >= ArchiveKernel.MaxDepth) octetStream
+          else archive(SevenZKernel.extract(bytes, opt, depth),
+            "application/x-7z-compressed", opt)
+        case Magic.Kind.Rar =>
+          // RAR5 headers parse to metadata rows (names/counts/sizes);
+          // the proprietary compression stays opaque
+          Out("", Vector.empty, "application/x-rar-compressed",
+            RarKernel.extract(bytes), isMedia = false, issue = None)
         case Magic.Kind.Unknown => octetStream
       }
     } catch { case scala.util.control.NonFatal(_) => failure(IssueParseError) }
