@@ -116,8 +116,8 @@ object Gen {
   }
 
   private def pickLang(rng: SplittableRandom): String = {
-    val r = rng.nextInt(24)
-    if (r < 4) "en" else TextGen.languages(r - 3) // en ~1/6, 20 others equal
+    val r = rng.nextInt(29)
+    if (r < 4) "en" else TextGen.languages(r - 3) // en ~1/7, 25 others equal
   }
 
   /** One input span + its side-media + its expected output spans. */

@@ -10,7 +10,8 @@ object TextGen {
 
   val languages: Vector[String] =
     Vector("en", "de", "fr", "es", "ru", "pt", "it", "nl", "zh", "ja",
-      "da", "fi", "cs", "vi", "sk", "lv", "sr", "is", "sq", "gl", "mt")
+      "da", "fi", "cs", "vi", "sk", "lv", "sr", "is", "sq", "gl", "mt",
+      "uz", "az", "sw", "tl", "mn")
 
   private val pools: Map[String, (Vector[String], Vector[String])] = Map(
     // (function words — high frequency, content words — low frequency)
@@ -142,7 +143,41 @@ object TextGen {
       Vector("foresta", "raħal", "żiemel", "silġ", "filgħaxija",
         "qniepen", "għadira", "riħ", "borra", "wegħdiet", "dar", "triq",
         "ngħas", "xitwa", "dell", "fanal", "mergħa", "ġlata", "ħoss",
-        "skiet")))
+        "skiet")),
+    // round-6 breadth: Uzbek (o'/g' apostrophe orthography), Azerbaijani
+    // (ə density), Swahili, Tagalog, Mongolian Cyrillic (ө/ү)
+    "uz" -> (Vector("va", "bir", "bu", "uchun", "bilan", "emas", "ham",
+      "lekin", "qanday", "hozir", "keyin", "juda", "o'z", "edi", "men",
+      "biz", "faqat", "yana", "shu", "chunki"),
+      Vector("o'rmon", "qishloq", "ot", "qor", "oqshom", "qo'ng'iroq",
+        "ko'l", "shamol", "parcha", "va'dalar", "uy", "yo'l", "uyqu",
+        "qish", "soya", "fonar", "o'tloq", "ayoz", "tovush", "sukunat")),
+    "az" -> (Vector("və", "bir", "bu", "üçün", "ilə", "deyil", "çox",
+      "amma", "necə", "indi", "hər", "mən", "biz", "onlar", "yalnız",
+      "artıq", "çünki", "əgər", "lazım", "bütün"),
+      Vector("meşə", "kənd", "at", "qar", "axşam", "zənglər", "göl",
+        "külək", "dənə", "vədlər", "ev", "yol", "yuxu", "qış", "kölgə",
+        "fənər", "çəmən", "şaxta", "səs", "səssizlik")),
+    "sw" -> (Vector("na", "ya", "wa", "kwa", "ni", "za", "katika",
+      "hii", "yake", "sana", "lakini", "kama", "kwamba", "watu",
+      "mimi", "sasa", "hapa", "kila", "kutoka", "pia"),
+      Vector("msitu", "kijiji", "farasi", "theluji", "jioni", "kengele",
+        "ziwa", "upepo", "kipande", "ahadi", "nyumba", "njia", "usingizi",
+        "baridi", "kivuli", "taa", "malisho", "barafu", "sauti",
+        "kimya")),
+    "tl" -> (Vector("ang", "ng", "mga", "sa", "ay", "ito", "siya",
+      "ako", "hindi", "kung", "para", "lang", "naman", "may", "dito",
+      "ngayon", "niya", "ko", "natin", "dahil"),
+      Vector("gubat", "nayon", "kabayo", "niyebe", "gabi", "kampana",
+        "lawa", "hangin", "piraso", "pangako", "bahay", "daan", "tulog",
+        "taglamig", "anino", "parol", "parang", "lamig", "tunog",
+        "katahimikan")),
+    "mn" -> (Vector("нь", "бол", "юм", "байна", "энэ", "тэр", "би",
+      "бид", "та", "гэж", "мөн", "одоо", "дараа", "энд", "их", "бага",
+      "бүх", "хэзээ", "яагаад", "гэхдээ"),
+      Vector("ой", "тосгон", "морь", "цас", "үдэш", "хонх", "нуур",
+        "салхи", "ширхэг", "амлалт", "гэр", "зам", "нойр", "өвөл",
+        "сүүдэр", "дэнлүү", "нуга", "хүйтэн", "дуу", "чимээгүй")))
 
   /** One sentence: 6..14 words, ~55% function words, capitalized, period. */
   def sentence(rng: SplittableRandom, lang: String): String = {

@@ -83,6 +83,34 @@ class KernelSpec extends AnyFunSuite {
     assert(Lang.detect("இது தமிழில் எழுதப்பட்ட ஒரு உரை ஆகும்.") == "ta")
   }
 
+  test("D3: fourth breadth batch — uz/az/tl/sw Latin, mn Cyrillic (65 languages + und)") {
+    // Uzbek: va/uchun/bilan/emas + o'/g' apostrophe orthography
+    assert(Lang.detect(
+      "Bu matn o'zbek tilida yozilgan va unda juda ko'p so'zlar bor, lekin hozir faqat bir misol uchun kerak.") == "uz")
+    // Azerbaijani: ə density + və/üçün/ilə (Turkish writes ve/için/ile)
+    assert(Lang.detect(
+      "Bu mətn Azərbaycan dilində yazılmışdır və onda çox söz var, amma indi yalnız bir nümunə üçün lazımdır.") == "az")
+    // Turkish regression guard: the tr fixture must not drift to uz/az
+    assert(Lang.detect(
+      "Bu bir Türkçe metin ve içinde çok kelime var, ama şimdi sadece bir örnek için gerekli değil mi.") == "tr")
+    // Tagalog: ang/ng/mga are unshared anywhere in the set
+    assert(Lang.detect(
+      "Ito ang teksto sa wikang Tagalog at may mga salita ito na hindi lang para sa isang halimbawa ngayon.") == "tl")
+    // Swahili: katika/kwa/kwamba/sana
+    assert(Lang.detect(
+      "Hii ni maandishi ya lugha ya Kiswahili na ndani yake kuna maneno mengi sana, lakini sasa ni kwa mfano tu.") == "sw")
+    // Mongolian Cyrillic: ө/ү without the Kazakh-unique letters
+    assert(Lang.detect(
+      "Энэ бол монгол хэлээр бичигдсэн текст юм, одоо өвөл болж байна, үдэш нь хүйтэн байсан гэж би бодож байна.") == "mn")
+    // Kazakh regression guard: қ/ғ/ұ/ә must still win over the ө/ү rule
+    assert(Lang.detect("Бұл қазақ тілінде жазылған мәтін, онда көптеген сөздер бар.") == "kk")
+    // ru/be/uk unaffected by the mn branch
+    assert(Lang.detect("Это текст на русском языке, в нём есть много слов и предложений.") == "ru")
+    // Indonesian guard against tl (Austronesian neighbor)
+    assert(Lang.detect(
+      "Ini adalah teks dalam bahasa Indonesia yang memiliki banyak kata, tetapi sekarang hanya untuk contoh saja.") == "id")
+  }
+
   test("D3: language detection exact for the 5 fixture languages (spec/rika/parser_spec.rb:252-259)") {
     for ((f, code) <- Seq("en.txt" -> "en", "de.txt" -> "de", "fr.txt" -> "fr",
         "es.txt" -> "es", "ru.txt" -> "ru")) {
