@@ -274,6 +274,44 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
           col("n"), col("sum_price"), col("avg_price"))
         .orderBy("st", "pr")),
+    "q11_grouping_sets" -> ((s, dir) =>
+      // explicit GROUPING SETS lattice — the general form rollup/cube
+      // specialize; disjoint marginals in one aggregation pass
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+    "q12_moving" -> ((s, dir) => {
+      // sliding-frame window (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+      // per-user 3-event moving sum. Values pre-scaled to BIGINT so the
+      // frame arithmetic is integer-exact across engines.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, 0)
+      t(s, dir, "events")
+        .filter(col("user_id") < 15)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 1000).cast("long").as("v"))
+        .withColumn("mov3", sum(col("v")).over(w))
+        .select(col("user_id"), col("event_id"), col("mov3"))
+        .orderBy("user_id", "event_id")
+    }),
+    "q13_pivot" -> ((s, dir) =>
+      // pivot: one output column per l_linestatus value (conditional
+      // aggregation under the hood — a single shuffle, no joins)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("rf"), col("F").as("f_n"), col("O").as("o_n"))
+        .orderBy("rf")),
     "q7_sessions" -> ((s, dir) => {
       // sessionization: per-user sessions split at >30min gaps
       val w = org.apache.spark.sql.expressions.Window
@@ -648,6 +686,26 @@ object SparkEntry {
         |  round(avg(o_totalprice), 4) AS avg_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY st, pr""".stripMargin,
+    "q11_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "q12_moving" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts, CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE user_id < 15)
+        |SELECT user_id, event_id,
+        |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3
+        |FROM base ORDER BY user_id, event_id""".stripMargin,
+    "q13_pivot" ->
+      """SELECT l_returnflag AS rf,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS f_n,
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS o_n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
     "q7_sessions" ->
       """WITH base AS (
         |  SELECT user_id, event_id, ts,
