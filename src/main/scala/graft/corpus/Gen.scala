@@ -202,7 +202,27 @@ object Gen {
       },
       // half the unencrypted modern-layout docs pack their dict objects
       // into an ObjStm (type-2 xref rows at sweep scale)
-      objStm = xrefStream && encrypt.isEmpty && rng.nextBoolean())
+      objStm = xrefStream && encrypt.isEmpty && rng.nextBoolean(),
+      // ~1-in-4 carry page annotations (sticky note / highlight / link);
+      // link URIs extract as the URI line
+      annots = if (rng.nextInt(4) == 0)
+        Vector.tabulate(1 + rng.nextInt(3)) { i =>
+          rng.nextInt(3) match {
+            case 0 => ("Text", TextGen.titleLine(rng, lang))
+            case 1 => ("Highlight", TextGen.titleLine(rng, lang))
+            case _ => ("Link", s"https://example.org/$docId/$k/$i")
+          }
+        }
+      else Vector.empty,
+      // ~1-in-5 carry an AcroForm: two plain text fields plus a dotted
+      // parent.kid pair exercising the qualified-name join
+      formFields = if (rng.nextInt(5) == 0)
+        Vector(
+          ("author", TextGen.titleLine(rng, lang)),
+          ("subject", TextGen.titleLine(rng, lang)),
+          ("person.first", TextGen.titleLine(rng, lang)),
+          ("person.last", TextGen.titleLine(rng, lang)))
+      else Vector.empty)
     val bytes = PdfWriter.write(spec)
     val ref = s"m-$docId-$k"
     Piece("pdf", Span("pdf", null, ref, -1),

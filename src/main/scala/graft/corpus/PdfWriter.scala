@@ -48,7 +48,17 @@ object PdfWriter {
       // rows — the PDF 1.5+ producer default. Implies xrefStream;
       // unencrypted only (ObjStm payloads encrypt as a whole; that
       // combination stays out of the corpus writer's scope).
-      objStm: Boolean = false)
+      objStm: Boolean = false,
+      // page annotations as (subtype, content): "Text"/"Highlight"/
+      // "FreeText" carry /Contents, "Link" a /A << /S /URI >> action
+      // whose URI is the content. Each contributes one extracted line
+      // after the page body.
+      annots: Vector[(String, String)] = Vector.empty,
+      // AcroForm text fields as (name, value); a dotted name like
+      // "person.first" builds a parent field with /Kids so the kernel's
+      // qualified-name join is exercised. Each terminal field
+      // contributes a trailing "name: value" line.
+      formFields: Vector[(String, String)] = Vector.empty)
 
   /** Fax image geometry + the analytic bilevel plane (1 = black, packed
     * MSB-first at stride ceil(w/8)) a faxK image decodes to: thresholded
@@ -80,6 +90,10 @@ object PdfWriter {
       sb.append(st.mkString("\n"))
     }
     sb.append('\n')
+    // annotation lines follow the page body (Link shows its URI), then
+    // AcroForm terminal fields as "name: value"
+    for ((_, content) <- spec.annots) sb.append(content).append('\n')
+    for ((n, v) <- spec.formFields) sb.append(n).append(": ").append(v).append('\n')
     sb.toString
   }
 
@@ -223,6 +237,79 @@ object PdfWriter {
           .map(x => f"$x%02x").mkString + ">"
       case None => s"(${esc(s)})"
     }
+    // general text string: non-Latin-1 content goes out as a UTF-16BE
+    // hex string with BOM (the ISO 32000 text-string form PdfKernel's
+    // decodePdfString expects); encrypted docs encrypt the raw bytes
+    def pdfStr(num: Int, s: String): String = {
+      val needsU16 = s.exists(_ > 0xff.toChar)
+      (crypt, needsU16) match {
+        case (Some(c), _) =>
+          val raw =
+            if (needsU16)
+              Array[Byte](0xfe.toByte, 0xff.toByte) ++
+                s.getBytes(StandardCharsets.UTF_16BE)
+            else s.getBytes(StandardCharsets.ISO_8859_1)
+          "<" + c.encrypt(num, 0, raw).map(x => f"$x%02x").mkString + ">"
+        case (None, true) =>
+          "<FEFF" + s.getBytes(StandardCharsets.UTF_16BE)
+            .map(x => f"$x%02x").mkString + ">"
+        case (None, false) => s"(${esc(s)})"
+      }
+    }
+
+    // object layout for annotations + form fields: they follow the
+    // (optional) image object, so their numbers are known before the
+    // page/catalog dicts that reference them are built
+    val annotBase = 8 + (if (spec.imageSeed != 0) 1 else 0)
+    val annotNums = spec.annots.indices.map(annotBase + _)
+    val fieldBase = annotBase + spec.annots.length
+    // dotted names group under a shared parent object (first-appearance
+    // order); each entry is (objNum, dict body), top-level refs separate
+    val fieldGroups = {
+      val g = scala.collection.mutable.LinkedHashMap[String, Vector[(String, String)]]()
+      spec.formFields.foreach { case (n, v) =>
+        val i = n.indexOf('.')
+        val key = if (i < 0) n else n.substring(0, i)
+        val sub = if (i < 0) "" else n.substring(i + 1)
+        require(g.get(key).forall(_.forall(_._1.nonEmpty == sub.nonEmpty)),
+          s"field name collision: $key used both dotted and plain")
+        g(key) = g.getOrElse(key, Vector.empty) :+ ((sub, v))
+      }
+      g.toVector
+    }
+    val fieldObjs = Vector.newBuilder[(Int, String)]
+    val topFieldRefs = Vector.newBuilder[Int]
+    var fnum = fieldBase
+    fieldGroups.foreach { case (key, entries) =>
+      if (entries.forall(_._1.isEmpty)) {
+        entries.foreach { case (_, v) =>
+          fieldObjs += ((fnum,
+            s"<< /FT /Tx /T ${pdfStr(fnum, key)} /V ${pdfStr(fnum, v)} >>"))
+          topFieldRefs += fnum
+          fnum += 1
+        }
+      } else {
+        val pnum = fnum
+        val kidNums = entries.indices.map(pnum + 1 + _)
+        fieldObjs += ((pnum, s"<< /T ${pdfStr(pnum, key)} /Kids [ " +
+          kidNums.map(k => s"$k 0 R").mkString(" ") + " ] >>"))
+        topFieldRefs += pnum
+        fnum = pnum + 1
+        entries.foreach { case (sub, v) =>
+          fieldObjs += ((fnum, s"<< /FT /Tx /Parent $pnum 0 R " +
+            s"/T ${pdfStr(fnum, sub)} /V ${pdfStr(fnum, v)} >>"))
+          fnum += 1
+        }
+      }
+    }
+    val fieldObjsV = fieldObjs.result()
+    val acroFormEntry =
+      if (spec.formFields.isEmpty) ""
+      else " /AcroForm << /Fields [ " +
+        topFieldRefs.result().map(n => s"$n 0 R").mkString(" ") + " ] >>"
+    val annotsEntry =
+      if (spec.annots.isEmpty) ""
+      else "/Annots [ " + annotNums.map(n => s"$n 0 R").mkString(" ") + " ] "
 
     if (spec.objStm) {
       require(spec.xrefStream, "objStm implies xrefStream")
@@ -242,11 +329,11 @@ object PdfWriter {
         s"/Creator ${infoStr(1, "graftgen")} /Producer ${infoStr(1, "graft synthetic corpus")} " +
         s"/CreationDate ${infoStr(1, "D:20200723174639+02'00'")} " +
         s"/ModDate ${infoStr(1, "D:20200724081500Z")} >>",
-      "<< /Type /Catalog /Pages 3 0 R >>",
+      s"<< /Type /Catalog /Pages 3 0 R$acroFormEntry >>",
       "<< /Type /Pages /MediaBox [0 0 612 792] /Count 1 /Kids [ 4 0 R ] >>", {
         val xobjRes = if (spec.imageSeed != 0) "/XObject << /Im1 8 0 R >> " else ""
         s"<< /Type /Page /Parent 3 0 R /Resources << /Font << /F1 5 0 R >> $xobjRes>> " +
-          "/Contents 6 0 R /MediaBox [0 0 612 792] >>"
+          s"/Contents 6 0 R $annotsEntry/MediaBox [0 0 612 792] >>"
       },
       "<< /Type /Font /Subtype /TrueType /BaseFont /GRAFT+Synth " +
         "/FirstChar 33 /LastChar 255 /ToUnicode 7 0 R >>")
@@ -312,6 +399,21 @@ object PdfWriter {
           b.write(s2b("\nendstream\nendobj\n"))
           b.toByteArray
         }
+    }
+    // annotations then form fields, at the numbers laid out above
+    spec.annots.zip(annotNums).foreach { case ((sub, content), num) =>
+      val body = sub match {
+        case "Link" =>
+          s"<< /Type /Annot /Subtype /Link /Rect [72 680 200 696] " +
+            s"/A << /S /URI /URI ${pdfStr(num, content)} >> >>"
+        case s =>
+          s"<< /Type /Annot /Subtype /$s /Rect [72 700 300 716] " +
+            s"/Contents ${pdfStr(num, content)} >>"
+      }
+      obj(s2b(s"$num 0 obj\n$body\nendobj\n"))
+    }
+    fieldObjsV.foreach { case (num, body) =>
+      obj(s2b(s"$num 0 obj\n$body\nendobj\n"))
     }
     var objStmNum = -1
     if (spec.objStm) {

@@ -310,10 +310,26 @@ object PdfKernel {
 
     val pages = doc.pages
     val pageTexts = pages.map(p => pageText(doc, p))
-    val allLines = pageTexts.flatMap(_._1)
-    val body = pageTexts.map(_._2).mkString("")
+    // annotation text follows its page's body (the order Tika's PDF
+    // handler emits it); AcroForm field lines follow the last page
+    val annots = pages.map(p => pageAnnotations(doc, p))
+    val fields = acroFields(doc)
+    val fieldLines = fields.map { case (n, v) => s"$n: $v" }
+    val allLines = pages.indices.toVector.flatMap(i =>
+      pageTexts(i)._1 ++ annots(i).map(_._2)) ++ fieldLines
+    val body = pages.indices.map { i =>
+      val base = pageTexts(i)._2
+      val al = annots(i)
+      if (al.isEmpty) base else base + al.map(_._2 + "\n").mkString
+    }.mkString("") + fieldLines.map(_ + "\n").mkString
     val unmapped = pageTexts.map(_._3).sum
     var meta = infoMetadata(doc, version, pages.length, body, unmapped)
+    val annotTypes = annots.flatten.map(_._1)
+    if (annotTypes.nonEmpty)
+      meta += ("pdf:annotationTypes" -> annotTypes.distinct.mkString(","))
+    if (doc.root.exists(r =>
+        doc.deref(r.m.getOrElse("AcroForm", PNull)).exists(_.isInstanceOf[PDict])))
+      meta += ("pdf:hasAcroFormFields" -> fields.nonEmpty.toString)
     // embedded image XObjects: count + dims + filters (the Tika-delegate
     // "embedded resources" surface, as string metadata per the data model)
     val images = pages.flatMap(p => pageImages(doc, p))
@@ -349,6 +365,94 @@ object PdfKernel {
           (dim("Width"), dim("Height"), filter)
         }
     }.toVector).getOrElse(Vector.empty)
+
+  /** Page annotation text: markup annotations contribute their /Contents
+    * string, link annotations their /A /URI target — the surface the
+    * reference exposes through Tika's PDF handler (reference:
+    * lib/rika/parser.rb delegates whole-document extraction to Tika).
+    * Popup and Widget annotations are skipped: a popup mirrors its parent
+    * markup's contents and widgets surface through the AcroForm walk.
+    * Returns (subtype, line) pairs in /Annots array order.
+    */
+  private def pageAnnotations(doc: Doc, page: PDict): Vector[(String, String)] =
+    doc.deref(page.m.getOrElse("Annots", PNull)) match {
+      case Some(PArr(items)) =>
+        items.flatMap { it =>
+          doc.deref(it).collect { case d: PDict => d }.flatMap { d =>
+            val sub = d.m.get("Subtype") match {
+              case Some(PName(s)) => s
+              case _              => ""
+            }
+            sub match {
+              case "Popup" | "Widget" => None
+              case "Link" =>
+                for {
+                  a <- doc.deref(d.m.getOrElse("A", PNull))
+                    .collect { case x: PDict => x }
+                  if a.m.get("S").forall(_ == PName("URI"))
+                  u <- doc.deref(a.m.getOrElse("URI", PNull))
+                    .collect { case PStr(b) => decodePdfString(b) }
+                  if u.nonEmpty
+                } yield (sub, u)
+              case _ =>
+                doc.deref(d.m.getOrElse("Contents", PNull))
+                  .collect { case PStr(b) => decodePdfString(b) }
+                  .filter(_.nonEmpty)
+                  .map(c => (sub, c))
+            }
+          }
+        }
+      case _ => Vector.empty
+    }
+
+  /** AcroForm terminal fields as (fully-qualified name, value) pairs in
+    * /Fields depth-first order. A kid dict carrying its own /T is a child
+    * field (name joins with '.'); kids without /T are widget attachments
+    * of the same field, so a node whose kids are all widget-only stays
+    * terminal. Values: text strings decoded, name values (checkbox /Yes)
+    * verbatim, missing -> "". Cycle- and depth-capped like the page walk.
+    */
+  private def acroFields(doc: Doc): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    val seen = scala.collection.mutable.Set[Int]()
+    def strOf(o: PObj): Option[String] = doc.deref(o).collect {
+      case PStr(b)  => decodePdfString(b)
+      case PName(n) => n
+    }
+    def walk(d: PDict, prefix: String, depth: Int): Unit = {
+      if (depth > 32) return
+      val name = d.m.get("T").flatMap(strOf) match {
+        case Some(t) if prefix.isEmpty => t
+        case Some(t)                   => s"$prefix.$t"
+        case None                      => prefix
+      }
+      val kidFields = doc.deref(d.m.getOrElse("Kids", PNull)) match {
+        case Some(PArr(ks)) =>
+          ks.flatMap {
+            case r @ PRef(n, _) =>
+              if (seen.add(n)) doc.deref(r).collect { case kd: PDict => kd }
+              else None
+            case k => doc.deref(k).collect { case kd: PDict => kd }
+          }.filter(_.m.contains("T"))
+        case _ => Vector.empty
+      }
+      if (kidFields.nonEmpty) kidFields.foreach(walk(_, name, depth + 1))
+      else if (d.m.contains("T"))
+        out += ((name, d.m.get("V").flatMap(strOf).getOrElse("")))
+    }
+    for {
+      root <- doc.root
+      af <- doc.deref(root.m.getOrElse("AcroForm", PNull))
+        .collect { case x: PDict => x }
+      fs <- doc.deref(af.m.getOrElse("Fields", PNull))
+        .collect { case PArr(items) => items }
+    } fs.foreach {
+      case r @ PRef(n, _) =>
+        if (seen.add(n)) doc.deref(r).collect { case d: PDict => walk(d, "", 0) }
+      case o => doc.deref(o).collect { case d: PDict => walk(d, "", 0) }
+    }
+    out.result()
+  }
 
   /** One page's (lines, text-with-layout, unmapped-glyph count). Text =
     * "\n" + lines joined by "\n" (blank line inserted at paragraph-sized
@@ -1473,6 +1577,9 @@ object PdfKernel {
 
     def info: Option[PDict] =
       deref(trailer.m.getOrElse("Info", PNull)).collect { case d: PDict => d }
+
+    def root: Option[PDict] =
+      deref(trailer.m.getOrElse("Root", PNull)).collect { case d: PDict => d }
   }
 
   // ------------------------------------------------------------ metadata

@@ -453,6 +453,57 @@ class KernelSpec extends AnyFunSuite {
     assert(enc.metadata("dcterms:created") == "2020-07-23T15:46:39Z")
   }
 
+  test("E3 annots: annotation /Contents + link URIs follow the page; AcroForm fields trail as name: value") {
+    import graft.corpus.PdfWriter
+    val stanzas = Vector(Vector("Annotated Title"),
+      Vector("first body line", "second body line", "third line here"))
+    val plain = PdfWriter.Spec("Annotated Title", "An Author", stanzas,
+      useKernSpaces = false)
+    val annotated = plain.copy(
+      annots = Vector(
+        ("Text", "a sticky note remark"),
+        ("Highlight", "highlighted passage comment"),
+        ("Link", "https://example.org/d/1/0")),
+      formFields = Vector(
+        ("author", "Form Author"), ("subject", "Form Subject"),
+        ("person.first", "Ada"), ("person.last", "Lovelace")))
+    val outPlain = PdfKernel.extract(PdfWriter.write(plain))
+    val out = PdfKernel.extract(PdfWriter.write(annotated))
+    assert(out.text == PdfWriter.expectedText(annotated))
+    // page body unchanged; annotation lines then field lines appended
+    assert(out.text.startsWith(outPlain.text))
+    assert(out.text.stripPrefix(outPlain.text) ==
+      "a sticky note remark\nhighlighted passage comment\n" +
+        "https://example.org/d/1/0\n" +
+        "author: Form Author\nsubject: Form Subject\n" +
+        "person.first: Ada\nperson.last: Lovelace\n")
+    assert(out.metadata.get("pdf:annotationTypes").contains("Text,Highlight,Link"))
+    assert(out.metadata.get("pdf:hasAcroFormFields").contains("true"))
+    // absent on the plain doc
+    assert(outPlain.metadata.get("pdf:annotationTypes").isEmpty)
+    assert(outPlain.metadata.get("pdf:hasAcroFormFields").isEmpty)
+
+    // non-Latin-1 content travels as UTF-16BE hex strings
+    val cyr = plain.copy(annots = Vector(("Text", "заметка — привет")),
+      formFields = Vector(("имя", "Ада")))
+    val outCyr = PdfKernel.extract(PdfWriter.write(cyr))
+    assert(outCyr.text.endsWith("заметка — привет\nимя: Ада\n"))
+
+    // encrypted and ObjStm layouts carry the same surface
+    for (variant <- Seq(annotated.copy(encrypt = "aes"),
+        annotated.copy(xrefStream = true, objStm = true))) {
+      val v = PdfKernel.extract(PdfWriter.write(variant))
+      assert(v.text == PdfWriter.expectedText(annotated))
+      assert(v.metadata.get("pdf:hasAcroFormFields").contains("true"))
+    }
+
+    // image object present: annotation numbering shifts past it
+    val imgVariant = annotated.copy(imageSeed = 42L)
+    val outImg = PdfKernel.extract(PdfWriter.write(imgVariant))
+    assert(outImg.text == PdfWriter.expectedText(imgVariant))
+    assert(outImg.metadata.get("pdf:imageCount").contains("1"))
+  }
+
   test("E3 filters: LZWDecode / ASCII85 / RunLength content streams round-trip") {
     import graft.corpus.PdfWriter
     val stanzas = Vector(Vector("Filter Title"),
