@@ -185,6 +185,9 @@ object Gen {
       faxK = if (rng.nextInt(3) == 0) Some(rng.nextInt(3) match {
         case 0 => -1; case 1 => 0; case _ => 4
       }) else None,
+      // of the non-fax imaged PDFs, 1-in-3 embed the scan as JBIG2
+      // (segment-embedded MMR generic region) instead of a JPEG
+      jbig2 = rng.nextInt(3) == 0,
       encrypt = encrypt,
       xrefStream = xrefStream,
       xrefFilter = rng.nextInt(6) match {

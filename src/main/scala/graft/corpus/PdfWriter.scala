@@ -28,6 +28,10 @@ object PdfWriter {
       // scan image (the scanned-PDF shape) instead of the JPEG; k is the
       // PDF /K regime (-1 = G4 MMR, 0 = G3 1-D, >0 = G3 mixed 2-D)
       faxK: Option[Int] = None,
+      // with imageSeed != 0 and faxK empty: embed the bilevel scan as a
+      // JBIG2 stream (/Filter /JBIG2Decode, embedded organization: page
+      // info + immediate MMR generic region) instead of a JPEG
+      jbig2: Boolean = false,
       // "" = plain; "rc4-40" = V1/R2, "rc4" = V2/R3 128-bit,
       // "aes" = V4/R4 AESV2 — all with EMPTY user+owner passwords
       // (PdfKernel must open them transparently)
@@ -382,6 +386,21 @@ object PdfWriter {
           b.write(s2b("\nendstream\nendobj\n"))
           b.toByteArray
         }
+      case None if spec.jbig2 =>
+        // a JBIG2-embedded bilevel image XObject (JBIG2Decode): same
+        // analytic plane as the fax shape, T.88 embedded organization
+        val fw = FaxW; val fh = FaxH
+        val jb = jbig2Embedded(faxPlane(spec.imageSeed), fw, fh)
+        obj {
+          val enc = encStream(8, jb)
+          val b = new ByteArrayOutputStream()
+          b.write(s2b(s"8 0 obj\n<< /Type /XObject /Subtype /Image /Width $fw /Height $fh " +
+            s"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode " +
+            s"/Length ${enc.length} >>\nstream\n"))
+          b.write(enc)
+          b.write(s2b("\nendstream\nendobj\n"))
+          b.toByteArray
+        }
       case None =>
         // a REAL baseline-JPEG image XObject (DCTDecode): JpegDecoder can
         // pull actual pixels back out of the PDF
@@ -491,6 +510,41 @@ object PdfWriter {
       xref.append(s"startxref\n$xrefPos\n%%EOF\n")
       out.write(s2b(xref.toString))
     }
+    out.toByteArray
+  }
+
+  /** Embedded-organization JBIG2 stream (T.88 annex on embedded streams,
+    * the ISO 32000 §7.4.7 shape): a page information segment then one
+    * immediate lossless generic region (type 39) whose body is MMR
+    * (T.6/G4) data — graft.kernel.Jbig2.decodeEmbedded must return the
+    * packed plane bit-exactly. Also reused at a region offset by tests.
+    */
+  private[graft] def jbig2Embedded(px: Array[Byte], w: Int, h: Int,
+      rx: Int = 0, ry: Int = 0): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def segHeader(num: Int, segType: Int, len: Int): Unit = {
+      be32(num.toLong)
+      out.write(segType) // 1-byte page association, not deferred
+      out.write(0x00)    // zero referred-to segments
+      out.write(0x01)    // page 1
+      be32(len.toLong)
+    }
+    // page information: width, height (region extent), xres/yres 0
+    // ("unknown"), flags 0, no striping
+    segHeader(0, 48, 19)
+    be32((rx + w).toLong); be32((ry + h).toLong); be32(0); be32(0)
+    out.write(0x00); out.write(0x00); out.write(0x00)
+    // immediate lossless generic region: region info + MMR flag + body
+    val mmr = graft.kernel.CcittFax.encode(px, w, h, k = -1, byteAlign = false)
+    segHeader(1, 39, 18 + mmr.length)
+    be32(w.toLong); be32(h.toLong); be32(rx.toLong); be32(ry.toLong)
+    out.write(0x00) // external combination operator: OR
+    out.write(0x01) // generic region flags: MMR = 1
+    out.write(mmr)
     out.toByteArray
   }
 

@@ -272,6 +272,10 @@ object PdfKernel {
               blackIs1 = p.getOrElse("BlackIs1", 0) == 1,
               byteAlign = p.getOrElse("EncodedByteAlign", 0) == 1)
             .map(_._1).getOrElse(data) // malformed: pass through
+        case "JBIG2Decode" =>
+          // scanned-page bilevel images, segment-embedded (ISO 32000
+          // §7.4.7): MMR generic regions composite onto the page plane
+          Jbig2.decodeEmbedded(data).map(_._1).getOrElse(data)
         case _ => data // unsupported filter: pass through (best effort)
       }
     }

@@ -141,6 +141,77 @@ class CcittSpec extends AnyFunSuite {
     assert(encOut.metadata.get("pdf:imageFilters").contains("CCITTFaxDecode"))
   }
 
+  test("JBIG2 embedded round-trips: MMR generic region planes decode bit-exactly") {
+    for {
+      (cols, rows) <- Seq((64, 48), (100, 33), (17, 9), (63, 21))
+      kind <- Seq("noise", "runs", "black", "edges", "white")
+    } {
+      val px = plane(cols, rows, kind, cols * 7919L + rows)
+      val stream = PdfWriter.jbig2Embedded(px, cols, rows)
+      graft.kernel.Jbig2.decodeEmbedded(stream) match {
+        case Some((page, w, h)) =>
+          assert(w == cols && h == rows, s"$kind ${cols}x$rows dims")
+          assert(java.util.Arrays.equals(page, px), s"$kind ${cols}x$rows plane")
+        case None => fail(s"$kind ${cols}x$rows: decode failed")
+      }
+    }
+  }
+
+  test("JBIG2 region offsets: the region ORs onto the page at (x,y), bit addressing") {
+    val cols = 24; val rows = 10
+    val px = plane(cols, rows, "runs", 99L)
+    for ((rx, ry) <- Seq((8, 4), (3, 1))) { // byte-aligned and not
+      val stream = PdfWriter.jbig2Embedded(px, cols, rows, rx, ry)
+      val Some((page, w, h)) = graft.kernel.Jbig2.decodeEmbedded(stream)
+      assert(w == rx + cols && h == ry + rows)
+      val stride = (w + 7) / 8
+      val rStride = (cols + 7) / 8
+      for (y <- 0 until h; x <- 0 until w) {
+        val got = (page(y * stride + (x >> 3)) >> (7 - (x & 7))) & 1
+        val want =
+          if (x >= rx && x < rx + cols && y >= ry && y < ry + rows)
+            (px((y - ry) * rStride + ((x - rx) >> 3)) >> (7 - ((x - rx) & 7))) & 1
+          else 0
+        assert(got == want, s"($rx,$ry) pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("JBIG2 never throws on malformed input (fuzz)") {
+    val rnd = new java.util.Random(7L)
+    for (_ <- 0 until 200) {
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      graft.kernel.Jbig2.decodeEmbedded(b) // must not throw
+    }
+    // a valid stream truncated anywhere must not throw either
+    val good = PdfWriter.jbig2Embedded(plane(64, 48, "runs", 5L), 64, 48)
+    for (cut <- 0 until good.length by 7)
+      graft.kernel.Jbig2.decodeEmbedded(java.util.Arrays.copyOf(good, cut))
+  }
+
+  test("E3 jbig2: JBIG2Decode page images — metadata surfaced, text unchanged, plane exact") {
+    val stanzas = Vector(Vector("Scan Title"),
+      Vector("first line of text", "second line of text", "third line here"))
+    val spec = PdfWriter.Spec("Scan Title", "An Author", stanzas,
+      useKernSpaces = false, imageSeed = 42L, jbig2 = true)
+    val bytes = PdfWriter.write(spec)
+    val out = PdfKernel.extract(bytes)
+    assert(out.text == PdfWriter.expectedText(spec))
+    assert(out.metadata.get("pdf:imageCount").contains("1"))
+    assert(out.metadata.get("pdf:imageDimensions")
+      .contains(s"${PdfWriter.FaxW}x${PdfWriter.FaxH}"))
+    assert(out.metadata.get("pdf:imageFilters").contains("JBIG2Decode"))
+    // the embedded segment stream sits verbatim in the PDF; its decode is
+    // the analytic plane exactly (JBIG2 MMR is lossless)
+    val expStream = PdfWriter.jbig2Embedded(
+      PdfWriter.faxPlane(42L), PdfWriter.FaxW, PdfWriter.FaxH)
+    assert(indexOfSlice(bytes, expStream) > 0, "embedded JBIG2 stream present")
+    val Some((page, w, h)) = graft.kernel.Jbig2.decodeEmbedded(expStream)
+    assert(w == PdfWriter.FaxW && h == PdfWriter.FaxH)
+    assert(java.util.Arrays.equals(page, PdfWriter.faxPlane(42L)))
+  }
+
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
     var i = 0
     while (i + needle.length <= hay.length) {
