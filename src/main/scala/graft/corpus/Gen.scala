@@ -65,7 +65,9 @@ object Gen {
         case 1 => oggPiece(rng, docId, 0)
         case _ => wavPiece(rng, docId, 0)
       })
-      else if (roll < 74) Vector(mp4Piece(rng, docId, 0))
+      else if (roll < 74) Vector(
+        if (rng.nextInt(3) == 0) mkvPiece(rng, lang, docId, 0)
+        else mp4Piece(rng, docId, 0))
       else if (roll < 77) Vector(docPiece(rng, docId, 0))
       else if (roll < 79) Vector(xlsPiece(rng, lang, docId, 0))
       else if (roll < 81) Vector(pptPiece(rng, lang, docId, 0))
@@ -686,6 +688,32 @@ object Gen {
         mediaTimescale = mediaTs, sampleDeltas = deltas, sampleSizes = sizes,
         samplesPerChunk = chunks, keyframes = keys)), docId, k)
     }
+  }
+
+  /** Matroska/WebM: real EBML framing, metadata-only media rows (cluster
+    * payloads are opaque, the mp4 stance). Half webm (VP9/Opus), half
+    * matroska (AVC/AAC); slices cover audio-only files, unknown-size
+    * (streamed) segments, 4-byte floats and non-default timestamp scale.
+    */
+  private def mkvPiece(rng: SplittableRandom, lang: String, docId: String, k: Int): Piece = {
+    val webm = rng.nextBoolean()
+    val hasVideo = rng.nextInt(4) != 0
+    val hasAudio = !hasVideo || rng.nextBoolean()
+    val spec = MkvWriter.Spec(
+      webm = webm,
+      title = if (rng.nextBoolean()) TextGen.titleLine(rng, lang) else "",
+      durationMs = 1000.0 * (1 + rng.nextInt(600)),
+      timestampScale = if (rng.nextInt(5) == 0) 2000000L else 1000000L,
+      video = if (hasVideo) Some((16 * (1 + rng.nextInt(120)),
+        16 * (1 + rng.nextInt(68)),
+        if (webm) "V_VP9" else "V_MPEG4/ISO/AVC")) else None,
+      audio = if (hasAudio) Some((Vector(44100.0, 48000.0)(rng.nextInt(2)),
+        1 + rng.nextInt(2), if (webm) "A_OPUS" else "A_AAC")) else None,
+      nClusters = 1 + rng.nextInt(4),
+      seed = rng.nextLong(),
+      unknownSegmentSize = rng.nextInt(4) == 0,
+      floatWidth = if (rng.nextInt(4) == 0) 4 else 8)
+    mediaPiece(if (webm) "webm" else "mkv", MkvWriter.write(spec), docId, k)
   }
 
   /** .doc stays latin (cp1252 round-trip is exact for en/de/fr/es);

@@ -536,3 +536,167 @@ object MiscMediaWriters {
     out.toByteArray
   }
 }
+
+/** Deterministic Matroska / WebM writer: real EBML framing (header with
+  * DocType, Segment with Info + Tracks + opaque SimpleBlock clusters),
+  * so MkvKernel's element walk — including unknown-size segments and
+  * float/uint width variants — is exercised with analytically-known
+  * expected metadata.
+  */
+object MkvWriter {
+
+  final case class Spec(
+      webm: Boolean,                       // DocType webm vs matroska
+      title: String = "",
+      durationMs: Double = 0.0,            // 0: omit Duration
+      timestampScale: Long = 1000000L,     // ns per unit (default 1 ms)
+      video: Option[(Int, Int, String)] = None, // (w, h, codecId)
+      audio: Option[(Double, Int, String)] = None, // (rate, channels, codecId)
+      nClusters: Int = 2,
+      seed: Long = 1L,
+      unknownSegmentSize: Boolean = false, // streamed-file shape
+      floatWidth: Int = 8)                 // Duration/rate coding: 4 or 8
+
+  /** The metadata MkvKernel must return for write(spec). */
+  def expectedMeta(spec: Spec): Map[String, String] = {
+    var m = Map("doctype" -> (if (spec.webm) "webm" else "matroska"),
+      "muxingApp" -> "graftmux", "writingApp" -> "graft synthetic corpus")
+    if (spec.title.nonEmpty) m += ("dc:title" -> spec.title)
+    if (spec.durationMs > 0) {
+      val units = if (spec.floatWidth == 4) spec.durationMs.toFloat.toDouble
+      else spec.durationMs
+      m += ("xmpDM:duration" -> f"${units * spec.timestampScale / 1e9}%.3f")
+    }
+    spec.video.foreach { case (w, h, codec) =>
+      m ++= Map("Image Width" -> s"$w pixels", "Image Height" -> s"$h pixels",
+        "xmpDM:videoCompressor" -> codec)
+    }
+    spec.audio.foreach { case (rate, ch, codec) =>
+      val r = if (spec.floatWidth == 4) rate.toFloat.toDouble else rate
+      m ++= Map(
+        "xmpDM:audioSampleRate" ->
+          (if (r == r.toLong.toDouble) r.toLong.toString else r.toString),
+        "channels" -> ch.toString, "xmpDM:audioCompressor" -> codec)
+    }
+    m
+  }
+
+  private def vintSize(v: Long): Int = {
+    var len = 1
+    while (len < 8 && v >= (1L << (7 * len)) - 1) len += 1 // all-ones reserved
+    len
+  }
+
+  private def writeVint(out: ByteArrayOutputStream, v: Long): Unit = {
+    val len = vintSize(v)
+    val first = (0x80 >> (len - 1)) | ((v >> (8 * (len - 1))) & (0xff >>> len)).toInt
+    out.write(first)
+    var i = len - 2
+    while (i >= 0) { out.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+
+  private def writeId(out: ByteArrayOutputStream, id: Long): Unit = {
+    // IDs are stored verbatim (marker included): emit big-endian bytes
+    var len = 1
+    while ((id >> (8 * len)) != 0) len += 1
+    var i = len - 1
+    while (i >= 0) { out.write(((id >> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+
+  private def el(out: ByteArrayOutputStream, id: Long)(body: Array[Byte]): Unit = {
+    writeId(out, id)
+    writeVint(out, body.length.toLong)
+    out.write(body)
+  }
+
+  private def uintBytes(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && (v >> (8 * len)) != 0) len += 1
+    Array.tabulate(len)(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte)
+  }
+
+  private def floatBytes(v: Double, width: Int): Array[Byte] =
+    if (width == 4) uintBytes(java.lang.Float.floatToIntBits(v.toFloat) & 0xffffffffL)
+      .reverse.padTo(4, 0.toByte).reverse
+    else {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      Array.tabulate(8)(i => ((bits >> (8 * (7 - i))) & 0xff).toByte)
+    }
+
+  def write(spec: Spec): Array[Byte] = {
+    def sub(f: ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new ByteArrayOutputStream(); f(b); b.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    // EBML header
+    el(out, 0x1A45DFA3L)(sub { h =>
+      el(h, 0x4286L)(uintBytes(1)) // EBMLVersion
+      el(h, 0x42F7L)(uintBytes(1)) // EBMLReadVersion
+      el(h, 0x42F2L)(uintBytes(4)) // EBMLMaxIDLength
+      el(h, 0x42F3L)(uintBytes(8)) // EBMLMaxSizeLength
+      el(h, 0x4282L)((if (spec.webm) "webm" else "matroska")
+        .getBytes(StandardCharsets.UTF_8)) // DocType
+      el(h, 0x4287L)(uintBytes(if (spec.webm) 2 else 4)) // DocTypeVersion
+      el(h, 0x4285L)(uintBytes(2)) // DocTypeReadVersion
+    })
+    // Segment body
+    val seg = sub { s =>
+      el(s, 0x1549A966L)(sub { info =>
+        if (spec.timestampScale != 1000000L)
+          el(info, 0x2AD7B1L)(uintBytes(spec.timestampScale))
+        el(info, 0x4D80L)("graftmux".getBytes(StandardCharsets.UTF_8))
+        el(info, 0x5741L)("graft synthetic corpus".getBytes(StandardCharsets.UTF_8))
+        if (spec.title.nonEmpty)
+          el(info, 0x7BA9L)(spec.title.getBytes(StandardCharsets.UTF_8))
+        if (spec.durationMs > 0)
+          el(info, 0x4489L)(floatBytes(spec.durationMs, spec.floatWidth))
+      })
+      el(s, 0x1654AE6BL)(sub { tracks =>
+        var tn = 1
+        spec.video.foreach { case (w, h, codec) =>
+          el(tracks, 0xAEL)(sub { te =>
+            el(te, 0xD7L)(uintBytes(tn.toLong)); tn += 1
+            el(te, 0x83L)(uintBytes(1))
+            el(te, 0x86L)(codec.getBytes(StandardCharsets.UTF_8))
+            el(te, 0xE0L)(sub { v =>
+              el(v, 0xB0L)(uintBytes(w.toLong))
+              el(v, 0xBAL)(uintBytes(h.toLong))
+            })
+          })
+        }
+        spec.audio.foreach { case (rate, ch, codec) =>
+          el(tracks, 0xAEL)(sub { te =>
+            el(te, 0xD7L)(uintBytes(tn.toLong)); tn += 1
+            el(te, 0x83L)(uintBytes(2))
+            el(te, 0x86L)(codec.getBytes(StandardCharsets.UTF_8))
+            el(te, 0xE1L)(sub { a =>
+              el(a, 0xB5L)(floatBytes(rate, spec.floatWidth))
+              el(a, 0x9FL)(uintBytes(ch.toLong))
+            })
+          })
+        }
+      })
+      // opaque clusters: Timestamp + SimpleBlocks of deterministic noise
+      var x = spec.seed
+      for (c <- 0 until spec.nClusters) {
+        el(s, 0x1F43B6F5L)(sub { cl =>
+          el(cl, 0xE7L)(uintBytes(c.toLong * 1000)) // cluster Timestamp
+          for (_ <- 0 until 3) {
+            el(cl, 0xA3L)(sub { blk => // SimpleBlock
+              blk.write(0x81); blk.write(0); blk.write(0); blk.write(0x80)
+              for (_ <- 0 until 64) {
+                x = x * 6364136223846793005L + 1442695040888963407L
+                blk.write(((x >>> 33) & 0xff).toInt)
+              }
+            })
+          }
+        })
+      }
+    }
+    writeId(out, 0x18538067L)
+    if (spec.unknownSegmentSize) out.write(0xff) // 1-byte unknown size
+    else writeVint(out, seg.length.toLong)
+    out.write(seg)
+    out.toByteArray
+  }
+}

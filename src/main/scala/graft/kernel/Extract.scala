@@ -108,6 +108,11 @@ object Extract {
         case Magic.Kind.Mp4  =>
           Out("", Vector.empty, "video/mp4", Mp4Kernel.extract(bytes),
             isMedia = true, issue = None)
+        case k @ (Magic.Kind.Webm | Magic.Kind.Mkv) =>
+          // EBML containers: audio-only files type as audio/webm |
+          // audio/x-matroska, so the content type comes from the tracks
+          val (ct, meta) = MkvKernel.extract(bytes, matroska = k == Magic.Kind.Mkv)
+          Out("", Vector.empty, ct, meta, isMedia = true, issue = None)
         case k @ (Magic.Kind.Heic | Magic.Kind.Heif | Magic.Kind.Avif) =>
           Out("", Vector.empty, Magic.contentTypeOf(k, None),
             HeifKernel.extract(bytes), isMedia = true, issue = None)

@@ -52,6 +52,8 @@ object Magic {
     // detection-only breadth (typed opaque: no JVM-expressible parser)
     case object SevenZ  extends Kind("7z")
     case object Rar     extends Kind("rar")
+    case object Webm    extends Kind("webm") // EBML, DocType webm
+    case object Mkv     extends Kind("mkv")  // EBML, DocType matroska
     case object Flac    extends Kind("flac")
     case object Ogg     extends Kind("ogg")
     case object Ico     extends Kind("ico")
@@ -158,6 +160,13 @@ object Magic {
         (bytes(4) & 0xff) == 0x27 && (bytes(5) & 0xff) == 0x1c) return Kind.SevenZ
     if (bytes.length >= 7 && startsWith(bytes, "Rar!") &&
         (bytes(4) & 0xff) == 0x1a && (bytes(5) & 0xff) == 0x07) return Kind.Rar
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x1a && (bytes(1) & 0xff) == 0x45 &&
+        (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3)
+      // EBML: the DocType element routes webm vs matroska
+      return MkvKernel.docType(bytes) match {
+        case Some("webm") => Kind.Webm
+        case _            => Kind.Mkv
+      }
     if (startsWith(bytes, "fLaC")) return Kind.Flac
     if (startsWith(bytes, "OggS")) return Kind.Ogg
     if (startsWith(bytes, "8BPS")) return Kind.Psd
@@ -307,6 +316,8 @@ object Magic {
     case Kind.Zstd => "application/zstd"
     case Kind.SevenZ => "application/x-7z-compressed"
     case Kind.Rar  => "application/x-rar-compressed"
+    case Kind.Webm => "video/webm"
+    case Kind.Mkv  => "video/x-matroska"
     case Kind.Flac => "audio/flac"
     case Kind.Ogg  => "application/ogg"
     case Kind.Ico  => "image/vnd.microsoft.icon"

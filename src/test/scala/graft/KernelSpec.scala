@@ -1096,6 +1096,53 @@ class KernelSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 0.005, s"got $got expect $expect")
   }
 
+  test("E34: Matroska/WebM — EBML DocType routing, Info + track metadata") {
+    import graft.corpus.MkvWriter
+    // webm, video+audio, default timestamp scale
+    val wm = MkvWriter.Spec(webm = true, title = "Clip Title", durationMs = 12345.0,
+      video = Some((640, 360, "V_VP9")), audio = Some((48000.0, 2, "A_OPUS")))
+    val wmBytes = MkvWriter.write(wm)
+    assert(Magic.sniff(wmBytes) == Magic.Kind.Webm)
+    val out = Extract.extractBytes("webm", wmBytes, Extract.Options())
+    assert(out.contentType == "video/webm" && out.isMedia)
+    MkvWriter.expectedMeta(wm).foreach { case (k, v) =>
+      assert(out.metadata.get(k).contains(v), s"webm $k")
+    }
+    assert(out.metadata("xmpDM:duration") == "12.345")
+
+    // matroska, audio-only -> audio/x-matroska; non-default scale;
+    // 4-byte floats; unknown-size segment (streamed shape)
+    val mk = MkvWriter.Spec(webm = false, durationMs = 900.0,
+      timestampScale = 2000000L, audio = Some((44100.0, 1, "A_AAC")),
+      unknownSegmentSize = true, floatWidth = 4)
+    val mkBytes = MkvWriter.write(mk)
+    assert(Magic.sniff(mkBytes) == Magic.Kind.Mkv)
+    val out2 = Extract.extractBytes("mkv", mkBytes, Extract.Options())
+    assert(out2.contentType == "audio/x-matroska" && out2.isMedia)
+    MkvWriter.expectedMeta(mk).foreach { case (k, v) =>
+      assert(out2.metadata.get(k).contains(v), s"mkv $k")
+    }
+    assert(out2.metadata("xmpDM:duration") == "1.800") // 900 units x 2 ms
+    assert(!out2.metadata.contains("Image Width"))
+
+    // video-only matroska stays video/x-matroska
+    val mv = MkvWriter.Spec(webm = false, video = Some((1920, 1080, "V_MPEG4/ISO/AVC")))
+    val out3 = Extract.extractBytes("mkv", MkvWriter.write(mv), Extract.Options())
+    assert(out3.contentType == "video/x-matroska")
+    assert(out3.metadata("Image Width") == "1920 pixels")
+
+    // malformed: truncations and junk never throw
+    val rnd = new java.util.Random(11L)
+    for (cut <- 0 until wmBytes.length by 13)
+      Extract.extractBytes("webm", java.util.Arrays.copyOf(wmBytes, cut), Extract.Options())
+    for (_ <- 0 until 100) {
+      val b = new Array[Byte](4 + rnd.nextInt(64))
+      rnd.nextBytes(b)
+      b(0) = 0x1a.toByte; b(1) = 0x45.toByte; b(2) = 0xdf.toByte; b(3) = 0xa3.toByte
+      Extract.extractBytes("mkv", b, Extract.Options())
+    }
+  }
+
   test("E29: ICO / PSD / MIDI header metadata") {
     import graft.corpus.MiscMediaWriters
     val ico = MiscMediaWriters.writeIco(Seq((16, 16), (256, 256), (48, 48)))
