@@ -188,8 +188,10 @@ object Gen {
         case 0 => -1; case 1 => 0; case _ => 4
       }) else None,
       // of the non-fax imaged PDFs, 1-in-3 embed the scan as JBIG2
-      // (segment-embedded MMR generic region) instead of a JPEG
+      // (segment-embedded generic region) instead of a JPEG; half of
+      // those are MQ-arithmetic coded, half MMR
       jbig2 = rng.nextInt(3) == 0,
+      jbig2Arith = rng.nextBoolean(),
       encrypt = encrypt,
       xrefStream = xrefStream,
       xrefFilter = rng.nextInt(6) match {

@@ -30,8 +30,10 @@ object PdfWriter {
       faxK: Option[Int] = None,
       // with imageSeed != 0 and faxK empty: embed the bilevel scan as a
       // JBIG2 stream (/Filter /JBIG2Decode, embedded organization: page
-      // info + immediate MMR generic region) instead of a JPEG
+      // info + immediate generic region) instead of a JPEG; the region
+      // body is MMR, or MQ-arithmetic (template 0) when jbig2Arith
       jbig2: Boolean = false,
+      jbig2Arith: Boolean = false,
       // "" = plain; "rc4-40" = V1/R2, "rc4" = V2/R3 128-bit,
       // "aes" = V4/R4 AESV2 — all with EMPTY user+owner passwords
       // (PdfKernel must open them transparently)
@@ -390,7 +392,8 @@ object PdfWriter {
         // a JBIG2-embedded bilevel image XObject (JBIG2Decode): same
         // analytic plane as the fax shape, T.88 embedded organization
         val fw = FaxW; val fh = FaxH
-        val jb = jbig2Embedded(faxPlane(spec.imageSeed), fw, fh)
+        val jb = jbig2Embedded(faxPlane(spec.imageSeed), fw, fh,
+          arith = spec.jbig2Arith)
         obj {
           val enc = encStream(8, jb)
           val b = new ByteArrayOutputStream()
@@ -520,7 +523,7 @@ object PdfWriter {
     * packed plane bit-exactly. Also reused at a region offset by tests.
     */
   private[graft] def jbig2Embedded(px: Array[Byte], w: Int, h: Int,
-      rx: Int = 0, ry: Int = 0): Array[Byte] = {
+      rx: Int = 0, ry: Int = 0, arith: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def be32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
@@ -538,13 +541,25 @@ object PdfWriter {
     segHeader(0, 48, 19)
     be32((rx + w).toLong); be32((ry + h).toLong); be32(0); be32(0)
     out.write(0x00); out.write(0x00); out.write(0x00)
-    // immediate lossless generic region: region info + MMR flag + body
-    val mmr = graft.kernel.CcittFax.encode(px, w, h, k = -1, byteAlign = false)
-    segHeader(1, 39, 18 + mmr.length)
-    be32(w.toLong); be32(h.toLong); be32(rx.toLong); be32(ry.toLong)
-    out.write(0x00) // external combination operator: OR
-    out.write(0x01) // generic region flags: MMR = 1
-    out.write(mmr)
+    // immediate lossless generic region: region info + flags + body —
+    // MMR (T.6) or MQ-arithmetic template 0 with nominal AT pixels
+    if (arith) {
+      val body = graft.kernel.Jbig2.encodeGenericArith(px, w, h)
+      val at = graft.kernel.Jbig2.nominalAtBytes
+      segHeader(1, 39, 18 + at.length + body.length)
+      be32(w.toLong); be32(h.toLong); be32(rx.toLong); be32(ry.toLong)
+      out.write(0x00) // external combination operator: OR
+      out.write(0x00) // generic region flags: MMR = 0, template 0
+      out.write(at)
+      out.write(body)
+    } else {
+      val mmr = graft.kernel.CcittFax.encode(px, w, h, k = -1, byteAlign = false)
+      segHeader(1, 39, 18 + mmr.length)
+      be32(w.toLong); be32(h.toLong); be32(rx.toLong); be32(ry.toLong)
+      out.write(0x00) // external combination operator: OR
+      out.write(0x01) // generic region flags: MMR = 1
+      out.write(mmr)
+    }
     out.toByteArray
   }
 

@@ -90,14 +90,102 @@ object Jbig2 {
     // OR for our scope); payload(17) = generic region flags
     val flags = payload(17) & 0xff
     val mmr = (flags & 1) == 1
-    if (!mmr) return None // arithmetic (MQ) generic coding unsupported
+    val template = (flags >> 1) & 3
+    val tpgdon = (flags >> 3) & 1
     if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim || w * h > MaxArea ||
       x > MaxDim || y > MaxDim) return None
-    val body = java.util.Arrays.copyOfRange(payload, 18, payload.length)
-    CcittFax.decode(body, k = -1, columns = w.toInt, rows = h.toInt,
-        blackIs1 = true, byteAlign = false)
-      .map { case (px, _) => Region(x.toInt, y.toInt, w.toInt, h.toInt, px) }
+    if (mmr) {
+      val body = java.util.Arrays.copyOfRange(payload, 18, payload.length)
+      CcittFax.decode(body, k = -1, columns = w.toInt, rows = h.toInt,
+          blackIs1 = true, byteAlign = false)
+        .map { case (px, _) => Region(x.toInt, y.toInt, w.toInt, h.toInt, px) }
+    } else {
+      // arithmetic (MQ) generic coding: template 0 with nominal AT
+      // pixels and TPGDON off — the shape real encoders default to;
+      // other templates / adaptive positions / typical-prediction fail
+      // the decode (PDF layer passes the stream through)
+      if (template != 0 || tpgdon != 0 || payload.length < 26) return None
+      var i = 0
+      var nominal = true
+      while (i < 4) { // AT pairs (dx, dy), signed bytes
+        if (payload(18 + 2 * i) != NominalAt(2 * i) ||
+          payload(19 + 2 * i) != NominalAt(2 * i + 1)) nominal = false
+        i += 1
+      }
+      if (!nominal) return None
+      val body = java.util.Arrays.copyOfRange(payload, 26, payload.length)
+      decodeGenericArith(body, w.toInt, h.toInt)
+        .map(px => Region(x.toInt, y.toInt, w.toInt, h.toInt, px))
+    }
   }
+
+  /** Nominal AT pixel positions for template 0 (T.88 §6.2.5.3): with
+    * these, the context is the contiguous raster window rows y-2
+    * (x-2..x+2), y-1 (x-3..x+3), y (x-4..x-1) — 16 bits, packed in
+    * raster order MSB-first. Encoder and decoder share contextAt, so
+    * the pair stays conformance-locked by construction.
+    */
+  private val NominalAt: Array[Byte] =
+    Array(3, -1, -3, -1, 2, -2, -2, -2)
+
+  @inline private def bitOf(px: Array[Byte], stride: Int, w: Int, h: Int,
+      x: Int, y: Int): Int =
+    if (x < 0 || x >= w || y < 0 || y >= h) 0
+    else (px(y * stride + (x >> 3)) >> (7 - (x & 7))) & 1
+
+  private def contextAt(px: Array[Byte], stride: Int, w: Int, h: Int,
+      x: Int, y: Int): Int = {
+    var ctx = 0
+    var dx = -2
+    while (dx <= 2) { ctx = (ctx << 1) | bitOf(px, stride, w, h, x + dx, y - 2); dx += 1 }
+    dx = -3
+    while (dx <= 3) { ctx = (ctx << 1) | bitOf(px, stride, w, h, x + dx, y - 1); dx += 1 }
+    dx = -4
+    while (dx <= -1) { ctx = (ctx << 1) | bitOf(px, stride, w, h, x + dx, y); dx += 1 }
+    ctx
+  }
+
+  private def decodeGenericArith(data: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val stride = (w + 7) / 8
+    val out = new Array[Byte](stride * h)
+    val cx = new Array[Byte](1 << 16)
+    val dec = new MqCoder.Dec(data)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (dec.decode(cx, contextAt(out, stride, w, h, x, y)) == 1)
+          out(y * stride + (x >> 3)) = (out(y * stride + (x >> 3)) | (0x80 >> (x & 7))).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** MQ-encode a packed plane as a template-0 generic region body (the
+    * inverse of decodeGenericArith) — the corpus writer's oracle hook,
+    * kept beside the decoder like CcittFax.encode.
+    */
+  private[graft] def encodeGenericArith(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val stride = (w + 7) / 8
+    val cx = new Array[Byte](1 << 16)
+    val enc = new MqCoder.Enc
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        enc.encode(cx, contextAt(px, stride, w, h, x, y),
+          bitOf(px, stride, w, h, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    enc.flush()
+  }
+
+  /** The AT-pixel bytes the writer emits for template 0. */
+  private[graft] def nominalAtBytes: Array[Byte] = NominalAt.clone()
 
   /** Decode an embedded JBIG2 stream to the page bitmap: (packed 1=black
     * rows, width, height). Page dims come from the page information

@@ -177,6 +177,58 @@ class CcittSpec extends AnyFunSuite {
     }
   }
 
+  test("MQ coder: random (bit, context) streams round-trip exactly") {
+    // the Vp8 bool-coder discipline: the encoder/decoder pair is pinned
+    // by an adversarial random stream, not just plane-shaped data
+    val rnd = new java.util.Random(0x5EED
+    )
+    for (round <- 0 until 20) {
+      val n = 5000
+      val bits = Array.fill(n)(rnd.nextInt(2))
+      val ctxs = Array.fill(n)(rnd.nextInt(1 << 16))
+      val cxE = new Array[Byte](1 << 16)
+      val enc = new graft.kernel.MqCoder.Enc
+      for (i <- 0 until n) enc.encode(cxE, ctxs(i), bits(i))
+      val data = enc.flush()
+      val cxD = new Array[Byte](1 << 16)
+      val dec = new graft.kernel.MqCoder.Dec(data)
+      for (i <- 0 until n)
+        assert(dec.decode(cxD, ctxs(i)) == bits(i), s"round $round bit $i")
+    }
+  }
+
+  test("JBIG2 arithmetic (MQ, template 0): generic region planes decode bit-exactly") {
+    for {
+      (cols, rows) <- Seq((64, 48), (100, 33), (17, 9), (63, 21), (8, 8))
+      kind <- Seq("noise", "runs", "black", "edges", "white")
+    } {
+      val px = plane(cols, rows, kind, cols * 31L + rows * 7L)
+      val stream = PdfWriter.jbig2Embedded(px, cols, rows, arith = true)
+      graft.kernel.Jbig2.decodeEmbedded(stream) match {
+        case Some((page, w, h)) =>
+          assert(w == cols && h == rows, s"$kind ${cols}x$rows dims")
+          assert(java.util.Arrays.equals(page, px), s"$kind ${cols}x$rows plane")
+        case None => fail(s"$kind ${cols}x$rows: decode failed")
+      }
+      // arithmetic coding beats MMR on noise-free planes and never
+      // crashes on its truncations
+      val cut = java.util.Arrays.copyOf(stream, stream.length / 2)
+      graft.kernel.Jbig2.decodeEmbedded(cut)
+    }
+    // PDF end-to-end: the arith variant surfaces like the MMR one
+    val stanzas = Vector(Vector("Scan Title"),
+      Vector("body line one", "body line two", "body line three"))
+    val spec = PdfWriter.Spec("Scan Title", "An Author", stanzas,
+      useKernSpaces = false, imageSeed = 42L, jbig2 = true, jbig2Arith = true)
+    val out = PdfKernel.extract(PdfWriter.write(spec))
+    assert(out.text == PdfWriter.expectedText(spec))
+    assert(out.metadata.get("pdf:imageFilters").contains("JBIG2Decode"))
+    val expStream = PdfWriter.jbig2Embedded(
+      PdfWriter.faxPlane(42L), PdfWriter.FaxW, PdfWriter.FaxH, arith = true)
+    val Some((page, _, _)) = graft.kernel.Jbig2.decodeEmbedded(expStream)
+    assert(java.util.Arrays.equals(page, PdfWriter.faxPlane(42L)))
+  }
+
   test("JBIG2 never throws on malformed input (fuzz)") {
     val rnd = new java.util.Random(7L)
     for (_ <- 0 until 200) {
