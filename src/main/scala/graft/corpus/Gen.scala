@@ -192,6 +192,7 @@ object Gen {
       // those are MQ-arithmetic coded, half MMR
       jbig2 = rng.nextInt(3) == 0,
       jbig2Arith = rng.nextBoolean(),
+      jbig2Tpgdon = rng.nextBoolean(),
       encrypt = encrypt,
       xrefStream = xrefStream,
       xrefFilter = rng.nextInt(6) match {

@@ -101,10 +101,10 @@ object Jbig2 {
         .map { case (px, _) => Region(x.toInt, y.toInt, w.toInt, h.toInt, px) }
     } else {
       // arithmetic (MQ) generic coding: template 0 with nominal AT
-      // pixels and TPGDON off — the shape real encoders default to;
-      // other templates / adaptive positions / typical-prediction fail
-      // the decode (PDF layer passes the stream through)
-      if (template != 0 || tpgdon != 0 || payload.length < 26) return None
+      // pixels, with or without TPGDON (typical prediction, the
+      // real-encoder default); other templates / adaptive positions
+      // fail the decode (PDF layer passes the stream through)
+      if (template != 0 || payload.length < 26) return None
       var i = 0
       var nominal = true
       while (i < 4) { // AT pairs (dx, dy), signed bytes
@@ -114,7 +114,7 @@ object Jbig2 {
       }
       if (!nominal) return None
       val body = java.util.Arrays.copyOfRange(payload, 26, payload.length)
-      decodeGenericArith(body, w.toInt, h.toInt)
+      decodeGenericArith(body, w.toInt, h.toInt, tpgdon == 1)
         .map(px => Region(x.toInt, y.toInt, w.toInt, h.toInt, px))
     }
   }
@@ -145,18 +145,32 @@ object Jbig2 {
     ctx
   }
 
-  private def decodeGenericArith(data: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+  /** TPGDON's per-row "typical" flag is coded in this fixed context for
+    * GB template 0 (T.88 §6.2.5.7); a typical row copies the row above.
+    */
+  private val LtpContext = 0x9B25
+
+  private def decodeGenericArith(data: Array[Byte], w: Int, h: Int,
+      tpgdon: Boolean): Option[Array[Byte]] = {
     val stride = (w + 7) / 8
     val out = new Array[Byte](stride * h)
     val cx = new Array[Byte](1 << 16)
     val dec = new MqCoder.Dec(data)
+    var ltp = 0
     var y = 0
     while (y < h) {
-      var x = 0
-      while (x < w) {
-        if (dec.decode(cx, contextAt(out, stride, w, h, x, y)) == 1)
-          out(y * stride + (x >> 3)) = (out(y * stride + (x >> 3)) | (0x80 >> (x & 7))).toByte
-        x += 1
+      if (tpgdon) ltp ^= dec.decode(cx, LtpContext)
+      if (ltp == 1) {
+        // typical row: copy the previous (row 0 copies the all-white top)
+        if (y > 0)
+          System.arraycopy(out, (y - 1) * stride, out, y * stride, stride)
+      } else {
+        var x = 0
+        while (x < w) {
+          if (dec.decode(cx, contextAt(out, stride, w, h, x, y)) == 1)
+            out(y * stride + (x >> 3)) = (out(y * stride + (x >> 3)) | (0x80 >> (x & 7))).toByte
+          x += 1
+        }
       }
       y += 1
     }
@@ -167,21 +181,42 @@ object Jbig2 {
     * inverse of decodeGenericArith) — the corpus writer's oracle hook,
     * kept beside the decoder like CcittFax.encode.
     */
-  private[graft] def encodeGenericArith(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  private[graft] def encodeGenericArith(px: Array[Byte], w: Int, h: Int,
+      tpgdon: Boolean = false): Array[Byte] = {
     val stride = (w + 7) / 8
     val cx = new Array[Byte](1 << 16)
     val enc = new MqCoder.Enc
+    var ltp = 0
     var y = 0
     while (y < h) {
-      var x = 0
-      while (x < w) {
-        enc.encode(cx, contextAt(px, stride, w, h, x, y),
-          bitOf(px, stride, w, h, x, y))
-        x += 1
+      var typical = false
+      if (tpgdon) {
+        typical = rowEqualsPrev(px, stride, y)
+        val sltp = ltp ^ (if (typical) 1 else 0)
+        enc.encode(cx, LtpContext, sltp)
+        ltp ^= sltp
+      }
+      if (!typical) {
+        var x = 0
+        while (x < w) {
+          enc.encode(cx, contextAt(px, stride, w, h, x, y),
+            bitOf(px, stride, w, h, x, y))
+          x += 1
+        }
       }
       y += 1
     }
     enc.flush()
+  }
+
+  private def rowEqualsPrev(px: Array[Byte], stride: Int, y: Int): Boolean = {
+    var i = 0
+    while (i < stride) {
+      val prev = if (y == 0) 0.toByte else px((y - 1) * stride + i)
+      if (px(y * stride + i) != prev) return false
+      i += 1
+    }
+    true
   }
 
   /** The AT-pixel bytes the writer emits for template 0. */

@@ -203,17 +203,28 @@ class CcittSpec extends AnyFunSuite {
       kind <- Seq("noise", "runs", "black", "edges", "white")
     } {
       val px = plane(cols, rows, kind, cols * 31L + rows * 7L)
-      val stream = PdfWriter.jbig2Embedded(px, cols, rows, arith = true)
-      graft.kernel.Jbig2.decodeEmbedded(stream) match {
-        case Some((page, w, h)) =>
-          assert(w == cols && h == rows, s"$kind ${cols}x$rows dims")
-          assert(java.util.Arrays.equals(page, px), s"$kind ${cols}x$rows plane")
-        case None => fail(s"$kind ${cols}x$rows: decode failed")
+      for (tpgdon <- Seq(false, true)) {
+        val stream = PdfWriter.jbig2Embedded(px, cols, rows,
+          arith = true, tpgdon = tpgdon)
+        graft.kernel.Jbig2.decodeEmbedded(stream) match {
+          case Some((page, w, h)) =>
+            assert(w == cols && h == rows, s"$kind ${cols}x$rows tp=$tpgdon dims")
+            assert(java.util.Arrays.equals(page, px),
+              s"$kind ${cols}x$rows tp=$tpgdon plane")
+          case None => fail(s"$kind ${cols}x$rows tp=$tpgdon: decode failed")
+        }
+        // truncations never crash
+        graft.kernel.Jbig2.decodeEmbedded(
+          java.util.Arrays.copyOf(stream, stream.length / 2))
       }
-      // arithmetic coding beats MMR on noise-free planes and never
-      // crashes on its truncations
-      val cut = java.util.Arrays.copyOf(stream, stream.length / 2)
-      graft.kernel.Jbig2.decodeEmbedded(cut)
+      // TPGDON pays off on repeated non-trivial rows: the all-black
+      // plane is typical from row 1 on, so the body shrinks (all-white
+      // is already near-free in the adaptive contexts)
+      if (kind == "black") {
+        val a = PdfWriter.jbig2Embedded(px, cols, rows, arith = true)
+        val b = PdfWriter.jbig2Embedded(px, cols, rows, arith = true, tpgdon = true)
+        assert(b.length < a.length, s"$kind tpgdon shrinks")
+      }
     }
     // PDF end-to-end: the arith variant surfaces like the MMR one
     val stanzas = Vector(Vector("Scan Title"),
