@@ -230,6 +230,22 @@ object Gen {
           ("subject", TextGen.titleLine(rng, lang)),
           ("person.first", TextGen.titleLine(rng, lang)),
           ("person.last", TextGen.titleLine(rng, lang)))
+      else Vector.empty,
+      // ~1-in-5 carry an outline (chapters with nested sections); the
+      // titles extract as document-end lines
+      outline = if (rng.nextInt(5) == 0) {
+        val b = Vector.newBuilder[(Int, String)]
+        for (_ <- 0 until (1 + rng.nextInt(3))) {
+          b += ((0, TextGen.titleLine(rng, lang)))
+          for (_ <- 0 until rng.nextInt(3)) b += ((1, TextGen.titleLine(rng, lang)))
+        }
+        b.result()
+      } else Vector.empty,
+      // ~1-in-8 carry attachments (PDF/A-3 invoice shape): names+count
+      // surface as metadata
+      embeddedFiles = if (rng.nextInt(8) == 0)
+        Vector.tabulate(1 + rng.nextInt(2))(i =>
+          (s"attach-$i.txt", TextGen.titleLine(rng, lang)))
       else Vector.empty)
     val bytes = PdfWriter.write(spec)
     val ref = s"m-$docId-$k"

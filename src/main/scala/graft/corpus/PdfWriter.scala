@@ -65,7 +65,15 @@ object PdfWriter {
       // "person.first" builds a parent field with /Kids so the kernel's
       // qualified-name join is exercised. Each terminal field
       // contributes a trailing "name: value" line.
-      formFields: Vector[(String, String)] = Vector.empty)
+      formFields: Vector[(String, String)] = Vector.empty,
+      // outline (bookmark) tree as a depth-first (depth, title) list;
+      // a depth-d+1 item nests under the nearest preceding depth-d one.
+      // Titles extract as document-end lines before the form fields.
+      outline: Vector[(Int, String)] = Vector.empty,
+      // embedded files (attachments) as (filename, text content):
+      // /Names /EmbeddedFiles filespecs + /EF streams — metadata-only
+      // on extraction (names + count)
+      embeddedFiles: Vector[(String, String)] = Vector.empty)
 
   /** Fax image geometry + the analytic bilevel plane (1 = black, packed
     * MSB-first at stride ceil(w/8)) a faxK image decodes to: thresholded
@@ -98,8 +106,9 @@ object PdfWriter {
     }
     sb.append('\n')
     // annotation lines follow the page body (Link shows its URI), then
-    // AcroForm terminal fields as "name: value"
+    // outline titles, then AcroForm terminal fields as "name: value"
     for ((_, content) <- spec.annots) sb.append(content).append('\n')
+    for ((_, title) <- spec.outline) sb.append(title).append('\n')
     for ((n, v) <- spec.formFields) sb.append(n).append(": ").append(v).append('\n')
     sb.toString
   }
@@ -310,6 +319,49 @@ object PdfWriter {
       }
     }
     val fieldObjsV = fieldObjs.result()
+
+    // outline tree: flat depth-first (depth, title) -> linked objects.
+    // parent = nearest preceding shallower item; siblings share a parent.
+    val outlineRootNum = if (spec.outline.isEmpty) -1 else fnum
+    val outlineObjs = Vector.newBuilder[(Int, String)]
+    if (spec.outline.nonEmpty) {
+      val n = spec.outline.length
+      val nums = Array.tabulate(n)(outlineRootNum + 1 + _)
+      val parent = Array.fill(n)(-1) // -1 = root
+      for (i <- 0 until n; if spec.outline(i)._1 > 0) {
+        var j = i - 1
+        while (j >= 0 && spec.outline(j)._1 >= spec.outline(i)._1) j -= 1
+        parent(i) = if (j >= 0) j else -1
+      }
+      def kidsOf(p: Int): Vector[Int] =
+        (0 until n).filter(parent(_) == p).toVector
+      val top = kidsOf(-1)
+      outlineObjs += ((outlineRootNum,
+        s"<< /Type /Outlines /First ${nums(top.head)} 0 R " +
+          s"/Last ${nums(top.last)} 0 R /Count $n >>"))
+      for (i <- 0 until n) {
+        val sibs = kidsOf(parent(i))
+        val at = sibs.indexOf(i)
+        val kids = kidsOf(i)
+        val sb = new StringBuilder(s"<< /Title ${pdfStr(nums(i), spec.outline(i)._2)}")
+        sb.append(s" /Parent ${if (parent(i) < 0) outlineRootNum else nums(parent(i))} 0 R")
+        if (at > 0) sb.append(s" /Prev ${nums(sibs(at - 1))} 0 R")
+        if (at < sibs.length - 1) sb.append(s" /Next ${nums(sibs(at + 1))} 0 R")
+        if (kids.nonEmpty)
+          sb.append(s" /First ${nums(kids.head)} 0 R /Last ${nums(kids.last)} 0 R" +
+            s" /Count ${kids.length}")
+        sb.append(" >>")
+        outlineObjs += ((nums(i), sb.toString))
+      }
+      fnum += 1 + n
+    }
+    val outlineObjsV = outlineObjs.result()
+
+    // embedded files: filespec + /EmbeddedFile stream per attachment
+    val efBase = fnum
+    val efSpecNums = spec.embeddedFiles.indices.map(efBase + 2 * _)
+    fnum += 2 * spec.embeddedFiles.length
+
     val acroFormEntry =
       if (spec.formFields.isEmpty) ""
       else " /AcroForm << /Fields [ " +
@@ -317,6 +369,14 @@ object PdfWriter {
     val annotsEntry =
       if (spec.annots.isEmpty) ""
       else "/Annots [ " + annotNums.map(n => s"$n 0 R").mkString(" ") + " ] "
+    val outlinesEntry =
+      if (spec.outline.isEmpty) "" else s" /Outlines $outlineRootNum 0 R"
+    val namesEntry =
+      if (spec.embeddedFiles.isEmpty) ""
+      else " /Names << /EmbeddedFiles << /Names [ " +
+        spec.embeddedFiles.zip(efSpecNums).map { case ((name, _), num) =>
+          s"${pdfStr(2, name)} $num 0 R" // label strings live in obj 2
+        }.mkString(" ") + " ] >> >>"
 
     if (spec.objStm) {
       require(spec.xrefStream, "objStm implies xrefStream")
@@ -336,7 +396,7 @@ object PdfWriter {
         s"/Creator ${infoStr(1, "graftgen")} /Producer ${infoStr(1, "graft synthetic corpus")} " +
         s"/CreationDate ${infoStr(1, "D:20200723174639+02'00'")} " +
         s"/ModDate ${infoStr(1, "D:20200724081500Z")} >>",
-      s"<< /Type /Catalog /Pages 3 0 R$acroFormEntry >>",
+      s"<< /Type /Catalog /Pages 3 0 R$acroFormEntry$outlinesEntry$namesEntry >>",
       "<< /Type /Pages /MediaBox [0 0 612 792] /Count 1 /Kids [ 4 0 R ] >>", {
         val xobjRes = if (spec.imageSeed != 0) "/XObject << /Im1 8 0 R >> " else ""
         s"<< /Type /Page /Parent 3 0 R /Resources << /Font << /F1 5 0 R >> $xobjRes>> " +
@@ -437,6 +497,24 @@ object PdfWriter {
     }
     fieldObjsV.foreach { case (num, body) =>
       obj(s2b(s"$num 0 obj\n$body\nendobj\n"))
+    }
+    outlineObjsV.foreach { case (num, body) =>
+      obj(s2b(s"$num 0 obj\n$body\nendobj\n"))
+    }
+    spec.embeddedFiles.zip(efSpecNums).foreach { case ((name, content), specNum) =>
+      val streamNum = specNum + 1
+      obj(s2b(s"$specNum 0 obj\n<< /Type /Filespec /F ${pdfStr(specNum, name)} " +
+        s"/UF ${pdfStr(specNum, name)} /EF << /F $streamNum 0 R >> >>\nendobj\n"))
+      obj {
+        val enc = encStream(streamNum,
+          deflate(content.getBytes(StandardCharsets.UTF_8)))
+        val b = new ByteArrayOutputStream()
+        b.write(s2b(s"$streamNum 0 obj\n<< /Type /EmbeddedFile " +
+          s"/Filter /FlateDecode /Length ${enc.length} >>\nstream\n"))
+        b.write(enc)
+        b.write(s2b("\nendstream\nendobj\n"))
+        b.toByteArray
+      }
     }
     var objStmNum = -1
     if (spec.objStm) {

@@ -314,18 +314,21 @@ object PdfKernel {
 
     val pages = doc.pages
     val pageTexts = pages.map(p => pageText(doc, p))
-    // annotation text follows its page's body (the order Tika's PDF
-    // handler emits it); AcroForm field lines follow the last page
+    // annotation text follows its page's body; document-end surface in
+    // the reference's order: outline (bookmark) titles, then AcroForm
+    // field lines
     val annots = pages.map(p => pageAnnotations(doc, p))
+    val bookmarks = outlineTitles(doc)
     val fields = acroFields(doc)
     val fieldLines = fields.map { case (n, v) => s"$n: $v" }
+    val tailLines = bookmarks ++ fieldLines
     val allLines = pages.indices.toVector.flatMap(i =>
-      pageTexts(i)._1 ++ annots(i).map(_._2)) ++ fieldLines
+      pageTexts(i)._1 ++ annots(i).map(_._2)) ++ tailLines
     val body = pages.indices.map { i =>
       val base = pageTexts(i)._2
       val al = annots(i)
       if (al.isEmpty) base else base + al.map(_._2 + "\n").mkString
-    }.mkString("") + fieldLines.map(_ + "\n").mkString
+    }.mkString("") + tailLines.map(_ + "\n").mkString
     val unmapped = pageTexts.map(_._3).sum
     var meta = infoMetadata(doc, version, pages.length, body, unmapped)
     val annotTypes = annots.flatten.map(_._1)
@@ -334,6 +337,11 @@ object PdfKernel {
     if (doc.root.exists(r =>
         doc.deref(r.m.getOrElse("AcroForm", PNull)).exists(_.isInstanceOf[PDict])))
       meta += ("pdf:hasAcroFormFields" -> fields.nonEmpty.toString)
+    val embedded = embeddedFileNames(doc)
+    if (embedded.nonEmpty) {
+      meta += ("pdf:embeddedFileCount" -> embedded.length.toString)
+      meta += ("pdf:embeddedFileNames" -> embedded.take(8).mkString(","))
+    }
     // embedded image XObjects: count + dims + filters (the Tika-delegate
     // "embedded resources" surface, as string metadata per the data model)
     val images = pages.flatMap(p => pageImages(doc, p))
@@ -456,6 +464,97 @@ object PdfKernel {
       case o => doc.deref(o).collect { case d: PDict => walk(d, "", 0) }
     }
     out.result()
+  }
+
+  /** Outline (bookmark) titles, depth-first in /First-/Next order — the
+    * reference's default surface (Tika extracts bookmark text unless
+    * disabled; rika keeps the default). Cycle- and count-capped.
+    */
+  private def outlineTitles(doc: Doc): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val seen = scala.collection.mutable.Set[Int]()
+    var n = 0
+    def walk(item: PObj, depth: Int): Unit = {
+      var cur = item
+      var guard = 0
+      while (guard < 4096 && n < 4096) {
+        guard += 1
+        val d = (cur match {
+          case r @ PRef(num, _) =>
+            if (!seen.add(num)) return
+            doc.deref(r)
+          case o => Some(o)
+        }).collect { case x: PDict => x }.getOrElse(return)
+        d.m.get("Title").flatMap {
+          case PStr(b) => Some(decodePdfString(b))
+          case r: PRef => doc.deref(r).collect { case PStr(b) => decodePdfString(b) }
+          case _       => None
+        }.filter(_.nonEmpty).foreach { t => out += t; n += 1 }
+        if (depth < 32) d.m.get("First").foreach(walk(_, depth + 1))
+        d.m.get("Next") match {
+          case Some(nx) => cur = nx
+          case None     => return
+        }
+      }
+    }
+    for {
+      root <- doc.root
+      ol <- doc.deref(root.m.getOrElse("Outlines", PNull))
+        .collect { case d: PDict => d }
+      first <- ol.m.get("First")
+    } walk(first, 0)
+    out.result()
+  }
+
+  /** Embedded-file (attachment) names from the /Names /EmbeddedFiles
+    * name tree — surfaced as metadata only (names + count), mirroring
+    * the EML/MSG attachment convention: the reference's default parse
+    * does not inline attachment content either.
+    */
+  private def embeddedFileNames(doc: Doc): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val seen = scala.collection.mutable.Set[Int]()
+    def fileName(spec: PObj): Option[String] =
+      doc.deref(spec).collect { case d: PDict => d }.flatMap { d =>
+        d.m.get("UF").orElse(d.m.get("F")).flatMap {
+          case PStr(b) => Some(decodePdfString(b))
+          case r: PRef => doc.deref(r).collect { case PStr(b) => decodePdfString(b) }
+          case _       => None
+        }
+      }
+    def walk(node: PObj, depth: Int): Unit = {
+      if (depth > 16) return
+      node match {
+        case PRef(num, _) if !seen.add(num) => return
+        case _                              => ()
+      }
+      doc.deref(node).collect { case d: PDict => d }.foreach { d =>
+        d.m.get("Names").flatMap(doc.deref) match {
+          case Some(PArr(items)) =>
+            // alternating (name string, filespec) pairs
+            var i = 0
+            while (i + 1 < items.length) {
+              val label = doc.deref(items(i)).collect {
+                case PStr(b) => decodePdfString(b)
+              }
+              out += fileName(items(i + 1)).orElse(label).getOrElse("")
+              i += 2
+            }
+          case _ => ()
+        }
+        d.m.get("Kids").flatMap(doc.deref) match {
+          case Some(PArr(kids)) => kids.foreach(walk(_, depth + 1))
+          case _                => ()
+        }
+      }
+    }
+    for {
+      root <- doc.root
+      names <- doc.deref(root.m.getOrElse("Names", PNull))
+        .collect { case d: PDict => d }
+      ef <- names.m.get("EmbeddedFiles")
+    } walk(ef, 0)
+    out.result().filter(_.nonEmpty)
   }
 
   /** One page's (lines, text-with-layout, unmapped-glyph count). Text =

@@ -504,6 +504,38 @@ class KernelSpec extends AnyFunSuite {
     assert(outImg.metadata.get("pdf:imageCount").contains("1"))
   }
 
+  test("E3 outline+attachments: bookmark titles extract in tree order; embedded-file names surface as metadata") {
+    import graft.corpus.PdfWriter
+    val stanzas = Vector(Vector("Outlined Title"),
+      Vector("first body line", "second body line", "third line here"))
+    val plain = PdfWriter.Spec("Outlined Title", "An Author", stanzas,
+      useKernSpaces = false)
+    val spec = plain.copy(
+      outline = Vector((0, "Chapter One"), (1, "Section 1.1"),
+        (1, "Раздел 1.2"), (0, "Chapter Two"), (1, "Section 2.1")),
+      embeddedFiles = Vector(("invoice.xml", "<inv total='42'/>"),
+        ("данные.txt", "payload text")),
+      formFields = Vector(("rating", "5")))
+    val outPlain = PdfKernel.extract(PdfWriter.write(plain))
+    val out = PdfKernel.extract(PdfWriter.write(spec))
+    assert(out.text == PdfWriter.expectedText(spec))
+    // depth-first title order, before the form fields
+    assert(out.text.stripPrefix(outPlain.text) ==
+      "Chapter One\nSection 1.1\nРаздел 1.2\nChapter Two\nSection 2.1\n" +
+        "rating: 5\n")
+    assert(out.metadata.get("pdf:embeddedFileCount").contains("2"))
+    assert(out.metadata.get("pdf:embeddedFileNames")
+      .contains("invoice.xml,данные.txt"))
+    assert(outPlain.metadata.get("pdf:embeddedFileCount").isEmpty)
+    // encrypted + modern (ObjStm) layouts carry the same surface
+    for (variant <- Seq(spec.copy(encrypt = "aes256"),
+        spec.copy(xrefStream = true, objStm = true))) {
+      val v = PdfKernel.extract(PdfWriter.write(variant))
+      assert(v.text == PdfWriter.expectedText(spec))
+      assert(v.metadata.get("pdf:embeddedFileCount").contains("2"))
+    }
+  }
+
   test("E3 filters: LZWDecode / ASCII85 / RunLength content streams round-trip") {
     import graft.corpus.PdfWriter
     val stanzas = Vector(Vector("Filter Title"),
