@@ -246,7 +246,12 @@ object Gen {
       embeddedFiles = if (rng.nextInt(8) == 0)
         Vector.tabulate(1 + rng.nextInt(2))(i =>
           (s"attach-$i.txt", TextGen.titleLine(rng, lang)))
-      else Vector.empty)
+      else Vector.empty,
+      // ~1-in-3 carry an XMP packet (the modern-producer default);
+      // half of those add a dc:description only XMP has
+      xmp = rng.nextInt(3) == 0,
+      xmpDescription =
+        if (rng.nextBoolean()) TextGen.titleLine(rng, lang) else "")
     val bytes = PdfWriter.write(spec)
     val ref = s"m-$docId-$k"
     Piece("pdf", Span("pdf", null, ref, -1),

@@ -73,7 +73,12 @@ object PdfWriter {
       // embedded files (attachments) as (filename, text content):
       // /Names /EmbeddedFiles filespecs + /EF streams — metadata-only
       // on extraction (names + count)
-      embeddedFiles: Vector[(String, String)] = Vector.empty)
+      embeddedFiles: Vector[(String, String)] = Vector.empty,
+      // emit an XMP packet (/Root /Metadata) mirroring the Info title/
+      // author, plus a dc:description only XMP carries (so the XMP path
+      // is observable: dc:description must surface from it)
+      xmp: Boolean = false,
+      xmpDescription: String = "")
 
   /** Fax image geometry + the analytic bilevel plane (1 = black, packed
     * MSB-first at stride ceil(w/8)) a faxK image decodes to: thresholded
@@ -361,6 +366,7 @@ object PdfWriter {
     val efBase = fnum
     val efSpecNums = spec.embeddedFiles.indices.map(efBase + 2 * _)
     fnum += 2 * spec.embeddedFiles.length
+    val xmpNum = if (spec.xmp) { val n = fnum; fnum += 1; n } else -1
 
     val acroFormEntry =
       if (spec.formFields.isEmpty) ""
@@ -377,6 +383,7 @@ object PdfWriter {
         spec.embeddedFiles.zip(efSpecNums).map { case ((name, _), num) =>
           s"${pdfStr(2, name)} $num 0 R" // label strings live in obj 2
         }.mkString(" ") + " ] >> >>"
+    val metadataEntry = if (spec.xmp) s" /Metadata $xmpNum 0 R" else ""
 
     if (spec.objStm) {
       require(spec.xrefStream, "objStm implies xrefStream")
@@ -396,7 +403,7 @@ object PdfWriter {
         s"/Creator ${infoStr(1, "graftgen")} /Producer ${infoStr(1, "graft synthetic corpus")} " +
         s"/CreationDate ${infoStr(1, "D:20200723174639+02'00'")} " +
         s"/ModDate ${infoStr(1, "D:20200724081500Z")} >>",
-      s"<< /Type /Catalog /Pages 3 0 R$acroFormEntry$outlinesEntry$namesEntry >>",
+      s"<< /Type /Catalog /Pages 3 0 R$acroFormEntry$outlinesEntry$namesEntry$metadataEntry >>",
       "<< /Type /Pages /MediaBox [0 0 612 792] /Count 1 /Kids [ 4 0 R ] >>", {
         val xobjRes = if (spec.imageSeed != 0) "/XObject << /Im1 8 0 R >> " else ""
         s"<< /Type /Page /Parent 3 0 R /Resources << /Font << /F1 5 0 R >> $xobjRes>> " +
@@ -511,6 +518,34 @@ object PdfWriter {
         val b = new ByteArrayOutputStream()
         b.write(s2b(s"$streamNum 0 obj\n<< /Type /EmbeddedFile " +
           s"/Filter /FlateDecode /Length ${enc.length} >>\nstream\n"))
+        b.write(enc)
+        b.write(s2b("\nendstream\nendobj\n"))
+        b.toByteArray
+      }
+    }
+    if (spec.xmp) {
+      def xesc(s: String): String = s.replace("&", "&amp;")
+        .replace("<", "&lt;").replace(">", "&gt;")
+      val desc =
+        if (spec.xmpDescription.isEmpty) ""
+        else "   <dc:description><rdf:Alt><rdf:li xml:lang=\"x-default\">" +
+          xesc(spec.xmpDescription) + "</rdf:li></rdf:Alt></dc:description>\n"
+      val packet =
+        "<?xpacket begin=\"" + 0xFEFF.toChar + "\" id=\"W5M0MpCehiHzreSzNTczkc9d\"?>\n" +
+          "<x:xmpmeta xmlns:x=\"adobe:ns:meta/\">\n" +
+          " <rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">\n" +
+          "  <rdf:Description rdf:about=\"\" xmlns:dc=\"http://purl.org/dc/elements/1.1/\">\n" +
+          "   <dc:title><rdf:Alt><rdf:li xml:lang=\"x-default\">" +
+          xesc(spec.title) + "</rdf:li></rdf:Alt></dc:title>\n" +
+          "   <dc:creator><rdf:Seq><rdf:li>" + xesc(spec.author) +
+          "</rdf:li></rdf:Seq></dc:creator>\n" + desc +
+          "  </rdf:Description>\n </rdf:RDF>\n</x:xmpmeta>\n" +
+          "<?xpacket end=\"w\"?>"
+      obj {
+        val enc = encStream(xmpNum, packet.getBytes(StandardCharsets.UTF_8))
+        val b = new ByteArrayOutputStream()
+        b.write(s2b(s"$xmpNum 0 obj\n<< /Type /Metadata /Subtype /XML " +
+          s"/Length ${enc.length} >>\nstream\n"))
         b.write(enc)
         b.write(s2b("\nendstream\nendobj\n"))
         b.toByteArray

@@ -342,6 +342,13 @@ object PdfKernel {
       meta += ("pdf:embeddedFileCount" -> embedded.length.toString)
       meta += ("pdf:embeddedFileNames" -> embedded.take(8).mkString(","))
     }
+    // XMP packet: fills dc: holes the Info dict left (Info wins overlap)
+    val xmp = xmpMetadata(doc)
+    xmp.get("title").foreach(v =>
+      if (!meta.contains("dc:title")) meta += ("dc:title" -> v))
+    xmp.get("creator").foreach(v =>
+      if (!meta.contains("dc:creator")) meta += ("dc:creator" -> v))
+    xmp.get("description").foreach(v => meta += ("dc:description" -> v))
     // embedded image XObjects: count + dims + filters (the Tika-delegate
     // "embedded resources" surface, as string metadata per the data model)
     val images = pages.flatMap(p => pageImages(doc, p))
@@ -555,6 +562,55 @@ object PdfKernel {
       ef <- names.m.get("EmbeddedFiles")
     } walk(ef, 0)
     out.result().filter(_.nonEmpty)
+  }
+
+  /** XMP metadata stream (/Root /Metadata, the ISO 16684 packet real
+    * producers embed alongside the Info dict): dc:title / dc:creator /
+    * dc:description from the first rdf:li of each. Matching is by local
+    * name inside the dc element (the packet's namespace story is fixed
+    * in practice). Returns raw field -> value; the caller merges with
+    * Info-wins precedence — dc:description has no Info counterpart, so
+    * XMP is its only source.
+    */
+  private def xmpMetadata(doc: Doc): Map[String, String] = {
+    val xmlOpt = for {
+      root <- doc.root
+      s <- doc.deref(root.m.getOrElse("Metadata", PNull))
+        .collect { case s: PStream => s }
+    } yield doc.decodeStream(s)
+    xmlOpt match {
+      case Some(xml) if xml.nonEmpty =>
+        try {
+          import javax.xml.stream.XMLStreamConstants._
+          val r = OoxmlUtil.factory.createXMLStreamReader(
+            new java.io.ByteArrayInputStream(xml))
+          var out = Map.empty[String, String]
+          var cur: String = null
+          var inLi = false
+          val buf = new StringBuilder
+          while (r.hasNext) {
+            r.next() match {
+              case START_ELEMENT =>
+                val ln = r.getLocalName
+                if (ln == "title" || ln == "creator" || ln == "description")
+                  cur = ln
+                else if (ln == "li" && cur != null) { inLi = true; buf.setLength(0) }
+              case CHARACTERS | CDATA => if (inLi) buf.append(r.getText)
+              case END_ELEMENT =>
+                val ln = r.getLocalName
+                if (ln == "li" && inLi) {
+                  inLi = false
+                  if (cur != null && buf.nonEmpty && !out.contains(cur))
+                    out += (cur -> buf.toString)
+                } else if (ln == cur) cur = null
+              case _ => ()
+            }
+          }
+          r.close()
+          out
+        } catch { case _: Exception => Map.empty }
+      case _ => Map.empty
+    }
   }
 
   /** One page's (lines, text-with-layout, unmapped-glyph count). Text =

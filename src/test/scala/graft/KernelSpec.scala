@@ -536,6 +536,30 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("E3 xmp: /Metadata packet fills dc: holes, Info dict wins overlap") {
+    import graft.corpus.PdfWriter
+    val stanzas = Vector(Vector("Xmp Title"),
+      Vector("first body line", "second body line", "third line here"))
+    val spec = PdfWriter.Spec("Xmp Title", "An Author", stanzas,
+      useKernSpaces = false, xmp = true, xmpDescription = "résumé of the doc")
+    val out = PdfKernel.extract(PdfWriter.write(spec))
+    // Info-derived values unchanged; the XMP-only field surfaces
+    assert(out.metadata("dc:title") == "Xmp Title")
+    assert(out.metadata("dc:creator") == "An Author")
+    assert(out.metadata.get("dc:description").contains("résumé of the doc"))
+    assert(out.text == PdfWriter.expectedText(spec))
+    // without the packet the key is absent
+    val plain = PdfKernel.extract(PdfWriter.write(spec.copy(xmp = false)))
+    assert(plain.metadata.get("dc:description").isEmpty)
+    // encrypted: metadata stream decrypts like any other
+    val enc = PdfKernel.extract(PdfWriter.write(spec.copy(encrypt = "rc4")))
+    assert(enc.metadata.get("dc:description").contains("résumé of the doc"))
+    // XML escaping round-trips
+    val esc = PdfKernel.extract(PdfWriter.write(
+      spec.copy(xmpDescription = "a < b & c > d")))
+    assert(esc.metadata.get("dc:description").contains("a < b & c > d"))
+  }
+
   test("E3 filters: LZWDecode / ASCII85 / RunLength content streams round-trip") {
     import graft.corpus.PdfWriter
     val stanzas = Vector(Vector("Filter Title"),
