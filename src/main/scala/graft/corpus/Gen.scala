@@ -251,7 +251,13 @@ object Gen {
       // half of those add a dc:description only XMP has
       xmp = rng.nextInt(3) == 0,
       xmpDescription =
-        if (rng.nextBoolean()) TextGen.titleLine(rng, lang) else "")
+        if (rng.nextBoolean()) TextGen.titleLine(rng, lang) else "",
+      // ~1-in-3 of the cp1252-safe-language PDFs drop ToUnicode and map
+      // through /Encoding /WinAnsiEncoding (+ /Differences half the
+      // time) — the dominant real simple-font shape
+      fontEncoding = rng.nextInt(3) == 0 &&
+        (lang == "en" || lang == "de" || lang == "fr" || lang == "es"),
+      fontDiffs = rng.nextBoolean())
     val bytes = PdfWriter.write(spec)
     val ref = s"m-$docId-$k"
     Piece("pdf", Span("pdf", null, ref, -1),

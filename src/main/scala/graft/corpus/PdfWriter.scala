@@ -75,10 +75,16 @@ object PdfWriter {
       // on extraction (names + count)
       embeddedFiles: Vector[(String, String)] = Vector.empty,
       // emit an XMP packet (/Root /Metadata) mirroring the Info title/
-      // author, plus a dc:description only XMP carries (so the XMP path
+      // author, plus a dc:description only XMP has (so the XMP path
       // is observable: dc:description must surface from it)
       xmp: Boolean = false,
-      xmpDescription: String = "")
+      xmpDescription: String = "",
+      // no-ToUnicode font: codes are cp1252 bytes and the font carries
+      // /Encoding /WinAnsiEncoding (the dominant real simple-font
+      // shape). Requires cp1252-encodable text. With fontDiffs, four
+      // letters remap to codes 1..4 through /Differences uniXXXX names.
+      fontEncoding: Boolean = false,
+      fontDiffs: Boolean = false)
 
   /** Fax image geometry + the analytic bilevel plane (1 = black, packed
     * MSB-first at stride ceil(w/8)) a faxK image decodes to: thresholded
@@ -124,16 +130,35 @@ object PdfWriter {
     // skipping the string delimiters that would need escaping anyway.
     val chars = allText.toSet.toVector.sorted
     require(chars.size <= 200, s"alphabet too large: ${chars.size}")
-    val codeOf: Map[Char, Int] = {
-      var next = 0x21
-      chars.map { c =>
-        val code = next
-        next += 1
-        if (next == '('.toInt || next == ')'.toInt || next == '\\'.toInt) next += 1
-        if (next == '('.toInt || next == ')'.toInt || next == '\\'.toInt) next += 1
-        c -> code
-      }.toMap
-    }
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    // /Differences remaps: four letters onto codes 1..4 — the control
+    // range no cp1252 text byte occupies, so no collisions
+    val fontDiffPairs: Vector[(Int, Char)] =
+      if (spec.fontEncoding && spec.fontDiffs)
+        chars.filter(_.isLetter).take(4).zipWithIndex
+          .map { case (c, i) => (1 + i, c) }
+      else Vector.empty
+    val codeOf: Map[Char, Int] =
+      if (spec.fontEncoding) {
+        val diffOf = fontDiffPairs.map { case (code, c) => c -> code }.toMap
+        chars.map { c =>
+          c -> diffOf.getOrElse(c, {
+            val b = c.toString.getBytes(cp1252)
+            require(b.length == 1 && new String(b, cp1252) == c.toString,
+              s"not cp1252-encodable: $c")
+            b(0) & 0xff
+          })
+        }.toMap
+      } else {
+        var next = 0x21
+        chars.map { c =>
+          val code = next
+          next += 1
+          if (next == '('.toInt || next == ')'.toInt || next == '\\'.toInt) next += 1
+          if (next == '('.toInt || next == ')'.toInt || next == '\\'.toInt) next += 1
+          c -> code
+        }.toMap
+      }
     val spaceCode = codeOf.get(' ')
 
     // content stream: one BT/Tm/TJ per line, y descending.
@@ -409,8 +434,18 @@ object PdfWriter {
         s"<< /Type /Page /Parent 3 0 R /Resources << /Font << /F1 5 0 R >> $xobjRes>> " +
           s"/Contents 6 0 R $annotsEntry/MediaBox [0 0 612 792] >>"
       },
-      "<< /Type /Font /Subtype /TrueType /BaseFont /GRAFT+Synth " +
-        "/FirstChar 33 /LastChar 255 /ToUnicode 7 0 R >>")
+      if (spec.fontEncoding) {
+        val encEntry =
+          if (fontDiffPairs.isEmpty) "/Encoding /WinAnsiEncoding"
+          else "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+            "/Differences [ " + fontDiffPairs.map { case (code, c) =>
+              f"$code /uni${c.toInt}%04X"
+            }.mkString(" ") + " ] >>"
+        "<< /Type /Font /Subtype /TrueType /BaseFont /GRAFT+Synth " +
+          s"/FirstChar 32 /LastChar 255 $encEntry >>"
+      } else
+        "<< /Type /Font /Subtype /TrueType /BaseFont /GRAFT+Synth " +
+          "/FirstChar 33 /LastChar 255 /ToUnicode 7 0 R >>")
     if (!spec.objStm) {
       dictBodies.zipWithIndex.foreach { case (d, i) =>
         obj(s2b(s"${i + 1} 0 obj\n$d\nendobj\n"))

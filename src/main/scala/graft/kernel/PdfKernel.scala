@@ -730,7 +730,116 @@ object PdfKernel {
       case Some(s: PStream) => parseCMap(doc.decodeStream(s))
       case _                => Map.empty[Int, String]
     }
-    Font(cmap, twoByte)
+    if (cmap.nonEmpty || twoByte) Font(cmap, twoByte)
+    else {
+      // no ToUnicode: simple fonts map through /Encoding — a base
+      // encoding (WinAnsi == cp1252; Standard/MacRoman approximate to
+      // it, documented subset) overridden by /Differences glyph names.
+      // This is how most real single-byte-font PDFs carry their text.
+      doc.deref(fd.m.getOrElse("Encoding", PNull)) match {
+        case Some(PName(_)) => Font(winAnsiTable, twoByte = false)
+        case Some(d: PDict) =>
+          var table = winAnsiTable
+          doc.deref(d.m.getOrElse("Differences", PNull)) match {
+            case Some(PArr(items)) =>
+              var code = -1
+              items.foreach {
+                case PNum(v) if v >= 0 && v <= 255 => code = v.toInt
+                case PName(n) if code >= 0 && code <= 255 =>
+                  glyphToText(n).foreach(t => table += (code -> t))
+                  code += 1
+                case _ => ()
+              }
+            case _ => ()
+          }
+          Font(table, twoByte = false)
+        case _ => Font(Map.empty, twoByte = false)
+      }
+    }
+  }
+
+  /** WinAnsiEncoding (≡ windows-1252) as code -> text for the printable
+    * range; undefined cp1252 slots stay unmapped (they count as
+    * unmapped glyphs, like PDFBox's .notdef handling).
+    */
+  private lazy val winAnsiTable: Map[Int, String] = {
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    (0x20 to 0xff).flatMap { code =>
+      val s = new String(Array(code.toByte), cs)
+      if (s.length == 1 && s.charAt(0) != 0xfffd.toChar) Some(code -> s) else None
+    }.toMap
+  }
+
+  /** Adobe Glyph List subset for /Differences resolution: the ASCII
+    * block by name, the Latin-1/cp1252 names, and the uniXXXX / uXXXXXX
+    * algorithmic forms (AGL specification rules).
+    */
+  private def glyphToText(name: String): Option[String] =
+    GlyphNames.get(name).orElse {
+      if (name.startsWith("uni") && name.length >= 7)
+        hexChar(name.substring(3, 7))
+      else if (name.startsWith("u") && (name.length == 5 || name.length == 7))
+        hexChar(name.substring(1))
+      else None
+    }
+
+  private def hexChar(h: String): Option[String] =
+    try {
+      val cp = Integer.parseInt(h, 16)
+      if (cp >= 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
+        Some(new String(Character.toChars(cp)))
+      else None
+    } catch { case _: NumberFormatException => None }
+
+  private lazy val GlyphNames: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    for (c <- 'A' to 'Z') b += (c.toString -> c.toString)
+    for (c <- 'a' to 'z') b += (c.toString -> c.toString)
+    b ++= Seq(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+      "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+      "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+      "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~",
+      "exclamdown" -> "¡", "cent" -> "¢", "sterling" -> "£", "yen" -> "¥",
+      "section" -> "§", "copyright" -> "©", "ordfeminine" -> "ª",
+      "guillemotleft" -> "«", "registered" -> "®", "degree" -> "°",
+      "plusminus" -> "±", "mu" -> "µ", "paragraph" -> "¶",
+      "periodcentered" -> "·", "ordmasculine" -> "º", "guillemotright" -> "»",
+      "onequarter" -> "¼", "onehalf" -> "½", "threequarters" -> "¾",
+      "questiondown" -> "¿",
+      "Agrave" -> "À", "Aacute" -> "Á", "Acircumflex" -> "Â", "Atilde" -> "Ã",
+      "Adieresis" -> "Ä", "Aring" -> "Å", "AE" -> "Æ", "Ccedilla" -> "Ç",
+      "Egrave" -> "È", "Eacute" -> "É", "Ecircumflex" -> "Ê", "Edieresis" -> "Ë",
+      "Igrave" -> "Ì", "Iacute" -> "Í", "Icircumflex" -> "Î", "Idieresis" -> "Ï",
+      "Eth" -> "Ð", "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó",
+      "Ocircumflex" -> "Ô", "Otilde" -> "Õ", "Odieresis" -> "Ö", "Oslash" -> "Ø",
+      "Ugrave" -> "Ù", "Uacute" -> "Ú", "Ucircumflex" -> "Û", "Udieresis" -> "Ü",
+      "Yacute" -> "Ý", "Thorn" -> "Þ", "germandbls" -> "ß",
+      "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â", "atilde" -> "ã",
+      "adieresis" -> "ä", "aring" -> "å", "ae" -> "æ", "ccedilla" -> "ç",
+      "egrave" -> "è", "eacute" -> "é", "ecircumflex" -> "ê", "edieresis" -> "ë",
+      "igrave" -> "ì", "iacute" -> "í", "icircumflex" -> "î", "idieresis" -> "ï",
+      "eth" -> "ð", "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+      "ocircumflex" -> "ô", "otilde" -> "õ", "odieresis" -> "ö", "oslash" -> "ø",
+      "ugrave" -> "ù", "uacute" -> "ú", "ucircumflex" -> "û", "udieresis" -> "ü",
+      "yacute" -> "ý", "thorn" -> "þ", "ydieresis" -> "ÿ",
+      "OE" -> "Œ", "oe" -> "œ", "Scaron" -> "Š", "scaron" -> "š",
+      "Zcaron" -> "Ž", "zcaron" -> "ž", "Ydieresis" -> "Ÿ", "florin" -> "ƒ",
+      "circumflex" -> "ˆ", "tilde" -> "˜", "endash" -> "–", "emdash" -> "—",
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotesinglbase" -> "‚", "quotedblleft" -> "“",
+      "quotedblright" -> "”", "quotedblbase" -> "„", "dagger" -> "†",
+      "daggerdbl" -> "‡", "bullet" -> "•", "ellipsis" -> "…",
+      "perthousand" -> "‰", "guilsinglleft" -> "‹", "guilsinglright" -> "›",
+      "Euro" -> "€", "trademark" -> "™")
+    b.result()
   }
 
   /** ToUnicode CMap: codespacerange ignored (we key on code ints),

@@ -560,6 +560,45 @@ class KernelSpec extends AnyFunSuite {
     assert(esc.metadata.get("dc:description").contains("a < b & c > d"))
   }
 
+  test("E3 encoding: no-ToUnicode fonts map via /Encoding WinAnsi + /Differences") {
+    import graft.corpus.PdfWriter
+    val stanzas = Vector(Vector("Führer über größe"),
+      Vector("déjà vu — café crème", "mañana señor œuvre", "plain ascii line"))
+    val base = PdfWriter.Spec("Führer über größe", "An Author", stanzas,
+      useKernSpaces = false)
+    // name-form /Encoding /WinAnsiEncoding
+    val plainEnc = base.copy(fontEncoding = true)
+    val out1 = PdfKernel.extract(PdfWriter.write(plainEnc))
+    assert(out1.text == PdfWriter.expectedText(plainEnc))
+    assert(out1.metadata("pdf:unmappedUnicodeCharsPerPage") == "0")
+    // dict-form with /Differences (uniXXXX names on codes 1..4)
+    val diffEnc = base.copy(fontEncoding = true, fontDiffs = true)
+    val bytes = PdfWriter.write(diffEnc)
+    assert(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("/Differences"))
+    val out2 = PdfKernel.extract(bytes)
+    assert(out2.text == PdfWriter.expectedText(diffEnc))
+    // kern-space + encrypted + modern layouts on the encoding path
+    for (variant <- Seq(
+        diffEnc.copy(useKernSpaces = true),
+        diffEnc.copy(encrypt = "rc4"),
+        diffEnc.copy(xrefStream = true, objStm = true))) {
+      val v = PdfKernel.extract(PdfWriter.write(variant))
+      assert(v.text == PdfWriter.expectedText(diffEnc))
+    }
+    // AGL-name Differences resolve too (not just uniXXXX): hand-build
+    // a /Differences using named glyphs via the writer's uni form is
+    // pinned above; here pin the name table through a crafted font
+    val crafted = PdfWriter.write(plainEnc)
+    val patched = new String(crafted, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/Encoding /WinAnsiEncoding",
+        "/Encoding << /BaseEncoding /WinAnsiEncoding /Differences [ 252 /udieresis 233 /eacute ] >>")
+    // same glyphs, explicitly named: text identical
+    val out3 = PdfKernel.extract(
+      patched.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(out3.text == PdfWriter.expectedText(plainEnc))
+  }
+
   test("E3 filters: LZWDecode / ASCII85 / RunLength content streams round-trip") {
     import graft.corpus.PdfWriter
     val stanzas = Vector(Vector("Filter Title"),
