@@ -193,6 +193,7 @@ object Gen {
       jbig2 = rng.nextInt(3) == 0,
       jbig2Arith = rng.nextBoolean(),
       jbig2Tpgdon = rng.nextBoolean(),
+      jbig2Template = rng.nextInt(4),
       encrypt = encrypt,
       xrefStream = xrefStream,
       xrefFilter = rng.nextInt(6) match {

@@ -34,7 +34,8 @@ object PdfWriter {
       // body is MMR, or MQ-arithmetic (template 0) when jbig2Arith
       jbig2: Boolean = false,
       jbig2Arith: Boolean = false,
-      jbig2Tpgdon: Boolean = false, // arith mode: typical prediction on
+      jbig2Tpgdon: Boolean = false,  // arith mode: typical prediction on
+      jbig2Template: Int = 0,        // arith mode: GB template 0..3
       // "" = plain; "rc4-40" = V1/R2, "rc4" = V2/R3 128-bit,
       // "aes" = V4/R4 AESV2 — all with EMPTY user+owner passwords
       // (PdfKernel must open them transparently)
@@ -496,7 +497,8 @@ object PdfWriter {
         // analytic plane as the fax shape, T.88 embedded organization
         val fw = FaxW; val fh = FaxH
         val jb = jbig2Embedded(faxPlane(spec.imageSeed), fw, fh,
-          arith = spec.jbig2Arith, tpgdon = spec.jbig2Tpgdon)
+          arith = spec.jbig2Arith, tpgdon = spec.jbig2Tpgdon,
+          template = spec.jbig2Template)
         obj {
           val enc = encStream(8, jb)
           val b = new ByteArrayOutputStream()
@@ -673,7 +675,7 @@ object PdfWriter {
     */
   private[graft] def jbig2Embedded(px: Array[Byte], w: Int, h: Int,
       rx: Int = 0, ry: Int = 0, arith: Boolean = false,
-      tpgdon: Boolean = false): Array[Byte] = {
+      tpgdon: Boolean = false, template: Int = 0): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def be32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
@@ -694,13 +696,13 @@ object PdfWriter {
     // immediate lossless generic region: region info + flags + body —
     // MMR (T.6) or MQ-arithmetic template 0 with nominal AT pixels
     if (arith) {
-      val body = graft.kernel.Jbig2.encodeGenericArith(px, w, h, tpgdon)
-      val at = graft.kernel.Jbig2.nominalAtBytes
+      val body = graft.kernel.Jbig2.encodeGenericArith(px, w, h, tpgdon, template)
+      val at = graft.kernel.Jbig2.nominalAtBytes(template)
       segHeader(1, 39, 18 + at.length + body.length)
       be32(w.toLong); be32(h.toLong); be32(rx.toLong); be32(ry.toLong)
       out.write(0x00) // external combination operator: OR
-      // generic region flags: MMR = 0, template 0, bit 3 = TPGDON
-      out.write(if (tpgdon) 0x08 else 0x00)
+      // generic region flags: MMR = 0, bits 1-2 template, bit 3 TPGDON
+      out.write((if (tpgdon) 0x08 else 0x00) | (template << 1))
       out.write(at)
       out.write(body)
     } else {

@@ -100,58 +100,73 @@ object Jbig2 {
           blackIs1 = true, byteAlign = false)
         .map { case (px, _) => Region(x.toInt, y.toInt, w.toInt, h.toInt, px) }
     } else {
-      // arithmetic (MQ) generic coding: template 0 with nominal AT
+      // arithmetic (MQ) generic coding: templates 0-3 with nominal AT
       // pixels, with or without TPGDON (typical prediction, the
-      // real-encoder default); other templates / adaptive positions
+      // real-encoder default); adaptive (non-nominal) AT positions
       // fail the decode (PDF layer passes the stream through)
-      if (template != 0 || payload.length < 26) return None
+      val at = NominalAt(template)
+      if (payload.length < 18 + at.length) return None
       var i = 0
       var nominal = true
-      while (i < 4) { // AT pairs (dx, dy), signed bytes
-        if (payload(18 + 2 * i) != NominalAt(2 * i) ||
-          payload(19 + 2 * i) != NominalAt(2 * i + 1)) nominal = false
+      while (i < at.length) {
+        if (payload(18 + i) != at(i)) nominal = false
         i += 1
       }
       if (!nominal) return None
-      val body = java.util.Arrays.copyOfRange(payload, 26, payload.length)
-      decodeGenericArith(body, w.toInt, h.toInt, tpgdon == 1)
+      val body = java.util.Arrays.copyOfRange(payload, 18 + at.length, payload.length)
+      decodeGenericArith(body, w.toInt, h.toInt, template, tpgdon == 1)
         .map(px => Region(x.toInt, y.toInt, w.toInt, h.toInt, px))
     }
   }
 
-  /** Nominal AT pixel positions for template 0 (T.88 §6.2.5.3): with
-    * these, the context is the contiguous raster window rows y-2
-    * (x-2..x+2), y-1 (x-3..x+3), y (x-4..x-1) — 16 bits, packed in
+  /** Nominal AT pixel positions per template (T.88 §6.2.5.3): with
+    * these, each template's context is a contiguous raster window —
+    * template 0: rows y-2 (x-2..x+2), y-1 (x-3..x+3), y (x-4..x-1), 16
+    * bits; template 1: (x-1..x+2)/(x-2..x+3)/(x-3..x-1), 13 bits;
+    * template 2: (x-1..x+1)/(x-2..x+2)/(x-2..x-1), 10 bits; template 3
+    * (one reference row): (x-3..x+2)/(x-4..x-1), 10 bits — packed in
     * raster order MSB-first. Encoder and decoder share contextAt, so
     * the pair stays conformance-locked by construction.
     */
-  private val NominalAt: Array[Byte] =
-    Array(3, -1, -3, -1, 2, -2, -2, -2)
+  private val NominalAt: Array[Array[Byte]] = Array(
+    Array(3, -1, -3, -1, 2, -2, -2, -2),
+    Array(3, -1),
+    Array(2, -1),
+    Array(2, -1))
 
   @inline private def bitOf(px: Array[Byte], stride: Int, w: Int, h: Int,
       x: Int, y: Int): Int =
     if (x < 0 || x >= w || y < 0 || y >= h) 0
     else (px(y * stride + (x >> 3)) >> (7 - (x & 7))) & 1
 
-  private def contextAt(px: Array[Byte], stride: Int, w: Int, h: Int,
-      x: Int, y: Int): Int = {
+  // per-template context windows: (dxFrom, dxTo) for rows y-2, y-1, y
+  // (y-2 absent for template 3)
+  private val CtxRows: Array[Array[Int]] = Array(
+    Array(-2, 2, -3, 3, -4, -1),
+    Array(-1, 2, -2, 3, -3, -1),
+    Array(-1, 1, -2, 2, -2, -1),
+    Array(0, -1, -3, 2, -4, -1)) // (0, -1) = empty y-2 row
+
+  private def contextAt(template: Int, px: Array[Byte], stride: Int,
+      w: Int, h: Int, x: Int, y: Int): Int = {
+    val r = CtxRows(template)
     var ctx = 0
-    var dx = -2
-    while (dx <= 2) { ctx = (ctx << 1) | bitOf(px, stride, w, h, x + dx, y - 2); dx += 1 }
-    dx = -3
-    while (dx <= 3) { ctx = (ctx << 1) | bitOf(px, stride, w, h, x + dx, y - 1); dx += 1 }
-    dx = -4
-    while (dx <= -1) { ctx = (ctx << 1) | bitOf(px, stride, w, h, x + dx, y); dx += 1 }
+    var dx = r(0)
+    while (dx <= r(1)) { ctx = (ctx << 1) | bitOf(px, stride, w, h, x + dx, y - 2); dx += 1 }
+    dx = r(2)
+    while (dx <= r(3)) { ctx = (ctx << 1) | bitOf(px, stride, w, h, x + dx, y - 1); dx += 1 }
+    dx = r(4)
+    while (dx <= r(5)) { ctx = (ctx << 1) | bitOf(px, stride, w, h, x + dx, y); dx += 1 }
     ctx
   }
 
-  /** TPGDON's per-row "typical" flag is coded in this fixed context for
-    * GB template 0 (T.88 §6.2.5.7); a typical row copies the row above.
+  /** TPGDON's per-row "typical" flag is coded in a per-template fixed
+    * context (T.88 §6.2.5.7); a typical row copies the row above.
     */
-  private val LtpContext = 0x9B25
+  private val LtpContext = Array(0x9B25, 0x0795, 0x00E5, 0x0195)
 
   private def decodeGenericArith(data: Array[Byte], w: Int, h: Int,
-      tpgdon: Boolean): Option[Array[Byte]] = {
+      template: Int, tpgdon: Boolean): Option[Array[Byte]] = {
     val stride = (w + 7) / 8
     val out = new Array[Byte](stride * h)
     val cx = new Array[Byte](1 << 16)
@@ -159,7 +174,7 @@ object Jbig2 {
     var ltp = 0
     var y = 0
     while (y < h) {
-      if (tpgdon) ltp ^= dec.decode(cx, LtpContext)
+      if (tpgdon) ltp ^= dec.decode(cx, LtpContext(template))
       if (ltp == 1) {
         // typical row: copy the previous (row 0 copies the all-white top)
         if (y > 0)
@@ -167,7 +182,7 @@ object Jbig2 {
       } else {
         var x = 0
         while (x < w) {
-          if (dec.decode(cx, contextAt(out, stride, w, h, x, y)) == 1)
+          if (dec.decode(cx, contextAt(template, out, stride, w, h, x, y)) == 1)
             out(y * stride + (x >> 3)) = (out(y * stride + (x >> 3)) | (0x80 >> (x & 7))).toByte
           x += 1
         }
@@ -182,7 +197,7 @@ object Jbig2 {
     * kept beside the decoder like CcittFax.encode.
     */
   private[graft] def encodeGenericArith(px: Array[Byte], w: Int, h: Int,
-      tpgdon: Boolean = false): Array[Byte] = {
+      tpgdon: Boolean = false, template: Int = 0): Array[Byte] = {
     val stride = (w + 7) / 8
     val cx = new Array[Byte](1 << 16)
     val enc = new MqCoder.Enc
@@ -193,13 +208,13 @@ object Jbig2 {
       if (tpgdon) {
         typical = rowEqualsPrev(px, stride, y)
         val sltp = ltp ^ (if (typical) 1 else 0)
-        enc.encode(cx, LtpContext, sltp)
+        enc.encode(cx, LtpContext(template), sltp)
         ltp ^= sltp
       }
       if (!typical) {
         var x = 0
         while (x < w) {
-          enc.encode(cx, contextAt(px, stride, w, h, x, y),
+          enc.encode(cx, contextAt(template, px, stride, w, h, x, y),
             bitOf(px, stride, w, h, x, y))
           x += 1
         }
@@ -219,8 +234,9 @@ object Jbig2 {
     true
   }
 
-  /** The AT-pixel bytes the writer emits for template 0. */
-  private[graft] def nominalAtBytes: Array[Byte] = NominalAt.clone()
+  /** The AT-pixel bytes the writer emits for a template. */
+  private[graft] def nominalAtBytes(template: Int = 0): Array[Byte] =
+    NominalAt(template).clone()
 
   /** Decode an embedded JBIG2 stream to the page bitmap: (packed 1=black
     * rows, width, height). Page dims come from the page information

@@ -203,15 +203,17 @@ class CcittSpec extends AnyFunSuite {
       kind <- Seq("noise", "runs", "black", "edges", "white")
     } {
       val px = plane(cols, rows, kind, cols * 31L + rows * 7L)
-      for (tpgdon <- Seq(false, true)) {
+      for (tpgdon <- Seq(false, true); template <- 0 to 3) {
         val stream = PdfWriter.jbig2Embedded(px, cols, rows,
-          arith = true, tpgdon = tpgdon)
+          arith = true, tpgdon = tpgdon, template = template)
         graft.kernel.Jbig2.decodeEmbedded(stream) match {
           case Some((page, w, h)) =>
-            assert(w == cols && h == rows, s"$kind ${cols}x$rows tp=$tpgdon dims")
+            assert(w == cols && h == rows,
+              s"$kind ${cols}x$rows tp=$tpgdon gb=$template dims")
             assert(java.util.Arrays.equals(page, px),
-              s"$kind ${cols}x$rows tp=$tpgdon plane")
-          case None => fail(s"$kind ${cols}x$rows tp=$tpgdon: decode failed")
+              s"$kind ${cols}x$rows tp=$tpgdon gb=$template plane")
+          case None =>
+            fail(s"$kind ${cols}x$rows tp=$tpgdon gb=$template: decode failed")
         }
         // truncations never crash
         graft.kernel.Jbig2.decodeEmbedded(
