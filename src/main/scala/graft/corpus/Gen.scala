@@ -687,12 +687,21 @@ object Gen {
     val brand = if (rng.nextBoolean()) "isom" else "mp42"
     val movieTs = 1000 * (1 + rng.nextInt(90))
     val w = 16 * (1 + rng.nextInt(120)); val h = 16 * (1 + rng.nextInt(68))
+    // ~1-in-3 carry iTunes-style ilst tags (title/artist/album/year)
+    val tags =
+      if (rng.nextInt(3) == 0) Vector(
+        "©nam" -> TextGen.titleLine(rng, "en"),
+        "©ART" -> TextGen.titleLine(rng, "en"),
+        "©alb" -> TextGen.titleLine(rng, "en"),
+        "©day" -> (1980 + rng.nextInt(45)).toString)
+      else Vector.empty
     if (rng.nextInt(5) == 0) {
       // 1-in-5 keeps the legacy metadata-only shape (no sample tables):
       // the real world has fragmented/edited files; the block fallback
       // path must stay exercised
       mediaPiece("mp4", Mp4Writer.write(Mp4Writer.Spec(
-        brand, movieTs, 1000L + rng.nextInt(1 << 20), w, h)), docId, k)
+        brand, movieTs, 1000L + rng.nextInt(1 << 20), w, h,
+        tags = tags)), docId, k)
     } else {
       val mediaTs = Vector(600, 1000, 12288, 15360, 24000, 30000)(rng.nextInt(6))
       val n = 12 + rng.nextInt(48)
@@ -717,7 +726,7 @@ object Gen {
       mediaPiece("mp4", Mp4Writer.write(Mp4Writer.Spec(
         brand, movieTs, mvhdDur, w, h,
         mediaTimescale = mediaTs, sampleDeltas = deltas, sampleSizes = sizes,
-        samplesPerChunk = chunks, keyframes = keys)), docId, k)
+        samplesPerChunk = chunks, keyframes = keys, tags = tags)), docId, k)
     }
   }
 

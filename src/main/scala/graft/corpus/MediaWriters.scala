@@ -112,7 +112,10 @@ object Mp4Writer {
       sampleDeltas: Seq[Int] = Nil,
       sampleSizes: Seq[Int] = Nil,
       samplesPerChunk: Seq[Int] = Nil,
-      keyframes: Seq[Int] = Nil)
+      keyframes: Seq[Int] = Nil,
+      // iTunes-style moov/udta/meta/ilst tags: 4cc (e.g. "©nam") -> UTF-8
+      // value; Mp4Kernel maps the common five onto dc:/xmpDM: keys
+      tags: Vector[(String, String)] = Vector.empty)
 
   def write(spec: Spec): Array[Byte] = {
     def box(typ: String, body: Array[Byte]): Array[Byte] = {
@@ -120,10 +123,27 @@ object Mp4Writer {
       val size = 8 + body.length
       out.write((size >> 24) & 0xff); out.write((size >> 16) & 0xff)
       out.write((size >> 8) & 0xff); out.write(size & 0xff)
-      out.write(typ.getBytes(StandardCharsets.US_ASCII))
+      // ISO_8859_1: tag 4ccs use the 0xA9 copyright byte
+      out.write(typ.getBytes(StandardCharsets.ISO_8859_1))
       out.write(body)
       out.toByteArray
     }
+    // moov/udta/meta(hdlr mdir + ilst): each tag is a 4cc box wrapping a
+    // "data" full box (type 1 = UTF-8 text, locale 0)
+    val udta: Array[Byte] =
+      if (spec.tags.isEmpty) Array.emptyByteArray
+      else {
+        val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++
+          Array[Byte](0, 0, 0, 0) ++
+          "mdirappl".getBytes(StandardCharsets.ISO_8859_1) ++
+          new Array[Byte](9))
+        val ilst = box("ilst", spec.tags.map { case (k, v) =>
+          box(k.take(4).padTo(4, ' '), box("data",
+            Array[Byte](0, 0, 0, 1) ++ Array[Byte](0, 0, 0, 0) ++
+              v.getBytes(StandardCharsets.UTF_8)))
+        }.reduce(_ ++ _))
+        box("udta", box("meta", Array[Byte](0, 0, 0, 0) ++ hdlr ++ ilst))
+      }
     def u32be(out: ByteArrayOutputStream, v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
       out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
@@ -166,7 +186,7 @@ object Mp4Writer {
     }
     if (spec.sampleDeltas.isEmpty) {
       // legacy metadata-only shape: moov(mvhd, trak(tkhd)) + opaque mdat
-      val moov = box("moov", mvhd ++ box("trak", tkhd))
+      val moov = box("moov", mvhd ++ box("trak", tkhd) ++ udta)
       val mdat = {
         val b = new ByteArrayOutputStream()
         var x = (spec.timescale * 13L) ^ spec.durationUnits
@@ -270,7 +290,7 @@ object Mp4Writer {
       val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stcoBox(offsets) ++ stssOpt)
       val minf = box("minf", stbl)
       val mdia = box("mdia", mdhd ++ minf)
-      box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+      box("moov", mvhd ++ box("trak", tkhd ++ mdia) ++ udta)
     }
 
     // two-phase: stco size is offset-value independent (fixed u32 each),

@@ -125,7 +125,42 @@ object Mp4Kernel {
           case "ftyp" if size >= hdr + 4 =>
             meta += ("major_brand" ->
               new String(bytes, body.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1))
-          case "moov" | "trak" | "mdia" => walk(body, p + size, depth + 1)
+          case "moov" | "trak" | "mdia" | "udta" => walk(body, p + size, depth + 1)
+          case "meta" if size >= hdr + 4 =>
+            walk(body + 4, p + size, depth + 1) // meta is a FULL box
+          case "ilst" =>
+            // iTunes-style tag list: each child is a 4cc box wrapping a
+            // "data" box (type 1 = UTF-8 text at offset 16)
+            var q = body
+            while (q + 8 <= p + size) {
+              val isz = u32(q.toInt)
+              if (isz < 8 || q + isz > p + size) { q = p + size }
+              else {
+                val key = new String(bytes, q.toInt + 4, 4,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                val mapped = key match {
+                  case "©nam" => "dc:title"
+                  case "©ART" => "xmpDM:artist"
+                  case "©alb" => "xmpDM:album"
+                  case "©day" => "xmpDM:releaseDate"
+                  case "©gen" => "xmpDM:genre"
+                  case _           => null
+                }
+                if (mapped != null && q + 8 + 16 <= p + size) {
+                  val dsz = u32(q.toInt + 8)
+                  val dtyp = new String(bytes, q.toInt + 12, 4,
+                    java.nio.charset.StandardCharsets.ISO_8859_1)
+                  val dflags = u32(q.toInt + 16)
+                  if (dtyp == "data" && (dflags & 0xff) == 1 && dsz >= 16 &&
+                    q + 8 + dsz <= p + size) {
+                    val v = new String(bytes, q.toInt + 24, (dsz - 16).toInt,
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    if (v.nonEmpty && !meta.contains(mapped)) meta += (mapped -> v)
+                  }
+                }
+                q += isz
+              }
+            }
           case "mvhd" if size >= hdr + 20 =>
             val version = bytes(body.toInt) & 0xff
             val (timescale, duration) =

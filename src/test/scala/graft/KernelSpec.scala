@@ -1602,6 +1602,37 @@ class KernelSpec extends AnyFunSuite {
     assert(mp4.metadata("Image Height") == "360 pixels")
   }
 
+  test("E23++: MP4 ilst tags (udta/meta) map onto dc:/xmpDM: keys; stco offsets survive") {
+    import graft.corpus.Mp4Writer
+    import graft.kernel.Mp4Kernel
+    val tags = Vector("©nam" -> "Clip Title", "©ART" -> "Artist Ñame",
+      "©alb" -> "The Album", "©day" -> "1997", "©gen" -> "jazz")
+    // legacy metadata-only shape
+    val lite = Extract.extractBytes("mp4", Mp4Writer.write(
+      Mp4Writer.Spec("isom", 1000, 2500L, 320, 240, tags = tags)), Extract.Options())
+    assert(lite.metadata("dc:title") == "Clip Title")
+    assert(lite.metadata("xmpDM:artist") == "Artist Ñame") // UTF-8 value
+    assert(lite.metadata("xmpDM:album") == "The Album")
+    assert(lite.metadata("xmpDM:releaseDate") == "1997")
+    assert(lite.metadata("xmpDM:genre") == "jazz")
+    assert(lite.metadata("xmpDM:duration") == "2.500") // mvhd unaffected
+    // full sample-table shape: udta enlarges moov; chunk offsets must
+    // still point at the true sample bytes (two-phase sizing)
+    val deltas = Vector(100, 100, 100, 100)
+    val full = Mp4Writer.write(Mp4Writer.Spec("isom", 1000, 400L, 320, 240,
+      mediaTimescale = 1000, sampleDeltas = deltas,
+      sampleSizes = Vector(64, 64, 64, 64), samplesPerChunk = Vector(2, 2),
+      tags = tags))
+    assert(Extract.extractBytes("mp4", full, Extract.Options())
+      .metadata("dc:title") == "Clip Title")
+    val st = Mp4Kernel.sampleTable(full).get
+    assert(st.length == 4 && st.forall(_.size == 64))
+    // untagged file: keys absent
+    val plain = Extract.extractBytes("mp4", Mp4Writer.write(
+      Mp4Writer.Spec("isom", 1000, 2500L, 320, 240)), Extract.Options())
+    assert(plain.metadata.get("dc:title").isEmpty)
+  }
+
   test("E23+: MP4 sample tables (stts/stsc/stsz/stco/stss) round-trip exactly") {
     import graft.corpus.Mp4Writer
     import graft.kernel.Mp4Kernel
