@@ -302,6 +302,17 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("mov3"))
         .orderBy("user_id", "event_id")
     }),
+    "q14_percentile" -> ((s, dir) =>
+      // exact interpolated percentiles (sort-based agg) + min/max —
+      // both engines use the p*(n-1) linear-interpolation definition
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy("rf")),
     "q13_pivot" -> ((s, dir) =>
       // pivot: one output column per l_linestatus value (conditional
       // aggregation under the hood — a single shuffle, no joins)
@@ -705,6 +716,13 @@ object SparkEntry {
       """SELECT l_returnflag AS rf,
         |  count(*) FILTER (WHERE l_linestatus = 'F') AS f_n,
         |  count(*) FILTER (WHERE l_linestatus = 'O') AS o_n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+    "q14_percentile" ->
+      """SELECT l_returnflag AS rf,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
         |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
     "q7_sessions" ->
       """WITH base AS (

@@ -258,7 +258,9 @@ object Gen {
       // time) — the dominant real simple-font shape
       fontEncoding = rng.nextInt(3) == 0 &&
         (lang == "en" || lang == "de" || lang == "fr" || lang == "es"),
-      fontDiffs = rng.nextBoolean())
+      fontDiffs = rng.nextBoolean(),
+      // ~1-in-8 paint a raw inline image mid-content (§8.9.7 skip)
+      inlineImage = rng.nextInt(8) == 0)
     val bytes = PdfWriter.write(spec)
     val ref = s"m-$docId-$k"
     Piece("pdf", Span("pdf", null, ref, -1),

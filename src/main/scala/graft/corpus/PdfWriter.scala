@@ -85,7 +85,11 @@ object PdfWriter {
       // shape). Requires cp1252-encodable text. With fontDiffs, four
       // letters remap to codes 1..4 through /Differences uniXXXX names.
       fontEncoding: Boolean = false,
-      fontDiffs: Boolean = false)
+      fontDiffs: Boolean = false,
+      // paint a raw inline image (BI..ID <binary> EI) mid-content — the
+      // payload deliberately contains unbalanced parens/backslashes, so
+      // only a correct §8.9.7 skip keeps the rest of the text intact
+      inlineImage: Boolean = false)
 
   /** Fax image geometry + the analytic bilevel plane (1 = black, packed
     * MSB-first at stride ceil(w/8)) a faxK image decodes to: thresholded
@@ -195,6 +199,18 @@ object PdfWriter {
     // embedded image paint: q/cm/Do/Q has no text effect (interpreter
     // ignores Do), so expectedText is unchanged
     if (spec.imageSeed != 0) cs.append("q 144 0 0 108 72 24 cm /Im1 Do Q\n")
+    if (spec.inlineImage) {
+      // 8x8 gray inline image BETWEEN text rows: raw bytes include '(',
+      // '\' and ')' so a lexer that fails to skip them derails
+      val raw = PixelGen.bytes(0x1417L, 64).map {
+        case b if b == 'E'.toByte => 'D'.toByte // never spell EI
+        case b                    => b
+      }
+      raw(3) = '('.toByte; raw(11) = '\\'.toByte; raw(17) = ')'.toByte
+      cs.append("q 32 0 0 32 72 8 cm BI /W 8 /H 8 /BPC 8 /CS /G ID ")
+      raw.foreach(b => cs.append((b & 0xff).toChar))
+      cs.append("\nEI Q\n")
+    }
     val csBytes = cs.toString.getBytes(StandardCharsets.ISO_8859_1)
     val (content, contentFilterDecl) = spec.contentFilter match {
       case "flate"    => (deflate(csBytes), "/Filter /FlateDecode")

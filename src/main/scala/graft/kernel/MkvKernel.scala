@@ -73,7 +73,9 @@ object MkvKernel {
   }
 
   private def str(bytes: Array[Byte], off: Int, len: Int): String =
-    new String(bytes, off, len, StandardCharsets.UTF_8)
+    // cap: a corrupt unknown-size element can hand a child the rest of
+    // the buffer; metadata strings are never legitimately this long
+    new String(bytes, off, math.min(len, 4096), StandardCharsets.UTF_8)
 
   /** Walk children of [start, limit): f(id, bodyOff, bodyLen) for each
     * child with a known size; a child with UNKNOWN size (streamed

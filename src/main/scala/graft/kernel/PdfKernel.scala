@@ -947,6 +947,9 @@ object PdfKernel {
       var tok = lex.next()
       while (tok.isDefined && n < maxOps) {
         tok.get match {
+          case POp("ID") =>
+            // inline image: raw bytes follow until EI — skip them
+            lex.skipInlineImage(); stack.clear()
           case POp(op) => exec(op, stack); stack.clear()
           case o =>
             stack += o
@@ -1089,6 +1092,27 @@ object PdfKernel {
         else if (b == '%') { while (pos < n && data(pos) != '\n'.toByte) pos += 1 }
         else go = false
       }
+    }
+
+    /** After an inline-image ID operator (ISO 32000 §8.9.7): skip the
+      * raw sample bytes to the whitespace-delimited EI, leaving the
+      * lexer just past it. Without this, binary payload (which can hold
+      * unbalanced parens) would lex as garbage and derail text
+      * extraction for the rest of the stream.
+      */
+    def skipInlineImage(): Unit = {
+      if (pos < n && ws(data(pos) & 0xff)) pos += 1 // the byte after ID
+      var i = pos
+      while (i + 1 < n) {
+        if (data(i) == 'E' && data(i + 1) == 'I' &&
+          (i == pos || ws(data(i - 1) & 0xff)) &&
+          (i + 2 >= n || ws(data(i + 2) & 0xff) || delim(data(i + 2) & 0xff))) {
+          pos = i + 2
+          return
+        }
+        i += 1
+      }
+      pos = n
     }
 
     def next(): Option[PObj] = {

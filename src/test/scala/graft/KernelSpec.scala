@@ -599,6 +599,25 @@ class KernelSpec extends AnyFunSuite {
     assert(out3.text == PdfWriter.expectedText(plainEnc))
   }
 
+  test("E3 inline images: BI..ID <raw binary> EI skips cleanly, text intact") {
+    import graft.corpus.PdfWriter
+    val stanzas = Vector(Vector("Inline Title"),
+      Vector("line before image", "line after image", "third line here"),
+      Vector("another stanza", "closing line here", "final words here"))
+    val spec = PdfWriter.Spec("Inline Title", "An Author", stanzas,
+      useKernSpaces = false, inlineImage = true)
+    val bytes = PdfWriter.write(spec)
+    val out = PdfKernel.extract(bytes)
+    // the raw payload holds '(' '\' ')' bytes: only a correct EI skip
+    // leaves the following text runs parseable
+    assert(out.text == PdfWriter.expectedText(spec))
+    // composes with the XObject paint and encryption
+    val both = spec.copy(imageSeed = 42L, encrypt = "rc4")
+    val out2 = PdfKernel.extract(PdfWriter.write(both))
+    assert(out2.text == PdfWriter.expectedText(spec))
+    assert(out2.metadata.get("pdf:imageCount").contains("1"))
+  }
+
   test("E3 filters: LZWDecode / ASCII85 / RunLength content streams round-trip") {
     import graft.corpus.PdfWriter
     val stanzas = Vector(Vector("Filter Title"),
