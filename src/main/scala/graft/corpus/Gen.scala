@@ -971,13 +971,23 @@ object Gen {
     * archive whose headers parse to metadata.
     */
   private def exoticPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
-    val roll = rng.nextInt(5)
+    val roll = rng.nextInt(12)
     if (roll == 4) return rar5Piece(rng, Vector("en", "de", "fr")(rng.nextInt(3)), docId, k)
     val magic: Array[Byte] = roll match {
       case 0 => Array('7', 'z', 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c)
       case 1 => Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00)
       case 2 => "fLaC".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      case _ => "OggS".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      case 3 => "OggS".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      // detection-only typed-opaque breadth (fonts/db/executables)
+      case 5 => "SQLite format 3".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte
+      case 6 => "wOFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      case 7 => "wOF2".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      case 8 => Array[Byte](0, 'a', 's', 'm', 1, 0, 0, 0)
+      case 9 => Array[Byte](0x7f, 'E', 'L', 'F', 2, 1, 1)
+      case 10 => Array[Byte](0xca.toByte, 0xfe.toByte, 0xba.toByte, 0xbe.toByte,
+        0, 0, 0, 0x34)
+      case _ => Array[Byte]('M', 'Z', 0x90.toByte, 0x00)
     }
     val n = 64 + rng.nextInt(512)
     val body = new Array[Byte](n)

@@ -190,6 +190,13 @@ object Extract {
           // the proprietary compression stays opaque
           Out("", Vector.empty, "application/x-rar-compressed",
             RarKernel.extract(bytes), isMedia = false, issue = None)
+        case k @ (Magic.Kind.Sqlite | Magic.Kind.Woff | Magic.Kind.Woff2 |
+            Magic.Kind.Wasm | Magic.Kind.Elf | Magic.Kind.Jclass |
+            Magic.Kind.Exe) =>
+          // detection-only breadth: typed opaque rows (Tika types these
+          // without a content parser either)
+          Out("", Vector.empty, Magic.contentTypeOf(k, None), Map.empty,
+            isMedia = false, issue = None)
         case Magic.Kind.Unknown => octetStream
       }
     } catch { case scala.util.control.NonFatal(_) => failure(IssueParseError) }

@@ -59,6 +59,13 @@ object Magic {
     case object Ico     extends Kind("ico")
     case object Psd     extends Kind("psd")
     case object Midi    extends Kind("midi")
+    case object Sqlite  extends Kind("sqlite")
+    case object Woff    extends Kind("woff")
+    case object Woff2   extends Kind("woff2")
+    case object Wasm    extends Kind("wasm")
+    case object Elf     extends Kind("elf")
+    case object Jclass  extends Kind("class") // JVM class file
+    case object Exe     extends Kind("exe")   // MZ (PE/DOS)
     case object Unknown extends Kind("bin")
   }
 
@@ -171,6 +178,16 @@ object Magic {
     if (startsWith(bytes, "OggS")) return Kind.Ogg
     if (startsWith(bytes, "8BPS")) return Kind.Psd
     if (startsWith(bytes, "MThd")) return Kind.Midi
+    if (startsWith(bytes, "SQLite format 3") &&
+        bytes.length > 15 && bytes(15) == 0) return Kind.Sqlite
+    if (startsWith(bytes, "wOFF")) return Kind.Woff
+    if (startsWith(bytes, "wOF2")) return Kind.Woff2
+    if (bytes.length >= 4 && bytes(0) == 0 && bytes(1) == 'a' &&
+        bytes(2) == 's' && bytes(3) == 'm') return Kind.Wasm
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x7f && bytes(1) == 'E' &&
+        bytes(2) == 'L' && bytes(3) == 'F') return Kind.Elf
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0xca && (bytes(1) & 0xff) == 0xfe &&
+        (bytes(2) & 0xff) == 0xba && (bytes(3) & 0xff) == 0xbe) return Kind.Jclass
     // ICO's magic is weak (00 00 01 00): require a sane entry count too
     if (bytes.length >= 6 && bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 1 &&
         bytes(3) == 0) {
@@ -185,6 +202,10 @@ object Magic {
       if (looksLikeEml(prefix)) return Kind.Eml
       return if (looksLikeHtml(bytes)) Kind.Html else Kind.Text
     }
+    // MZ AFTER the text fallback: the 2-byte magic is weak, so an
+    // ASCII file that happens to start "MZ" stays text; a binary one
+    // is a DOS/PE executable (Tika: application/x-msdownload)
+    if (bytes.length >= 64 && bytes(0) == 'M' && bytes(1) == 'Z') return Kind.Exe
     Kind.Unknown
   }
 
@@ -323,6 +344,13 @@ object Magic {
     case Kind.Ico  => "image/vnd.microsoft.icon"
     case Kind.Psd  => "image/vnd.adobe.photoshop"
     case Kind.Midi => "audio/midi"
+    case Kind.Sqlite => "application/x-sqlite3"
+    case Kind.Woff   => "font/woff"
+    case Kind.Woff2  => "font/woff2"
+    case Kind.Wasm   => "application/wasm"
+    case Kind.Elf    => "application/x-elf"
+    case Kind.Jclass => "application/java-vm"
+    case Kind.Exe    => "application/x-msdownload"
     case Kind.Unknown => "application/octet-stream"
   }
 

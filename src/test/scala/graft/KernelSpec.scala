@@ -1257,6 +1257,29 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("E35: detection-only magics — sqlite/woff/woff2/wasm/elf/class/exe typed opaque") {
+    val rnd = new java.util.Random(3L)
+    def junk(n: Int): Array[Byte] = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    val cases = Seq(
+      ("SQLite format 3".getBytes("US-ASCII") :+ 0.toByte) -> "application/x-sqlite3",
+      "wOFF".getBytes("US-ASCII") -> "font/woff",
+      "wOF2".getBytes("US-ASCII") -> "font/woff2",
+      Array[Byte](0, 'a', 's', 'm', 1, 0, 0, 0) -> "application/wasm",
+      Array[Byte](0x7f, 'E', 'L', 'F', 2, 1, 1) -> "application/x-elf",
+      Array[Byte](0xca.toByte, 0xfe.toByte, 0xba.toByte, 0xbe.toByte, 0, 0, 0, 0x34) ->
+        "application/java-vm",
+      Array[Byte]('M', 'Z', 0x90.toByte, 0) -> "application/x-msdownload")
+    for ((magic, ct) <- cases) {
+      val out = Extract.extractBytes("bin", magic ++ junk(128), Extract.Options())
+      assert(out.contentType == ct, ct)
+      assert(out.content.isEmpty && out.issue.isEmpty && !out.isMedia, ct)
+    }
+    // MZ yields to the text fallback: an ASCII file starting "MZ" is text
+    val mzText = Extract.extractBytes("txt",
+      ("MZ and more plain words. " * 8).getBytes("US-ASCII"), Extract.Options())
+    assert(mzText.contentType.startsWith("text/plain"))
+  }
+
   test("E29: ICO / PSD / MIDI header metadata") {
     import graft.corpus.MiscMediaWriters
     val ico = MiscMediaWriters.writeIco(Seq((16, 16), (256, 256), (48, 48)))
