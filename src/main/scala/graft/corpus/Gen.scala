@@ -413,10 +413,13 @@ object Gen {
   }
 
   private def tiffPiece(rng: SplittableRandom, docId: String, k: Int): Piece = {
-    // decode-grade: full gray plane (dims tempered so payloads stay ~10-60KB)
+    // decode-grade: full gray plane (dims tempered so payloads stay
+    // ~10-60KB); ~1-in-4 are bilevel CCITT fax scans (G3 1-D/2-D, G4)
+    val fax = if (rng.nextInt(4) == 0) Some(if (rng.nextBoolean()) 4 else 3) else None
     val bytes = TiffWriter.write(TiffWriter.Spec(
       width = 16 + rng.nextInt(224), height = 16 + rng.nextInt(224),
-      software = s"graft-scan-${rng.nextInt(10)}"))
+      software = s"graft-scan-${rng.nextInt(10)}",
+      fax = fax, fax2d = rng.nextBoolean()))
     val ref = s"m-$docId-$k"
     Piece("tiff", Span("tiff", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),

@@ -251,12 +251,49 @@ object EpubWriter {
 
 object TiffWriter {
 
-  final case class Spec(width: Int, height: Int, software: String)
+  final case class Spec(width: Int, height: Int, software: String,
+      // Some(c): bilevel CCITT fax scan — c = 3 (G3; fax2d selects the
+      // T4Options 2-D mode) or c = 4 (G4/MMR). The scanned-TIFF shape.
+      fax: Option[Int] = None, fax2d: Boolean = false)
+
+  /** The bilevel plane a fax spec encodes (packed 1 = black, MSB-first,
+    * stride ceil(w/8)): thresholded deterministic noise, realistic runs.
+    */
+  def bilevelPlane(spec: Spec): Array[Byte] = {
+    val stride = (spec.width + 7) / 8
+    val px = new Array[Byte](stride * spec.height)
+    var x = (spec.width * 31L) ^ (spec.height * 17L)
+    var i = 0
+    while (i < spec.width * spec.height) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      if (((x >>> 33) & 0xff) >= 128) {
+        val cx = i % spec.width; val cy = i / spec.width
+        px(cy * stride + (cx >> 3)) =
+          (px(cy * stride + (cx >> 3)) | (0x80 >> (cx & 7))).toByte
+      }
+      i += 1
+    }
+    px
+  }
 
   /** The full 8-bit gray plane this spec encodes (decode-grade: the real
-    * TiffDecoder must reproduce it exactly).
+    * TiffDecoder must reproduce it exactly). Fax specs expand their
+    * bilevel plane to 0/255 luma.
     */
   def plane(spec: Spec): Array[Byte] = {
+    if (spec.fax.isDefined) {
+      val px = bilevelPlane(spec)
+      val stride = (spec.width + 7) / 8
+      val out = new Array[Byte](spec.width * spec.height)
+      var i = 0
+      while (i < out.length) {
+        val cx = i % spec.width; val cy = i / spec.width
+        val black = ((px(cy * stride + (cx >> 3)) >> (7 - (cx & 7))) & 1) == 1
+        out(i) = if (black) 0 else 0xff.toByte
+        i += 1
+      }
+      return out
+    }
     val out = new Array[Byte](spec.width * spec.height)
     var x = (spec.width * 31L) ^ (spec.height * 17L)
     var i = 0
@@ -276,7 +313,14 @@ object TiffWriter {
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >> 16) & 0xffff) }
     val sw = spec.software + "\u0000"
-    val nTags = 10
+    val isFax = spec.fax.isDefined
+    val strip: Array[Byte] =
+      if (isFax) {
+        val kk = if (spec.fax.contains(4)) -1 else if (spec.fax2d) 4 else 0
+        graft.kernel.CcittFax.encode(bilevelPlane(spec), spec.width,
+          spec.height, kk, byteAlign = false)
+      } else plane(spec)
+    val nTags = if (spec.fax.contains(3)) 11 else 10
     val ifdOff = 8
     val swOff = ifdOff + 2 + nTags * 12 + 4
     val dataOff = swOff + sw.length
@@ -285,17 +329,19 @@ object TiffWriter {
     def tag(id: Int, typ: Int, cnt: Int, v: Int): Unit = { u16(id); u16(typ); u32(cnt); u32(v) }
     tag(0x0100, 3, 1, spec.width)   // ImageWidth SHORT
     tag(0x0101, 3, 1, spec.height)  // ImageLength SHORT
-    tag(0x0102, 3, 1, 8)            // BitsPerSample
-    tag(0x0103, 3, 1, 1)            // Compression: none
-    tag(0x0106, 3, 1, 1)            // PhotometricInterpretation: BlackIsZero
+    tag(0x0102, 3, 1, if (isFax) 1 else 8) // BitsPerSample
+    tag(0x0103, 3, 1, spec.fax.getOrElse(1)) // Compression
+    tag(0x0106, 3, 1, if (isFax) 0 else 1)   // Photometric (fax: WhiteIsZero)
     tag(0x0111, 4, 1, dataOff)      // StripOffsets
     tag(0x0115, 3, 1, 1)            // SamplesPerPixel
     tag(0x0116, 4, 1, spec.height)  // RowsPerStrip
-    tag(0x0117, 4, 1, spec.width * spec.height) // StripByteCounts
+    tag(0x0117, 4, 1, strip.length) // StripByteCounts
+    if (spec.fax.contains(3))
+      tag(0x0124, 4, 1, if (spec.fax2d) 1 else 0) // T4Options
     tag(0x0131, 2, sw.length, swOff) // Software ASCII
     u32(0) // next IFD
     out.write(sw.getBytes(StandardCharsets.US_ASCII))
-    out.write(plane(spec))
+    out.write(strip)
     out.toByteArray
   }
 }

@@ -638,6 +638,7 @@ object TiffDecoder {
     var photometric = 1; var samples = 1; var rowsPerStrip = Int.MaxValue
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
+    var t4Options = 0L
     var i = 0
     while (i < n) {
       val p = ifd.toInt + 2 + i * 12
@@ -673,9 +674,54 @@ object TiffDecoder {
         case 0x0115 => samples = v1.toInt
         case 0x0116 => rowsPerStrip = math.min(v1, Int.MaxValue.toLong).toInt
         case 0x0117 => stripCounts = arr; if (stripCounts == null) return None
+        case 0x0124 => t4Options = v1
         case _      => ()
       }
       i += 1
+    }
+    // bilevel CCITT fax (compressions 3 = G3 per T4Options, 4 = G4):
+    // decode per strip through the shared fax engine, expand to 8-bit
+    // luma (fax bits are white/black semantic; photometric 0 is the
+    // spec shape, 1 tolerated as pre-inverted)
+    if (bits == 1 && (compression == 3 || compression == 4) && samples == 1 &&
+      (photometric == 0 || photometric == 1)) {
+      if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+      if (stripOffsets == null || stripOffsets.isEmpty || stripCounts == null ||
+        stripCounts.length < stripOffsets.length) return None
+      val k = if (compression == 4) -1 else if ((t4Options & 1) != 0) 4 else 0
+      if (rowsPerStrip <= 0 || rowsPerStrip == Int.MaxValue) rowsPerStrip = h
+      val out = new Array[Byte](w * h)
+      var row = 0
+      var s = 0
+      while (s < stripOffsets.length && row < h) {
+        val off = stripOffsets(s); val cnt = stripCounts(s)
+        if (off < 0 || cnt <= 0 || off + cnt > bytes.length) return None
+        val stripRows = math.min(rowsPerStrip, h - row)
+        val data = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
+        CcittFax.decode(data, k, w, stripRows, blackIs1 = true, byteAlign = false) match {
+          case Some((px, nr)) if nr == stripRows =>
+            val stride = (w + 7) / 8
+            var y = 0
+            while (y < stripRows) {
+              var x0 = 0
+              while (x0 < w) {
+                val black = ((px(y * stride + (x0 >> 3)) >> (7 - (x0 & 7))) & 1) == 1
+                out((row + y) * w + x0) = if (black) 0 else 0xff.toByte
+                x0 += 1
+              }
+              y += 1
+            }
+          case _ => return None
+        }
+        row += stripRows
+        s += 1
+      }
+      if (row < h) return None
+      if (photometric == 1) { // pre-inverted producers
+        var j = 0
+        while (j < out.length) { out(j) = (~out(j)).toByte; j += 1 }
+      }
+      return Some(RawImage(w, h, 1, out))
     }
     if (w <= 0 || h <= 0 || bits != 8) return None
     if (compression != 1 && compression != 5 && compression != 32773) return None

@@ -492,6 +492,25 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(img.data, TiffWriter.plane(spec)))
   }
 
+  test("TIFF fax: CCITT G3 1-D / G3 2-D / G4 bilevel scans round-trip exactly") {
+    for {
+      (w, h) <- Seq((64, 48), (37, 19), (8, 8))
+      (fax, fax2d) <- Seq((3, false), (3, true), (4, false))
+    } {
+      val spec = TiffWriter.Spec(w, h, "graft-fax", fax = Some(fax), fax2d = fax2d)
+      val img = TiffDecoder.decode(TiffWriter.write(spec))
+        .getOrElse(fail(s"fax=$fax 2d=$fax2d ${w}x$h"))
+      assert(img.width == w && img.height == h && img.channels == 1)
+      assert(java.util.Arrays.equals(img.data, TiffWriter.plane(spec)),
+        s"fax=$fax 2d=$fax2d ${w}x$h plane")
+      // the plane really is bilevel 0/255
+      assert(img.data.forall(b => b == 0 || b == 0xff.toByte))
+    }
+    // truncated fax strip: clean None, not a crash
+    val full = TiffWriter.write(TiffWriter.Spec(64, 48, "x", fax = Some(4)))
+    assert(TiffDecoder.decode(java.util.Arrays.copyOf(full, full.length - 40)).isEmpty)
+  }
+
   for ((label, spec) <- Seq(
       "BE gray" -> TiffWriterEx.Spec(17, 13, 1, bigEndian = true),
       "LE rgb" -> TiffWriterEx.Spec(14, 10, 2, rgb = true),
