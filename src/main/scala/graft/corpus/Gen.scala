@@ -757,7 +757,13 @@ object Gen {
       nClusters = 1 + rng.nextInt(4),
       seed = rng.nextLong(),
       unknownSegmentSize = rng.nextInt(4) == 0,
-      floatWidth = if (rng.nextInt(4) == 0) 4 else 8)
+      floatWidth = if (rng.nextInt(4) == 0) 4 else 8,
+      // ~1-in-3 carry a DateUTC; ~1-in-3 a Tags element (TITLE/ARTIST)
+      dateUtcMs = if (rng.nextInt(3) == 0)
+        1262304000000L + rng.nextLong(500000000000L) else 0L,
+      tags = if (rng.nextInt(3) == 0) Vector(
+        "TITLE" -> TextGen.titleLine(rng, lang),
+        "ARTIST" -> TextGen.titleLine(rng, "en")) else Vector.empty)
     mediaPiece(if (webm) "webm" else "mkv", MkvWriter.write(spec), docId, k)
   }
 

@@ -575,7 +575,11 @@ object MkvWriter {
       nClusters: Int = 2,
       seed: Long = 1L,
       unknownSegmentSize: Boolean = false, // streamed-file shape
-      floatWidth: Int = 8)                 // Duration/rate coding: 4 or 8
+      floatWidth: Int = 8,                 // Duration/rate coding: 4 or 8
+      dateUtcMs: Long = 0,                 // Info DateUTC (epoch ms; 0 = omit)
+      // Tags/Tag/SimpleTag pairs (e.g. "TITLE" -> ...); fill dc:/xmpDM:
+      // holes the Info element left
+      tags: Vector[(String, String)] = Vector.empty)
 
   /** The metadata MkvKernel must return for write(spec). */
   def expectedMeta(spec: Spec): Map[String, String] = {
@@ -597,6 +601,19 @@ object MkvWriter {
         "xmpDM:audioSampleRate" ->
           (if (r == r.toLong.toDouble) r.toLong.toString else r.toString),
         "channels" -> ch.toString, "xmpDM:audioCompressor" -> codec)
+    }
+    if (spec.dateUtcMs > 0)
+      m += ("dcterms:created" ->
+        java.time.Instant.ofEpochMilli(spec.dateUtcMs).toString
+          .replace(".000Z", "Z"))
+    spec.tags.foreach { case (k, v) =>
+      val mapped = k.toUpperCase match {
+        case "TITLE"  => "dc:title"
+        case "ARTIST" => "xmpDM:artist"
+        case "GENRE"  => "xmpDM:genre"
+        case _        => null
+      }
+      if (mapped != null && v.nonEmpty && !m.contains(mapped)) m += (mapped -> v)
     }
     m
   }
@@ -670,6 +687,12 @@ object MkvWriter {
           el(info, 0x7BA9L)(spec.title.getBytes(StandardCharsets.UTF_8))
         if (spec.durationMs > 0)
           el(info, 0x4489L)(floatBytes(spec.durationMs, spec.floatWidth))
+        if (spec.dateUtcMs > 0) {
+          // signed ns since 2001-01-01T00:00:00 UTC, always 8 bytes
+          val ns = (spec.dateUtcMs - 978307200000L) * 1000000L
+          el(info, 0x4461L)(Array.tabulate(8)(i =>
+            ((ns >> (8 * (7 - i))) & 0xff).toByte))
+        }
       })
       el(s, 0x1654AE6BL)(sub { tracks =>
         var tn = 1
@@ -696,6 +719,18 @@ object MkvWriter {
           })
         }
       })
+      if (spec.tags.nonEmpty) {
+        el(s, 0x1254C367L)(sub { tags => // Tags
+          el(tags, 0x7373L)(sub { tag => // Tag
+            spec.tags.foreach { case (k, v) =>
+              el(tag, 0x67C8L)(sub { st => // SimpleTag
+                el(st, 0x45A3L)(k.getBytes(StandardCharsets.UTF_8))
+                el(st, 0x4487L)(v.getBytes(StandardCharsets.UTF_8))
+              })
+            }
+          })
+        })
+      }
       // opaque clusters: Timestamp + SimpleBlocks of deterministic noise
       var x = spec.seed
       for (c <- 0 until spec.nClusters) {

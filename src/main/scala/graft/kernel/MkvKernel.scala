@@ -24,7 +24,13 @@ object MkvKernel {
   private val IdTitle = 0x7BA9L
   private val IdMuxingApp = 0x4D80L
   private val IdWritingApp = 0x5741L
+  private val IdDateUtc = 0x4461L
   private val IdTracks = 0x1654AE6BL
+  private val IdTags = 0x1254C367L
+  private val IdTag = 0x7373L
+  private val IdSimpleTag = 0x67C8L
+  private val IdTagName = 0x45A3L
+  private val IdTagString = 0x4487L
   private val IdTrackEntry = 0xAEL
   private val IdTrackType = 0x83L
   private val IdCodecId = 0x86L
@@ -194,14 +200,47 @@ object MkvKernel {
                   case IdTitle      => meta += ("dc:title" -> str(bytes, io, il))
                   case IdMuxingApp  => meta += ("muxingApp" -> str(bytes, io, il))
                   case IdWritingApp => meta += ("writingApp" -> str(bytes, io, il))
-                  case _            => ()
+                  case IdDateUtc if il == 8 =>
+                    // signed nanoseconds since 2001-01-01T00:00:00 UTC
+                    val ns = uint(bytes, io, 8) // full 8 bytes = raw bits
+                    val epochMs = 978307200000L + ns / 1000000L
+                    if (epochMs > 0 && epochMs < 4102444800000L)
+                      meta += ("dcterms:created" ->
+                        java.time.Instant.ofEpochMilli(epochMs).toString
+                          .replace(".000Z", "Z"))
+                  case _ => ()
                 }
               }
             case IdTracks =>
               children(bytes, so, so + sl) { (tid, to, tl) =>
                 if (tid == IdTrackEntry) trackEntry(to, tl)
               }
-            case _ => () // Cluster / Cues / SeekHead / Tags: payload scope
+            case IdTags =>
+              // Tags/Tag/SimpleTag (TagName, TagString): the place real
+              // muxers put TITLE/ARTIST when Info has no Title
+              children(bytes, so, so + sl) { (tid, to, tl) =>
+                if (tid == IdTag) children(bytes, to, to + tl) { (stid, sto, stl) =>
+                  if (stid == IdSimpleTag) {
+                    var name = ""; var value = ""
+                    children(bytes, sto, sto + stl) { (fid, fo, fl) =>
+                      fid match {
+                        case IdTagName   => name = str(bytes, fo, fl)
+                        case IdTagString => value = str(bytes, fo, fl)
+                        case _           => ()
+                      }
+                    }
+                    val mapped = name.toUpperCase match {
+                      case "TITLE"  => "dc:title"
+                      case "ARTIST" => "xmpDM:artist"
+                      case "GENRE"  => "xmpDM:genre"
+                      case _        => null
+                    }
+                    if (mapped != null && value.nonEmpty && !meta.contains(mapped))
+                      meta += (mapped -> value)
+                  }
+                }
+              }
+            case _ => () // Cluster / Cues / SeekHead: payload scope
           }
         }
       }

@@ -408,7 +408,7 @@ object PdfKernel {
                 for {
                   a <- doc.deref(d.m.getOrElse("A", PNull))
                     .collect { case x: PDict => x }
-                  if a.m.get("S").forall(_ == PName("URI"))
+                  if a.m.get("S").flatMap(doc.deref).forall(_ == PName("URI"))
                   u <- doc.deref(a.m.getOrElse("URI", PNull))
                     .collect { case PStr(b) => decodePdfString(b) }
                   if u.nonEmpty

@@ -1245,6 +1245,19 @@ class KernelSpec extends AnyFunSuite {
     assert(out3.contentType == "video/x-matroska")
     assert(out3.metadata("Image Width") == "1920 pixels")
 
+    // DateUTC + Tags: created timestamp; Tags fill holes, Info wins
+    val tagged = MkvWriter.Spec(webm = true, title = "Info Wins",
+      dateUtcMs = 1595520399000L,
+      tags = Vector("TITLE" -> "Tag Title", "ARTIST" -> "Tag Artist"),
+      audio = Some((48000.0, 2, "A_OPUS")))
+    val out4 = Extract.extractBytes("webm", MkvWriter.write(tagged), Extract.Options())
+    MkvWriter.expectedMeta(tagged).foreach { case (k, v) =>
+      assert(out4.metadata.get(k).contains(v), s"tagged $k")
+    }
+    assert(out4.metadata("dc:title") == "Info Wins") // Info beats Tags
+    assert(out4.metadata("xmpDM:artist") == "Tag Artist")
+    assert(out4.metadata("dcterms:created") == "2020-07-23T16:06:39Z")
+
     // malformed: truncations and junk never throw
     val rnd = new java.util.Random(11L)
     for (cut <- 0 until wmBytes.length by 13)
