@@ -194,6 +194,8 @@ object Gen {
       jbig2Arith = rng.nextBoolean(),
       jbig2Tpgdon = rng.nextBoolean(),
       jbig2Template = rng.nextInt(4),
+      // 1-in-3 of the JBIG2 slices carry the symbol-coded shape
+      jbig2SymbolText = rng.nextInt(3) == 0,
       encrypt = encrypt,
       xrefStream = xrefStream,
       xrefFilter = rng.nextInt(6) match {

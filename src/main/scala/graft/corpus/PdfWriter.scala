@@ -36,6 +36,9 @@ object PdfWriter {
       jbig2Arith: Boolean = false,
       jbig2Tpgdon: Boolean = false,  // arith mode: typical prediction on
       jbig2Template: Int = 0,        // arith mode: GB template 0..3
+      // symbol-coded JBIG2 (dictionary + text region) instead of a
+      // single generic region — the shape real text encoders emit
+      jbig2SymbolText: Boolean = false,
       // "" = plain; "rc4-40" = V1/R2, "rc4" = V2/R3 128-bit,
       // "aes" = V4/R4 AESV2 — all with EMPTY user+owner passwords
       // (PdfKernel must open them transparently)
@@ -509,12 +512,15 @@ object PdfWriter {
           b.toByteArray
         }
       case None if spec.jbig2 =>
-        // a JBIG2-embedded bilevel image XObject (JBIG2Decode): same
-        // analytic plane as the fax shape, T.88 embedded organization
+        // a JBIG2-embedded bilevel image XObject (JBIG2Decode): generic
+        // region over the analytic fax plane, or the symbol-dictionary
+        // + text-region shape; T.88 embedded organization either way
         val fw = FaxW; val fh = FaxH
-        val jb = jbig2Embedded(faxPlane(spec.imageSeed), fw, fh,
-          arith = spec.jbig2Arith, tpgdon = spec.jbig2Tpgdon,
-          template = spec.jbig2Template)
+        val jb =
+          if (spec.jbig2SymbolText) jbig2SymbolEmbedded(spec.imageSeed, fw, fh)._1
+          else jbig2Embedded(faxPlane(spec.imageSeed), fw, fh,
+            arith = spec.jbig2Arith, tpgdon = spec.jbig2Tpgdon,
+            template = spec.jbig2Template)
         obj {
           val enc = encStream(8, jb)
           val b = new ByteArrayOutputStream()
@@ -730,6 +736,152 @@ object PdfWriter {
       out.write(mmr)
     }
     out.toByteArray
+  }
+
+  /** Embedded JBIG2 in the SYMBOL/TEXT shape real scanned-text encoders
+    * emit: page info + one symbol dictionary (glyph bitmaps generic-
+    * coded through ONE shared MQ encoder/context, height classes with
+    * IADH/IADW deltas, IAEX export runs) + one immediate text region
+    * (strip/instance coding: IADT/IAFS/IADS/IAID). Returns (stream,
+    * expected page plane) — Jbig2.decodeEmbedded must reproduce the
+    * plane bit-exactly (the composition is replicated here).
+    */
+  private[graft] def jbig2SymbolEmbedded(seed: Long, w: Int, h: Int): (Array[Byte], Array[Byte]) = {
+    import graft.kernel.{Jbig2, MqCoder}
+    val rnd = new java.util.Random(seed)
+    // glyphs, height-class sorted
+    val nSyms = 3 + rnd.nextInt(4)
+    val syms = Vector.tabulate(nSyms) { _ =>
+      val sw = 4 + rnd.nextInt(9); val sh = 4 + rnd.nextInt(9)
+      val stride = (sw + 7) / 8
+      val px = new Array[Byte](stride * sh)
+      for (yy <- 0 until sh; xx <- 0 until sw if rnd.nextInt(3) != 0)
+        px(yy * stride + (xx >> 3)) =
+          (px(yy * stride + (xx >> 3)) | (0x80 >> (xx & 7))).toByte
+      (sw, sh, px)
+    }.sortBy(s => (s._2, s._1))
+    // placements: rows of instances (strip-major, s ascending)
+    val maxH = syms.map(_._2).max
+    val rows = Vector.newBuilder[(Int, Vector[(Int, Int)])]
+    var t = 1 + rnd.nextInt(3)
+    while (t + maxH < h) {
+      val insts = Vector.newBuilder[(Int, Int)]
+      var s = rnd.nextInt(4)
+      var go = true
+      while (go) {
+        val id = rnd.nextInt(nSyms)
+        if (s + syms(id)._1 <= w) {
+          insts += ((s, id))
+          s += syms(id)._1 + rnd.nextInt(5)
+        } else go = false
+        if (s >= w) go = false
+      }
+      val r = insts.result()
+      if (r.nonEmpty) rows += ((t, r))
+      t += maxH + 1 + rnd.nextInt(3)
+    }
+    val placements = rows.result()
+    // expected page: the same OR composition the decoder performs
+    val stride = (w + 7) / 8
+    val page = new Array[Byte](stride * h)
+    placements.foreach { case (rt, insts) =>
+      insts.foreach { case (rs, id) =>
+        val (sw, sh, px) = syms(id)
+        val sStride = (sw + 7) / 8
+        for (yy <- 0 until sh; xx <- 0 until sw) {
+          if (((px(yy * sStride + (xx >> 3)) >> (7 - (xx & 7))) & 1) == 1) {
+            val py = rt + yy; val pxx = rs + xx
+            if (py >= 0 && py < h && pxx >= 0 && pxx < w)
+              page(py * stride + (pxx >> 3)) =
+                (page(py * stride + (pxx >> 3)) | (0x80 >> (pxx & 7))).toByte
+          }
+        }
+      }
+    }
+    // ---- symbol dictionary MQ stream
+    val encD = new MqCoder.Enc
+    val cxGb = new Array[Byte](1 << 16)
+    val cxIadh = new Array[Byte](512)
+    val cxIadw = new Array[Byte](512)
+    val cxIaex = new Array[Byte](512)
+    var hPrev = 0
+    var i = 0
+    while (i < nSyms) {
+      val hc = syms(i)._2
+      encD.int(cxIadh, hc - hPrev)
+      hPrev = hc
+      var wPrev = 0
+      while (i < nSyms && syms(i)._2 == hc) {
+        val (sw, _, px) = syms(i)
+        encD.int(cxIadw, sw - wPrev)
+        wPrev = sw
+        Jbig2.encodeGenericWith(encD, cxGb, px, sw, hc, template = 0, tpgdon = false)
+        i += 1
+      }
+      encD.int(cxIadw, 0, oob = true) // height class done
+    }
+    encD.int(cxIaex, 0)       // run of 0 non-exported
+    encD.int(cxIaex, nSyms)   // export everything
+    val dictData = encD.flush()
+    // ---- text region MQ stream (strips = 1, TOPLEFT corner)
+    val symCodeLen =
+      if (nSyms == 1) 1 else 32 - Integer.numberOfLeadingZeros(nSyms - 1)
+    val encT = new MqCoder.Enc
+    val cxIadt = new Array[Byte](512)
+    val cxIafs = new Array[Byte](512)
+    val cxIads = new Array[Byte](512)
+    val cxIaid = new Array[Byte](1 << (symCodeLen + 1))
+    encT.int(cxIadt, 0) // initial STRIPT
+    var tPrev = 0
+    var firstSPrev = 0
+    var nInstances = 0
+    placements.zipWithIndex.foreach { case ((rt, insts), ri) =>
+      encT.int(cxIadt, rt - tPrev)
+      tPrev = rt
+      var sPrevEnd = 0
+      insts.zipWithIndex.foreach { case ((rs, id), ii) =>
+        if (ii == 0) { encT.int(cxIafs, rs - firstSPrev); firstSPrev = rs }
+        else encT.int(cxIads, rs - sPrevEnd)
+        encT.id(cxIaid, id, symCodeLen)
+        sPrevEnd = rs + syms(id)._1 - 1
+        nInstances += 1
+      }
+      if (ri < placements.length - 1) encT.int(cxIads, 0, oob = true)
+    }
+    val textData = encT.flush()
+    // ---- segments
+    val out = new ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def segHeader(num: Int, segType: Int, refs: Seq[Int], len: Int): Unit = {
+      be32(num.toLong)
+      out.write(segType)
+      out.write((refs.length & 7) << 5) // short-form referred count
+      refs.foreach(out.write) // 1-byte refs (segment numbers <= 256)
+      out.write(0x01) // page 1
+      be32(len.toLong)
+    }
+    segHeader(0, 48, Nil, 19) // page info
+    be32(w.toLong); be32(h.toLong); be32(0); be32(0)
+    out.write(0x00); out.write(0x00); out.write(0x00)
+    val at = graft.kernel.Jbig2.nominalAtBytes(0)
+    segHeader(1, 0, Nil, 2 + at.length + 8 + dictData.length) // symbol dict
+    out.write(0x00); out.write(0x00) // flags: SDHUFF=0, REFAGG=0, template 0
+    out.write(at)
+    be32(nSyms.toLong) // SDNUMEXSYMS
+    be32(nSyms.toLong) // SDNUMNEWSYMS
+    out.write(dictData)
+    segHeader(2, 6, Seq(1), 17 + 2 + 4 + textData.length) // immediate text region
+    be32(w.toLong); be32(h.toLong); be32(0); be32(0)
+    out.write(0x00) // combination operator OR
+    // flags: SBHUFF=0 REFINE=0 LOGSBSTRIPS=0 REFCORNER=TOPLEFT(1)
+    // TRANSPOSED=0 SBCOMBOP=OR SBDEFPIXEL=0 SBDSOFFSET=0
+    out.write(0x00); out.write(0x10)
+    be32(nInstances.toLong)
+    out.write(textData)
+    (out.toByteArray, page)
   }
 
   /** Forward PNG Up filter (predictor 12): per row a tag byte 2 plus

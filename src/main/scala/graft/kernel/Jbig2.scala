@@ -2,14 +2,16 @@ package graft.kernel
 
 /** JBIG2 (ITU-T T.88) — the bilevel image coding PDF embeds for scanned
   * pages via /Filter /JBIG2Decode (ISO 32000 §7.4.7). Scope: the
-  * "embedded organization" (no file header, 1-byte page associations),
-  * page information segments, and immediate generic region segments
-  * coded with MMR=1 — whose body is exactly the T.6 (G4) bitstream the
-  * CcittFax engine already decodes (k = -1, no EOLs). Regions composite
-  * onto the page bitmap with OR, the T.88 default for generic regions.
-  * Arithmetic-coded (MQ) generic regions and symbol/text segments are
-  * out of scope and fail the decode (the PDF layer then passes the
-  * stream through untouched, same as any unsupported filter).
+  * "embedded organization" (no file header), page information segments,
+  * immediate generic regions (MMR bodies through the CcittFax engine,
+  * or MQ-arithmetic templates 0-3 with nominal AT pixels and TPGDON),
+  * and the symbol-coded shape real text encoders emit: symbol
+  * dictionaries (SDHUFF=0/REFAGG=0) + text regions (SBHUFF=0/REFINE=0/
+  * TRANSPOSED=0) built on the Annex-A arithmetic integer procedures.
+  * Regions composite onto the page bitmap with OR. Out of scope (decode
+  * fails -> the PDF layer passes the stream through): Huffman-coded
+  * segments, refinement/aggregate coding, halftone regions, non-nominal
+  * AT pixels.
   *
   * Reference behavior: lib/rika/parser.rb delegates to Tika, whose PDF
   * chain hands JBIG2 streams to a decoder with this same embedded
@@ -167,10 +169,18 @@ object Jbig2 {
 
   private def decodeGenericArith(data: Array[Byte], w: Int, h: Int,
       template: Int, tpgdon: Boolean): Option[Array[Byte]] = {
+    val dec = new MqCoder.Dec(data)
+    Some(decodeGenericWith(dec, new Array[Byte](1 << 16), w, h, template, tpgdon))
+  }
+
+  /** Generic-region bitmap decode against caller-owned coder state — the
+    * symbol dictionary decodes all its symbol bitmaps through ONE
+    * decoder and ONE context array (T.88 §6.5.8.1).
+    */
+  private def decodeGenericWith(dec: MqCoder.Dec, cx: Array[Byte],
+      w: Int, h: Int, template: Int, tpgdon: Boolean): Array[Byte] = {
     val stride = (w + 7) / 8
     val out = new Array[Byte](stride * h)
-    val cx = new Array[Byte](1 << 16)
-    val dec = new MqCoder.Dec(data)
     var ltp = 0
     var y = 0
     while (y < h) {
@@ -189,7 +199,7 @@ object Jbig2 {
       }
       y += 1
     }
-    Some(out)
+    out
   }
 
   /** MQ-encode a packed plane as a template-0 generic region body (the
@@ -198,9 +208,14 @@ object Jbig2 {
     */
   private[graft] def encodeGenericArith(px: Array[Byte], w: Int, h: Int,
       tpgdon: Boolean = false, template: Int = 0): Array[Byte] = {
-    val stride = (w + 7) / 8
-    val cx = new Array[Byte](1 << 16)
     val enc = new MqCoder.Enc
+    encodeGenericWith(enc, new Array[Byte](1 << 16), px, w, h, template, tpgdon)
+    enc.flush()
+  }
+
+  private[graft] def encodeGenericWith(enc: MqCoder.Enc, cx: Array[Byte],
+      px: Array[Byte], w: Int, h: Int, template: Int, tpgdon: Boolean): Unit = {
+    val stride = (w + 7) / 8
     var ltp = 0
     var y = 0
     while (y < h) {
@@ -221,7 +236,6 @@ object Jbig2 {
       }
       y += 1
     }
-    enc.flush()
   }
 
   private def rowEqualsPrev(px: Array[Byte], stride: Int, y: Int): Boolean = {
@@ -238,6 +252,174 @@ object Jbig2 {
   private[graft] def nominalAtBytes(template: Int = 0): Array[Byte] =
     NominalAt(template).clone()
 
+  /** One dictionary symbol: a small bitmap (1 = black, packed rows). */
+  private final case class Sym(w: Int, h: Int, px: Array[Byte])
+
+  /** Symbol dictionary segment (type 0), SDHUFF=0 / REFAGG=0 scope —
+    * the arithmetic shape jbig2 text encoders emit: height classes via
+    * IADH/IADW deltas, each symbol bitmap generic-coded through ONE
+    * shared MQ decoder + context array (T.88 §6.5.8.1), export runs via
+    * IAEX. `input` carries symbols from earlier dictionaries; returns
+    * the dictionary's EXPORT list (the chain convention: a later dict
+    * re-exports its inputs plus its new symbols).
+    */
+  private def symbolDict(payload: Array[Byte], input: Vector[Sym]): Option[Vector[Sym]] = {
+    if (payload.length < 12) return None
+    val flags = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+    if ((flags & 1) != 0 || ((flags >> 1) & 1) != 0) return None // SDHUFF/REFAGG
+    val template = (flags >> 10) & 3
+    val at = NominalAt(template)
+    if (payload.length < 2 + at.length + 8) return None
+    var i = 0
+    while (i < at.length) {
+      if (payload(2 + i) != at(i)) return None
+      i += 1
+    }
+    val off = 2 + at.length
+    val numEx = be32(payload, off)
+    val numNew = be32(payload, off + 4)
+    if (numNew < 0 || numNew > 4096 || numEx < 0 || numEx > 8192) return None
+    val dec = new MqCoder.Dec(
+      java.util.Arrays.copyOfRange(payload, off + 8, payload.length))
+    val cxGb = new Array[Byte](1 << 16)
+    val cxIadh = new Array[Byte](512)
+    val cxIadw = new Array[Byte](512)
+    val cxIaex = new Array[Byte](512)
+    val newSyms = Vector.newBuilder[Sym]
+    var made = 0
+    var hcHeight = 0
+    while (made < numNew.toInt) {
+      hcHeight += dec.int(cxIadh).getOrElse(return None)
+      if (hcHeight <= 0 || hcHeight > 512) return None
+      var symWidth = 0
+      var cont = true
+      // each height class runs to its IADW OOB marker — the final class's
+      // marker must be CONSUMED even when the symbol count is already met,
+      // or the export-run decode desyncs (T.88 §6.5.5 loop shape)
+      while (cont) {
+        dec.int(cxIadw) match {
+          case None => cont = false // OOB: height class complete
+          case Some(dw) =>
+            symWidth += dw
+            if (symWidth <= 0 || symWidth > 512 || made >= numNew.toInt)
+              return None
+            newSyms += Sym(symWidth, hcHeight,
+              decodeGenericWith(dec, cxGb, symWidth, hcHeight, template, tpgdon = false))
+            made += 1
+        }
+      }
+    }
+    val all = input ++ newSyms.result()
+    val exported = Vector.newBuilder[Sym]
+    var idx = 0
+    var curFlag = false
+    var guard = 0
+    while (idx < all.length && guard < 10000) {
+      guard += 1
+      val run = dec.int(cxIaex).getOrElse(return None)
+      if (run < 0) return None
+      if (curFlag) {
+        var j = 0
+        while (j < run && idx + j < all.length) { exported += all(idx + j); j += 1 }
+      }
+      idx += run
+      curFlag = !curFlag
+    }
+    Some(exported.result())
+  }
+
+  /** Text region segment (types 4/6/7), SBHUFF=0 / REFINE=0 /
+    * TRANSPOSED=0 scope: §6.4.5 strip/instance decoding placing
+    * dictionary symbols onto the region plane with OR.
+    */
+  private def textRegion(payload: Array[Byte], syms: Vector[Sym]): Option[Region] = {
+    if (payload.length < 23 || syms.isEmpty) return None
+    val w = be32(payload, 0); val h = be32(payload, 4)
+    val x = be32(payload, 8); val y = be32(payload, 12)
+    val flags = ((payload(17) & 0xff) << 8) | (payload(18) & 0xff)
+    if ((flags & 1) != 0 || ((flags >> 1) & 1) != 0 || // SBHUFF / REFINE
+      ((flags >> 6) & 1) != 0 || ((flags >> 9) & 1) != 0) // TRANSPOSED / DEFPIXEL
+      return None
+    val strips = 1 << ((flags >> 2) & 3)
+    val refCorner = (flags >> 4) & 3
+    var dsOffset = (flags >> 10) & 0x1f
+    if (dsOffset > 15) dsOffset -= 32
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim || w * h > MaxArea) return None
+    val numInstances = be32(payload, 19)
+    if (numInstances < 0 || numInstances > (1 << 20)) return None
+    val symCodeLen =
+      if (syms.length == 1) 1
+      else 32 - Integer.numberOfLeadingZeros(syms.length - 1)
+    val dec = new MqCoder.Dec(
+      java.util.Arrays.copyOfRange(payload, 23, payload.length))
+    val cxIadt = new Array[Byte](512)
+    val cxIafs = new Array[Byte](512)
+    val cxIads = new Array[Byte](512)
+    val cxIait = new Array[Byte](512)
+    val cxIaid = new Array[Byte](1 << (symCodeLen + 1))
+    val stride = (w.toInt + 7) / 8
+    val page = new Array[Byte](stride * h.toInt)
+    var stripT = -dec.int(cxIadt).getOrElse(return None) * strips
+    var firstS = 0
+    var inst = 0
+    var guard = 0
+    while (inst < numInstances.toInt && guard < (1 << 21)) {
+      guard += 1
+      stripT += dec.int(cxIadt).getOrElse(return None) * strips
+      var curS = 0
+      var first = true
+      var stripDone = false
+      while (!stripDone && inst < numInstances.toInt) {
+        if (first) {
+          firstS += dec.int(cxIafs).getOrElse(return None)
+          curS = firstS
+          first = false
+        } else dec.int(cxIads) match {
+          case None      => stripDone = true
+          case Some(ids) => curS += ids + dsOffset
+        }
+        if (!stripDone) {
+          val curT = if (strips == 1) 0 else dec.int(cxIait).getOrElse(return None)
+          val t = stripT + curT
+          val id = dec.id(cxIaid, symCodeLen)
+          if (id < 0 || id >= syms.length) return None
+          val sym = syms(id)
+          val top = refCorner match {
+            case 1 | 3 => t              // TOPLEFT / TOPRIGHT
+            case _     => t - sym.h + 1  // BOTTOMLEFT / BOTTOMRIGHT
+          }
+          drawSym(page, stride, w.toInt, h.toInt, sym, curS, top)
+          curS += sym.w - 1
+          inst += 1
+        }
+      }
+    }
+    if (inst < numInstances.toInt) return None
+    Some(Region(x.toInt, y.toInt, w.toInt, h.toInt, page))
+  }
+
+  private def drawSym(page: Array[Byte], stride: Int, w: Int, h: Int,
+      sym: Sym, left: Int, top: Int): Unit = {
+    val sStride = (sym.w + 7) / 8
+    var yy = 0
+    while (yy < sym.h) {
+      val py = top + yy
+      if (py >= 0 && py < h) {
+        var xx = 0
+        while (xx < sym.w) {
+          if (((sym.px(yy * sStride + (xx >> 3)) >> (7 - (xx & 7))) & 1) == 1) {
+            val px = left + xx
+            if (px >= 0 && px < w)
+              page(py * stride + (px >> 3)) =
+                (page(py * stride + (px >> 3)) | (0x80 >> (px & 7))).toByte
+          }
+          xx += 1
+        }
+      }
+      yy += 1
+    }
+  }
+
   /** Decode an embedded JBIG2 stream to the page bitmap: (packed 1=black
     * rows, width, height). Page dims come from the page information
     * segment; 0xffffffff (striped/unknown) height falls back to the
@@ -247,6 +429,7 @@ object Jbig2 {
     val segs = segments(data).getOrElse(return None)
     var pageW = -1L
     var pageH = -1L
+    var symbols = Vector.empty[Sym]
     val regions = Vector.newBuilder[Region]
     segs.foreach { s =>
       s.segType match {
@@ -254,6 +437,13 @@ object Jbig2 {
           if (s.payload.length >= 8) {
             pageW = be32(s.payload, 0)
             pageH = be32(s.payload, 4)
+          }
+        case 0 => // symbol dictionary: exports replace the working set
+          symbols = symbolDict(s.payload, symbols).getOrElse(return None)
+        case 4 | 6 | 7 =>
+          textRegion(s.payload, symbols) match {
+            case Some(r) => regions += r
+            case None    => return None
           }
         case 36 | 38 | 39 =>
           genericRegion(s.payload) match {

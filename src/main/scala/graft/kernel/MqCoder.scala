@@ -101,6 +101,43 @@ object MqCoder {
         go = (a & 0x8000) == 0
       }
     }
+
+    /** Arithmetic integer decoding (T.88 Annex A.2): returns the value,
+      * or None for the out-of-band marker. The 9-bit tree context walks
+      * `cx` exactly as the encoder's int().
+      */
+    def int(cx: Array[Byte]): Option[Int] = {
+      var prev = 1
+      def bit(): Int = {
+        val b = decode(cx, prev)
+        prev = if (prev < 256) (prev << 1) | b
+        else ((((prev << 1) | b) & 511) | 256)
+        b
+      }
+      val s = bit()
+      var nBits = 2
+      var base = 0
+      if (bit() == 0) { nBits = 2; base = 0 }
+      else if (bit() == 0) { nBits = 4; base = 4 }
+      else if (bit() == 0) { nBits = 6; base = 20 }
+      else if (bit() == 0) { nBits = 8; base = 84 }
+      else if (bit() == 0) { nBits = 12; base = 340 }
+      else { nBits = 32; base = 4436 }
+      var v = 0L
+      var i = 0
+      while (i < nBits) { v = (v << 1) | bit(); i += 1 }
+      val mag = v + base
+      if (s == 1 && mag == 0) None // OOB
+      else Some(if (s == 1) -mag.toInt else mag.toInt)
+    }
+
+    /** Symbol-ID decoding (A.3): `len` MSB-first tree-context bits. */
+    def id(cx: Array[Byte], len: Int): Int = {
+      var prev = 1
+      var i = 0
+      while (i < len) { prev = (prev << 1) | decode(cx, prev); i += 1 }
+      prev - (1 << len)
+    }
   }
 
   /** Encoder (E.2). flush() finalizes per SETBITS + two BYTEOUTs and
@@ -165,6 +202,47 @@ object MqCoder {
       buf += ((c >> 20) & 0xff).toInt
       c &= 0xfffffL
       ct = 7
+    }
+
+    /** Arithmetic integer encoding (T.88 Annex A.2, inverse of Dec.int):
+      * sign + range-prefix + offset bits through the tree-context `cx`.
+      * `oob` encodes the out-of-band marker (sign 1, value 0).
+      */
+    def int(cx: Array[Byte], v: Int, oob: Boolean = false): Unit = {
+      var prev = 1
+      def bit(b: Int): Unit = {
+        encode(cx, prev, b)
+        prev = if (prev < 256) (prev << 1) | b
+        else ((((prev << 1) | b) & 511) | 256)
+      }
+      val s = if (oob) 1 else if (v < 0) 1 else 0
+      val mag = if (oob) 0 else math.abs(v)
+      bit(s)
+      val (prefixOnes, nBits, base) =
+        if (mag < 4) (0, 2, 0)
+        else if (mag < 20) (1, 4, 4)
+        else if (mag < 84) (2, 6, 20)
+        else if (mag < 340) (3, 8, 84)
+        else if (mag < 4436) (4, 12, 340)
+        else (5, 32, 4436)
+      var i = 0
+      while (i < prefixOnes) { bit(1); i += 1 }
+      if (prefixOnes < 5) bit(0)
+      val off = mag - base
+      i = nBits - 1
+      while (i >= 0) { bit((off >> i) & 1); i -= 1 }
+    }
+
+    /** Symbol-ID encoding (A.3): `len` MSB-first bits via tree context. */
+    def id(cx: Array[Byte], value: Int, len: Int): Unit = {
+      var prev = 1
+      var i = len - 1
+      while (i >= 0) {
+        val b = (value >> i) & 1
+        encode(cx, prev, b)
+        prev = (prev << 1) | b
+        i -= 1
+      }
     }
 
     def flush(): Array[Byte] = {

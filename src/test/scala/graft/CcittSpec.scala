@@ -197,6 +197,43 @@ class CcittSpec extends AnyFunSuite {
     }
   }
 
+  test("MQ integer/ID coding (Annex A): random values round-trip, OOB preserved") {
+    val rnd = new java.util.Random(0xA11CE)
+    for (round <- 0 until 10) {
+      val n = 2000
+      // values across every range bucket + OOB markers
+      val vals: Array[Option[Int]] = Array.fill(n) {
+        rnd.nextInt(8) match {
+          case 0 => None // OOB
+          case 1 => Some(rnd.nextInt(4) * (if (rnd.nextBoolean()) 1 else -1))
+          case 2 => Some((4 + rnd.nextInt(16)) * (if (rnd.nextBoolean()) 1 else -1))
+          case 3 => Some((20 + rnd.nextInt(64)) * (if (rnd.nextBoolean()) 1 else -1))
+          case 4 => Some((84 + rnd.nextInt(256)) * (if (rnd.nextBoolean()) 1 else -1))
+          case 5 => Some((340 + rnd.nextInt(4096)) * (if (rnd.nextBoolean()) 1 else -1))
+          case 6 => Some((4436 + rnd.nextInt(1 << 20)) * (if (rnd.nextBoolean()) 1 else -1))
+          case _ => Some(0)
+        }
+      }
+      val ids = Array.fill(n)(rnd.nextInt(64))
+      val cxIntE = new Array[Byte](512); val cxIdE = new Array[Byte](128)
+      val enc = new graft.kernel.MqCoder.Enc
+      for (i <- 0 until n) {
+        vals(i) match {
+          case Some(v) => enc.int(cxIntE, v)
+          case None    => enc.int(cxIntE, 0, oob = true)
+        }
+        enc.id(cxIdE, ids(i), 6)
+      }
+      val data = enc.flush()
+      val cxIntD = new Array[Byte](512); val cxIdD = new Array[Byte](128)
+      val dec = new graft.kernel.MqCoder.Dec(data)
+      for (i <- 0 until n) {
+        assert(dec.int(cxIntD) == vals(i), s"round $round val $i")
+        assert(dec.id(cxIdD, 6) == ids(i), s"round $round id $i")
+      }
+    }
+  }
+
   test("JBIG2 arithmetic (MQ, template 0): generic region planes decode bit-exactly") {
     for {
       (cols, rows) <- Seq((64, 48), (100, 33), (17, 9), (63, 21), (8, 8))
@@ -240,6 +277,38 @@ class CcittSpec extends AnyFunSuite {
       PdfWriter.faxPlane(42L), PdfWriter.FaxW, PdfWriter.FaxH, arith = true)
     val Some((page, _, _)) = graft.kernel.Jbig2.decodeEmbedded(expStream)
     assert(java.util.Arrays.equals(page, PdfWriter.faxPlane(42L)))
+  }
+
+  test("JBIG2 symbol/text regions: dictionary + placement streams decode bit-exactly") {
+    for (seed <- 1L to 12L) {
+      val (stream, expected) = PdfWriter.jbig2SymbolEmbedded(seed, 96, 64)
+      graft.kernel.Jbig2.decodeEmbedded(stream) match {
+        case Some((page, w, h)) =>
+          assert(w == 96 && h == 64, s"seed $seed dims")
+          assert(java.util.Arrays.equals(page, expected), s"seed $seed plane")
+        case None => fail(s"seed $seed: decode failed")
+      }
+      // truncation anywhere: no crash
+      graft.kernel.Jbig2.decodeEmbedded(
+        java.util.Arrays.copyOf(stream, stream.length / 2))
+      graft.kernel.Jbig2.decodeEmbedded(
+        java.util.Arrays.copyOf(stream, 7))
+    }
+    // odd page sizes and single-symbol dictionaries stay exact
+    for ((w, h) <- Seq((33, 21), (17, 40))) {
+      val (stream, expected) = PdfWriter.jbig2SymbolEmbedded(77L + w, w, h)
+      val Some((page, pw, ph)) = graft.kernel.Jbig2.decodeEmbedded(stream)
+      assert(pw == w && ph == h)
+      assert(java.util.Arrays.equals(page, expected), s"${w}x$h")
+    }
+    // PDF end-to-end: symbol-coded JBIG2 image surfaces like the rest
+    val stanzas = Vector(Vector("Scan Title"),
+      Vector("body line one", "body line two", "body line three"))
+    val spec = PdfWriter.Spec("Scan Title", "An Author", stanzas,
+      useKernSpaces = false, imageSeed = 42L, jbig2 = true, jbig2SymbolText = true)
+    val out = PdfKernel.extract(PdfWriter.write(spec))
+    assert(out.text == PdfWriter.expectedText(spec))
+    assert(out.metadata.get("pdf:imageFilters").contains("JBIG2Decode"))
   }
 
   test("JBIG2 never throws on malformed input (fuzz)") {
