@@ -288,6 +288,7 @@ object Jbig2 {
     val newSyms = Vector.newBuilder[Sym]
     var made = 0
     var hcHeight = 0
+    var areaBudget = 1 << 24 // adversarial cap: total symbol pixels
     while (made < numNew.toInt) {
       hcHeight += dec.int(cxIadh).getOrElse(return None)
       if (hcHeight <= 0 || hcHeight > 512) return None
@@ -303,6 +304,8 @@ object Jbig2 {
             symWidth += dw
             if (symWidth <= 0 || symWidth > 512 || made >= numNew.toInt)
               return None
+            areaBudget -= symWidth * hcHeight
+            if (areaBudget < 0) return None
             newSyms += Sym(symWidth, hcHeight,
               decodeGenericWith(dec, cxGb, symWidth, hcHeight, template, tpgdon = false))
             made += 1
@@ -363,6 +366,7 @@ object Jbig2 {
     var firstS = 0
     var inst = 0
     var guard = 0
+    var drawBudget = 1L << 28 // adversarial cap: total drawn pixels
     while (inst < numInstances.toInt && guard < (1 << 21)) {
       guard += 1
       stripT += dec.int(cxIadt).getOrElse(return None) * strips
@@ -388,6 +392,8 @@ object Jbig2 {
             case 1 | 3 => t              // TOPLEFT / TOPRIGHT
             case _     => t - sym.h + 1  // BOTTOMLEFT / BOTTOMRIGHT
           }
+          drawBudget -= sym.w.toLong * sym.h
+          if (drawBudget < 0) return None
           drawSym(page, stride, w.toInt, h.toInt, sym, curS, top)
           curS += sym.w - 1
           inst += 1
