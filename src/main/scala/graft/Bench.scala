@@ -199,6 +199,7 @@ object Bench {
       "q1_agg", "q2_join_top", "q3_window", "q4_events_hourly",
       "q5_setops", "q6_rollup", "q7_sessions", "q8_anti_semi", "q9_brand_volume",
       "q10_cube", "q11_grouping_sets", "q12_moving", "q13_pivot", "q14_percentile",
+      "q15_ranks",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
       "dedup_jaccard", "dedup_embed_cosine", "dedup_clusters", "dedup_clusters_fix",
       "ann_topk", "ann_lsh", "ann_ivf",

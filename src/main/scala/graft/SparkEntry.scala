@@ -302,6 +302,20 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("mov3"))
         .orderBy("user_id", "event_id")
     }),
+    "q15_ranks" -> ((s, dir) => {
+      // ranking-function breadth: dense_rank / ntile / percent_rank over
+      // one window partition (unique-key tiebreak keeps order total)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      t(s, dir, "part")
+        .filter(col("p_size") < 15)
+        .select(col("p_brand"), col("p_partkey"),
+          dense_rank().over(w).cast("long").as("dr"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy("p_brand", "p_partkey")
+    }),
     "q14_percentile" -> ((s, dir) =>
       // exact interpolated percentiles (sort-based agg) + min/max —
       // both engines use the p*(n-1) linear-interpolation definition
@@ -717,6 +731,15 @@ object SparkEntry {
         |  count(*) FILTER (WHERE l_linestatus = 'F') AS f_n,
         |  count(*) FILTER (WHERE l_linestatus = 'O') AS o_n
         |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+    "q15_ranks" ->
+      """SELECT p_brand, p_partkey,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS dr,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr
+        |FROM part WHERE p_size < 15
+        |WINDOW w AS (PARTITION BY p_brand
+        |  ORDER BY p_retailprice DESC, p_partkey ASC)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
     "q14_percentile" ->
       """SELECT l_returnflag AS rf,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
