@@ -421,7 +421,9 @@ object Gen {
     val bytes = TiffWriter.write(TiffWriter.Spec(
       width = 16 + rng.nextInt(224), height = 16 + rng.nextInt(224),
       software = s"graft-scan-${rng.nextInt(10)}",
-      fax = fax, fax2d = rng.nextBoolean()))
+      fax = fax, fax2d = rng.nextBoolean(),
+      // ~1-in-5 are multi-page (chained IFDs)
+      extraPages = if (rng.nextInt(5) == 0) 1 + rng.nextInt(3) else 0))
     val ref = s"m-$docId-$k"
     Piece("tiff", Span("tiff", null, ref, -1),
       Seq(MediaRow(ref, b64(bytes), bytes.length.toLong)),

@@ -254,7 +254,10 @@ object TiffWriter {
   final case class Spec(width: Int, height: Int, software: String,
       // Some(c): bilevel CCITT fax scan — c = 3 (G3; fax2d selects the
       // T4Options 2-D mode) or c = 4 (G4/MMR). The scanned-TIFF shape.
-      fax: Option[Int] = None, fax2d: Boolean = false)
+      fax: Option[Int] = None, fax2d: Boolean = false,
+      // > 0: a multi-page TIFF — this many extra minimal 8x8 gray IFDs
+      // chained behind the first (xmpTPg:NPages = 1 + extraPages)
+      extraPages: Int = 0)
 
   /** The bilevel plane a fax spec encodes (packed 1 = black, MSB-first,
     * stride ceil(w/8)): thresholded deterministic noise, realistic runs.
@@ -342,7 +345,44 @@ object TiffWriter {
     u32(0) // next IFD
     out.write(sw.getBytes(StandardCharsets.US_ASCII))
     out.write(strip)
-    out.toByteArray
+    var bytes = out.toByteArray
+    // multi-page: chain extra minimal IFDs (8x8 gray, uncompressed);
+    // each previous IFD's next-pointer patches to the new IFD offset
+    var prevNextPtr = ifdOff + 2 + nTags * 12
+    var k = 0
+    while (k < spec.extraPages) {
+      val pageIfd = bytes.length
+      def p16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def p32(v: Int): Array[Byte] = p16(v & 0xffff) ++ p16((v >> 16) & 0xffff)
+      // patch the previous chain pointer (little-endian)
+      System.arraycopy(p32(pageIfd), 0, bytes, prevNextPtr, 4)
+      val nT = 9
+      val dataOff2 = pageIfd + 2 + nT * 12 + 4
+      val b = new ByteArrayOutputStream()
+      b.write(p16(nT))
+      def tag2(id: Int, typ: Int, cnt: Int, v: Int): Unit = {
+        b.write(p16(id)); b.write(p16(typ)); b.write(p32(cnt)); b.write(p32(v))
+      }
+      tag2(0x0100, 3, 1, 8); tag2(0x0101, 3, 1, 8)
+      tag2(0x0102, 3, 1, 8); tag2(0x0103, 3, 1, 1)
+      tag2(0x0106, 3, 1, 1); tag2(0x0111, 4, 1, dataOff2)
+      tag2(0x0115, 3, 1, 1); tag2(0x0116, 4, 1, 8)
+      tag2(0x0117, 4, 1, 64)
+      b.write(p32(0)) // next IFD (patched on the following iteration)
+      val plane2 = new Array[Byte](64)
+      var x2 = (spec.width * 131L) ^ (k + 1)
+      var j = 0
+      while (j < 64) {
+        x2 = x2 * 6364136223846793005L + 1442695040888963407L
+        plane2(j) = ((x2 >>> 33) & 0xff).toByte
+        j += 1
+      }
+      b.write(plane2)
+      prevNextPtr = pageIfd + 2 + nT * 12
+      bytes = bytes ++ b.toByteArray
+      k += 1
+    }
+    bytes
   }
 }
 

@@ -482,8 +482,42 @@ object EpubKernel {
   * at byte 0.
   */
 object TiffKernel {
-  def extract(bytes: Array[Byte]): Map[String, String] =
-    JpegKernel.exif(bytes, 0, bytes.length)
+  def extract(bytes: Array[Byte]): Map[String, String] = {
+    var meta = JpegKernel.exif(bytes, 0, bytes.length)
+    val n = pageCount(bytes)
+    if (n > 1) meta += ("xmpTPg:NPages" -> n.toString)
+    meta
+  }
+
+  /** IFD-chain length — multi-page (multi-IFD) TIFFs report their page
+    * count like the reference does through Tika. Cycle- and count-capped;
+    * malformed chains count the pages walked so far.
+    */
+  private def pageCount(bytes: Array[Byte]): Int = {
+    if (bytes.length < 8) return 0
+    val le = bytes(0) == 'I' && bytes(1) == 'I'
+    if (!le && !(bytes(0) == 'M' && bytes(1) == 'M')) return 0
+    def u16(p: Int): Int =
+      if (p < 0 || p + 2 > bytes.length) -1
+      else if (le) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (p < 0 || p + 4 > bytes.length) -1L
+      else if (le) (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+      else ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    val seen = scala.collection.mutable.Set[Long]()
+    var ifd = u32(4)
+    var pages = 0
+    while (ifd > 0 && ifd < bytes.length - 2 && pages < 4096 && seen.add(ifd)) {
+      val n = u16(ifd.toInt)
+      if (n <= 0 || n > 512) return pages
+      pages += 1
+      ifd = u32(ifd.toInt + 2 + n * 12)
+    }
+    pages
+  }
 }
 
 /** MP3/ID3v2 metadata (header-only; audio frames are opaque media). */

@@ -492,6 +492,23 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(img.data, TiffWriter.plane(spec)))
   }
 
+  test("TIFF multi-page: IFD chain counts as xmpTPg:NPages; first-page decode intact") {
+    val spec = TiffWriter.Spec(29, 21, "graft-scan-3", extraPages = 2)
+    val bytes = TiffWriter.write(spec)
+    val meta = graft.kernel.TiffKernel.extract(bytes)
+    assert(meta.get("xmpTPg:NPages").contains("3"))
+    // first page decodes exactly as the single-page shape
+    val img = TiffDecoder.decode(bytes).getOrElse(fail("tiff"))
+    assert(img.width == 29 && img.height == 21)
+    assert(java.util.Arrays.equals(img.data, TiffWriter.plane(spec)))
+    // single-page files carry NO page-count key (Tika parity)
+    val one = graft.kernel.TiffKernel.extract(
+      TiffWriter.write(TiffWriter.Spec(29, 21, "graft-scan-3")))
+    assert(!one.contains("xmpTPg:NPages"))
+    // truncated chain: count what's walkable, never throw
+    graft.kernel.TiffKernel.extract(java.util.Arrays.copyOf(bytes, bytes.length - 30))
+  }
+
   test("TIFF fax: CCITT G3 1-D / G3 2-D / G4 bilevel scans round-trip exactly") {
     for {
       (w, h) <- Seq((64, 48), (37, 19), (8, 8))
