@@ -30,6 +30,19 @@ package object functions {
     */
   def dot_f64(a: Column, b: Column): Column =
     SqlShim.column(DotF64(SqlShim.expression(a), SqlShim.expression(b)))
+
+  /** n-word shingles of a text column: tokenizes once and emits
+    * concat_ws(" ", slice(toks, j, n)) for j = 1..max(len-n+1, 1) — the
+    * exact rows of transform(sequence(1, greatest(size(toks)-(n-1), 1)),
+    * j => concat_ws(" ", slice(split(lower(text), " "), j, n))), but O(len)
+    * instead of O(len * shingles): the HOF form is interpreted
+    * (CodegenFallback) and re-evaluates split(lower(text)) once per
+    * OUTPUT shingle. Tokenization/lowering go through the same
+    * UTF8String calls Catalyst's Lower/StringSplit/ConcatWs use, so the
+    * produced strings are bit-identical (property-tested vs the HOF form).
+    */
+  def shingles(text: Column, n: Int): Column =
+    SqlShim.column(ShinglesExpr(SqlShim.expression(text), n))
 }
 
 package functions {
@@ -45,6 +58,30 @@ package functions {
       UTF8String.fromString(graft.kernel.Charset.detect(bytes).name)
     def langOf(s: UTF8String): UTF8String =
       UTF8String.fromString(graft.kernel.Lang.detect(if (s == null) null else s.toString))
+    private val SpaceU = UTF8String.fromString(" ")
+    private val EmptyShingles =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.EMPTY_UTF8))
+
+    /** n-word shingle array of `text` (null text behaves like the HOF
+      * form: lower/split/slice propagate null into concat_ws, which
+      * skips it and yields one "" shingle).
+      */
+    def shingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+      if (text == null) return EmptyShingles
+      val toks = text.toLowerCase.split(SpaceU, -1)
+      val m = math.max(toks.length - (n - 1), 1)
+      val out = new Array[Any](m)
+      var j = 0
+      while (j < m) {
+        val end = math.min(j + n, toks.length)
+        out(j) = UTF8String.concatWs(SpaceU,
+          java.util.Arrays.copyOfRange(toks, j, end): _*)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
     def dotF64(a: org.apache.spark.sql.catalyst.util.ArrayData,
         b: org.apache.spark.sql.catalyst.util.ArrayData,
         aFloat: Boolean, bFloat: Boolean): Double = {
@@ -98,6 +135,32 @@ package functions {
         s"graft.functions.Kernels$$.MODULE$$.dotF64($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)})")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF64 =
       copy(l, r)
+  }
+
+  /** See [[functions.shingles]]. Output is never null (a null/empty text
+    * yields [""], matching the HOF form it replaces), so nullable=false
+    * and eval/doGenCode handle the null child inline.
+    */
+  case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "shingle width must be >= 1")
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      Kernels.shingles(child.eval(input).asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val fn = "graft.functions.Kernels$.MODULE$.shingles"
+      val arrayData = "org.apache.spark.sql.catalyst.util.ArrayData"
+      val resultCode =
+        code"""${c.code}
+$arrayData ${ev.value} = $fn(${c.isNull} ? null : ${c.value}, $n);"""
+      ev.copy(code = resultCode, isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): ShinglesExpr =
+      copy(child = c)
   }
 
   case class LangOf(child: Expression) extends UnaryExpression {

@@ -31,13 +31,14 @@ object Dedup {
 
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** 3-word shingles (whole text when shorter). */
-  def shingles(text: Column): Column = {
-    val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      j => concat_ws(" ", slice(toks, j, lit(3))))
-  }
+  /** 3-word shingles (whole text when shorter). Native codegen expression:
+    * the previous transform(sequence(..), j => concat_ws(slice(split(..))))
+    * form was interpreted (HOFs are CodegenFallback) and re-evaluated
+    * split(lower(text)) once per OUTPUT shingle — O(tokens x shingles)
+    * per document. ShinglesExpr tokenizes once (same UTF8String
+    * lower/split/concatWs calls, bit-identical output, property-tested).
+    */
+  def shingles(text: Column): Column = graft.functions.shingles(text, 3)
 
   /** Exact dedup: group identical texts by content hash.
     * Output: (text_hash, n_docs, representative = min doc_id, doc_ids).

@@ -66,10 +66,9 @@ object TextOps {
     * edits and is cheap to compare at scale.
     */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
-    val sh = transform(
-      sequence(lit(1), greatest(size(toks) - 3, lit(1))),
-      j => concat_ws(" ", slice(toks, j, lit(4))))
+    // native codegen 4-gram shingles (see Dedup.shingles: the HOF form
+    // re-split the text once per output shingle, O(tokens x shingles))
+    val sh = graft.functions.shingles(col(textCol), 4)
     docs.select(col(idCol).as("doc_id"), explode(sh).as("s"))
       .withColumn("h", Dedup.h64(col("s")))
       .groupBy("doc_id")

@@ -59,6 +59,44 @@ class FunctionsSpec extends AnyFunSuite {
       Seq("application/octet-stream", "application/pdf"))
   }
 
+  test("shingles: bit-identical to the HOF transform/slice form (incl. null/empty/unicode)") {
+    import spark.implicits._
+    // the exact expression ShinglesExpr replaced (Dedup.shingles /
+    // TextOps.fingerprint before r7): re-evaluates split per shingle
+    def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(lower(text), " ")
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        j => concat_ws(" ", slice(toks, j, lit(n))))
+    }
+    val rng = new java.util.Random(7)
+    val words = Seq("the", "Fox", "JUMPS", "Über", "İstanbul", "12",
+      "a", "", "ß", "ΑΣ", "tail  space", "x\ty")
+    val texts: Seq[String] =
+      Seq(null, "", " ", "  ", "one", "one two", "one two three",
+        "a b c d e f", " lead", "trail ", "double  gap", "İ İ İ") ++
+      (0 until 300).map { _ =>
+        (0 until rng.nextInt(12)).map(_ => words(rng.nextInt(words.size)))
+          .mkString(" ")
+      }
+    for (n <- Seq(3, 4)) {
+      val df = texts.toDF("t").select(
+        hofShingles(col("t"), n).as("old"),
+        graft.functions.shingles(col("t"), n).as("neu"))
+      df.collect().zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n text=${Option(t).map(x => "'" + x + "'").getOrElse("null")}")
+      }
+    }
+    // and it participates in whole-stage codegen over a real plan
+    val planDf = spark.range(3)
+      .select(concat_ws(" ", lit("w"), col("id").cast("string")).as("t"))
+      .select(graft.functions.shingles(col("t"), 3).as("sh"))
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+    assert(planDf.collect().length == 3)
+  }
+
   test("SQL registration: functions usable from spark.sql") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
