@@ -37,6 +37,7 @@ object BenchExtra {
     var suffix = "before"
     var plansDir = ""
     var noop = false
+    var stages = false
     val qs = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -45,6 +46,7 @@ object BenchExtra {
         case "--suffix" => suffix = args(i + 1); i += 2
         case "--plans-dir" => plansDir = args(i + 1); i += 2
         case "--noop" => noop = true; i += 1
+        case "--stages" => stages = true; i += 1
         case q => qs += q; i += 1
       }
     }
@@ -65,6 +67,22 @@ object BenchExtra {
     // same warm state the frozen bench has before the suite loop: corpus
     // generated + extraction table materialized on disk
     SparkEntry.ensureExtracted(spark, sfDir)
+
+    if (stages) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for (s <- si.submissionTime; c <- si.completionTime)
+            yield (c - s) / 1000.0).getOrElse(-1.0)
+          val m = si.taskMetrics
+          System.err.println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
+            f"wall=$wall%6.2f cpu=${m.executorCpuTime / 1e9}%6.2f " +
+            f"run=${m.executorRunTime / 1e3}%6.2f " +
+            f"shRead=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+            f"shWrite=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB  ${si.name.takeWhile(_ != '\n').take(60)}")
+        }
+      })
 
     val out = new StringBuilder
     queryNames.foreach { q =>

@@ -84,7 +84,7 @@ object Ann {
   def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.dot_f64
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = Par.spread(emb, idCol).select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", sqrt(dot_f64(col("v"), col("v"))))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qnorm", sqrt(dot_f64(col("qv"), col("qv"))))
@@ -116,7 +116,7 @@ object Ann {
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.dot_f64
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val e = Par.spread(emb, idCol).select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", sqrt(dot_f64(col("v"), col("v"))))
     // centroids: first nCentroids ids, collected (tiny by definition).
     // Norms are computed with the same left-fold float->double arithmetic
@@ -171,7 +171,8 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.dot_f64
     val dims = dimsOf(emb, vecCol)
-    val index = lshSignatures(emb, nTables, nBits, seed, idCol, vecCol, dims)
+    val spreadEmb = Par.spread(emb, idCol)
+    val index = lshSignatures(spreadEmb, nTables, nBits, seed, idCol, vecCol, dims)
     val qsig = lshSignatures(queries, nTables, nBits, seed, idCol, vecCol, dims)
       .withColumnRenamed("id", "qid")
     // probe set per (qid, tbl): the signature itself plus its 1-bit flips
@@ -184,7 +185,7 @@ object Ann {
         index("tbl") === probes("tbl") && index("sig") === probes("p") &&
         index("id") =!= probes("qid"))
       .select(col("qid"), col("id")).distinct()
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = spreadEmb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", sqrt(dot_f64(col("v"), col("v"))))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qnorm", sqrt(dot_f64(col("qv"), col("qv"))))

@@ -44,7 +44,7 @@ object Dedup {
     * Output: (text_hash, n_docs, representative = min doc_id, doc_ids).
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("text_hash"))
+    Par.spread(docs, idCol).groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"),
         min(col(idCol)).as("representative"))
       .filter(col("n_docs") > 1)
@@ -52,7 +52,7 @@ object Dedup {
 
   /** Per-doc MinHash signature (NumHashes values). */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
+    val sh = Par.spread(docs, idCol).select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol))).as("sh"))
       .withColumn("h", pmod(h64(col("sh")), lit(P)))
     val aggs = (0 until NumHashes).map { i =>
@@ -76,7 +76,10 @@ object Dedup {
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     // the self-join's two sides shuffle identically on (band, bkey) =>
-    // Spark's ReuseExchange materializes the subtree once
+    // Spark's ReuseExchange materializes the subtree once when shuffled;
+    // at bench scale the planner broadcasts one side — the rebuilt band
+    // projection is an agg over the reused Exchange(doc_id), so the md5
+    // shingle pass still runs once (verified in the r7 plan captures)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -85,7 +88,7 @@ object Dedup {
     // exact verification on shingle sets; `cand` is consumed exactly once
     // (a zero-intersection candidate cannot reach any threshold > 0, so no
     // left join back onto cand is needed)
-    val shs = docs.select(col(idCol).as("doc_id"),
+    val shs = Par.spread(docs, idCol).select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol)))).as("sh"))
     val counts = shs.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
@@ -128,7 +131,7 @@ object Dedup {
 
   /** Per-doc SimHash signatures, unsorted (building block). */
   def simhashSigs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = Par.spread(docs, idCol).select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("t"))
       .filter(col("t") =!= "")
       .withColumn("h", h64(col("t"))) // 60-bit value: bits 0..59 meaningful
@@ -166,7 +169,11 @@ object Dedup {
         explode(array(blockStructs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.bi").as("bi"), col("bb.bv").as("bv"))
-    // both sides shuffle identically on (bi, bv) => ReuseExchange
+    // both sides shuffle identically on (bi, bv) => ReuseExchange when
+    // the planner shuffles; at bench scale it broadcasts one side, which
+    // measured FASTER than a pinned shuffle_hash (the signature table is
+    // one short row per doc — rebuild is an agg over the reused
+    // Exchange(doc_id), cheaper than two extra exchange barriers)
     val cand = blk.as("x").join(blk.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -194,7 +201,7 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 1024,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val all = docs.select(col(idCol).as("doc_id"),
+    val all = Par.spread(docs, idCol).select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol)))).as("sh"))
     // df filter first: the rare-shingle table and the self-join below share
     // the `sh` hash-partitioning, so the exchange is reused
@@ -202,7 +209,14 @@ object Dedup {
       .filter(col("df") <= dfCap).select("sh")
     val shs = all.join(rare, Seq("sh"))
     val counts = shs.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = shs.as("a").join(shs.as("b"),
+    // shuffle_hash pins the self-join to a shuffled build instead of the
+    // planner's broadcast pick: both sides then carry the IDENTICAL
+    // Exchange(hashpartitioning(sh)) subtree, which ReuseExchange/AQE
+    // executes ONCE — the broadcast form rebuilt the whole shingle
+    // subtree per side plus a driver-side hash relation each (r7 plan
+    // audit: 6 Generates + 6 BroadcastExchanges -> 3 Generates, 1 small
+    // broadcast). Same join semantics, planner-independent shape.
+    val inter = shs.as("a").hint("shuffle_hash").join(shs.as("b").hint("shuffle_hash"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -247,14 +261,17 @@ object Dedup {
       nTables: Int = 8, nBits: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.dot_f64
-    val sigs = Ann.lshSignatures(emb, nTables, nBits, seed, idCol, vecCol)
-    // both sides shuffle identically on (tbl, sig) => ReuseExchange
-    val cand = sigs.as("x").join(sigs.as("y"),
+    val spreadEmb = Par.spread(emb, idCol)
+    val sigs = Ann.lshSignatures(spreadEmb, nTables, nBits, seed, idCol, vecCol)
+    // both sides shuffle identically on (tbl, sig) => ReuseExchange;
+    // shuffle_hash pins that shape (broadcast would recompute the
+    // 128-hyperplane signature projection per side)
+    val cand = sigs.as("x").hint("shuffle_hash").join(sigs.as("y").hint("shuffle_hash"),
         col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = spreadEmb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", sqrt(dot_f64(col("v"), col("v"))))
     cand
       .join(base.as("a"), col("id_a") === col("a.id"))

@@ -202,7 +202,9 @@ object ImageOps {
         explode(array(blockStructs: _*)).as("bb"))
       .select(col("media_ref"), col("ahash"),
         col("bb.bi").as("bi"), col("bb.bv").as("bv"))
-    // both sides shuffle identically on (bi, bv) => ReuseExchange
+    // the planner broadcasts one side: correct here — the input is the
+    // persisted 8-byte-hash table (tiny, no recompute), and a measured
+    // shuffle_hash variant added two exchange barriers for no win
     val cand = blk.as("x").join(blk.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
         col("x.media_ref") < col("y.media_ref"))

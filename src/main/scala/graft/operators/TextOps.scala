@@ -21,7 +21,7 @@ object TextOps {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
     val stopHits = stop.map(s =>
       size(filter(toks, x => x === s))).reduce(_ + _)
-    docs.select(
+    Par.spread(docs, idCol).select(
       col(idCol).as("doc_id"),
       length(t).as("n_chars"),
       size(toks).as("n_tokens"),
@@ -44,7 +44,7 @@ object TextOps {
     * pre-tokenization shape.
     */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
+    Par.spread(docs, idCol).select(
       col(idCol).as("doc_id"),
       size(split(trim(col(textCol)), "\\s+")).as("ws_tokens"),
       size(regexp_extract_all(lower(col(textCol)),
@@ -57,7 +57,7 @@ object TextOps {
     */
   def langId(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    Par.spread(docs, idCol).select(col(idCol).as("doc_id"),
       graft.functions.lang_of(col(textCol)).as("lang_pred"))
       .orderBy("doc_id")
 
@@ -69,7 +69,7 @@ object TextOps {
     // native codegen 4-gram shingles (see Dedup.shingles: the HOF form
     // re-split the text once per output shingle, O(tokens x shingles))
     val sh = graft.functions.shingles(col(textCol), 4)
-    docs.select(col(idCol).as("doc_id"), explode(sh).as("s"))
+    Par.spread(docs, idCol).select(col(idCol).as("doc_id"), explode(sh).as("s"))
       .withColumn("h", Dedup.h64(col("s")))
       .groupBy("doc_id")
       .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
