@@ -84,7 +84,18 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------- queries
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Every query builder first applies the one-time session tuning
+    * (Par.tune: parallelism-first AQE coalescing for this CPU-heavy-per-
+    * byte workload; no-op at scale and on already-tuned sessions).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, f) =>
+      name -> ((s: SparkSession, dir: String) => {
+        graft.operators.Par.tune(s); f(s, dir)
+      })
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction engine (rows-only gate; ScalaTest carries equality)
     "x_extract" -> ((s, dir) => {
       ensureExtracted(s, dir)
@@ -172,8 +183,13 @@ object SparkEntry {
         .groupBy("mime").agg(count(lit(1)).as("n")).orderBy("mime")
     }),
     "x_media_features" -> ((s, dir) =>
-      // feature is array<float>: serialize for driver canonicalization
-      Multimodal.imageFeatures(s, corpusMedia(s, dir)).toDF()
+      // feature is array<float>: serialize for driver canonicalization.
+      // Shared one-decode analysis table (Multimodal.imageAnalysisCached):
+      // the two image-dedup queries reuse the same pixel-decode pass.
+      Multimodal.imageAnalysisCached(s, corpusMedia(s, dir), dir)
+        .select(col("media_ref"), col("content_type"), col("width"),
+          col("height"), col("exif_software"), col("feature"),
+          col("pixel_decode"), col("decode_ok"))
         .withColumn("feature", to_json(col("feature")))
         .orderBy("media_ref")),
     "x_frames" -> ((s, dir) =>

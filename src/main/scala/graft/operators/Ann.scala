@@ -63,19 +63,19 @@ object Ann {
   }
 
   /** (id, tbl, sig): L signature rows per vector — the LSH index shape
-    * (equi-join key (tbl, sig), cardinality L * 2^nBits).
+    * (equi-join key (tbl, sig), cardinality L * 2^nBits). All L
+    * signatures come from ONE codegen expression (functions.lsh_sigs,
+    * bit-identical to the [[signatureCols]] column form it replaced —
+    * that form's nTables x nBits dot-product tree dominated planning
+    * and codegen time for every LSH operator).
     */
   def lshSignatures(emb: DataFrame, nTables: Int = 8, nBits: Int = 16,
       seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding",
       dims: Int = -1): DataFrame = {
     val d = if (dims > 0) dims else dimsOf(emb, vecCol)
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sigs = signatureCols(col("v"), nTables, nBits, d, seed)
-    val entries = sigs.zipWithIndex.map { case (s, t) =>
-      struct(lit(t).as("tbl"), s.as("sig"))
-    }
-    e.select(col("id"), explode(array(entries: _*)).as("ts"))
-      .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    emb.select(col(idCol).as("id"),
+        posexplode(graft.functions.lsh_sigs(col(vecCol), nTables, nBits, d, seed))
+          .as(Seq("tbl", "sig")))
   }
 
   /** Exact brute-force top-k neighbors for each query vector.

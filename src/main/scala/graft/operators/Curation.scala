@@ -38,12 +38,11 @@ object Curation {
   def filterPipeline(docs: DataFrame, minQuality: Double = 0.3,
       minTokens: Int = 20, maxTokens: Int = 100000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val d = Par.spread(docs, idCol) // same exchange as quality's spread => reused
     val q = TextOps.quality(docs, idCol, textCol)
       .select(col(idCol), col("n_tokens"), col("quality_score"))
-    val canon = d.groupBy(md5(col(textCol)).as("text_hash"))
+    val canon = docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical"))
-    val withCanon = d.select(col(idCol), md5(col(textCol)).as("text_hash"))
+    val withCanon = docs.select(col(idCol), md5(col(textCol)).as("text_hash"))
       .join(canon, "text_hash")
     q.join(withCanon, idCol)
       .withColumn("reason",

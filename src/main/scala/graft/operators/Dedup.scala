@@ -26,10 +26,15 @@ object Dedup {
   val HashA: IndexedSeq[Long] = (0 until NumHashes).map(i => ((2L * i + 1) * 2654435761L) % P)
   val HashB: IndexedSeq[Long] = (0 until NumHashes).map(i => (i.toLong * 40503L + 2531011L) % P)
 
-  /** bigint hash of a string column: first 15 hex chars of md5. */
-  def h64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** bigint hash of a string column: first 15 hex chars of md5 — native
+    * one-call expression (thread-local digest, no hex-string round trip;
+    * see functions.h64). Bit-identical to the conv(substring(md5)) chain.
+    */
+  def h64(c: Column): Column = graft.functions.h64(c)
 
-  def tokens(text: Column): Column = split(lower(text), " ")
+  // lower via UTF8String (functions.lower_u8): Catalyst lower() routes
+  // through ICU whose one-time init stalls the first 32-task stage
+  def tokens(text: Column): Column = split(graft.functions.lower_u8(text), " ")
 
   /** 3-word shingles (whole text when shorter). Native codegen expression:
     * the previous transform(sequence(..), j => concat_ws(slice(split(..))))
@@ -43,8 +48,10 @@ object Dedup {
   /** Exact dedup: group identical texts by content hash.
     * Output: (text_hash, n_docs, representative = min doc_id, doc_ids).
     */
+  // no Par.spread: one md5 per doc is too cheap to amortize an extra
+  // exchange (measured +0.2 s on the r7 bench when spread)
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    Par.spread(docs, idCol).groupBy(md5(col(textCol)).as("text_hash"))
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"),
         min(col(idCol)).as("representative"))
       .filter(col("n_docs") > 1)
@@ -89,7 +96,7 @@ object Dedup {
     // (a zero-intersection candidate cannot reach any threshold > 0, so no
     // left join back onto cand is needed)
     val shs = Par.spread(docs, idCol).select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol)))).as("sh"))
+      explode(graft.functions.shingles_distinct(col(textCol), 3)).as("sh"))
     val counts = shs.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -202,7 +209,7 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 1024,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val all = Par.spread(docs, idCol).select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol)))).as("sh"))
+      explode(graft.functions.shingles_distinct(col(textCol), 3)).as("sh"))
     // df filter first: the rare-shingle table and the self-join below share
     // the `sh` hash-partitioning, so the exchange is reused
     val rare = all.groupBy("sh").agg(count(lit(1)).as("df"))

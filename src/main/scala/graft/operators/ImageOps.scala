@@ -144,31 +144,18 @@ object ImageOps {
       .toDF("media_ref", "ahash", "phash", "width", "height")
   }
 
-  // One-slot hash-table cache: the image-dedup query pair (x_image_dups /
-  // x_image_dups_xcodec) consumes the SAME hashes table, so the second
-  // query must not re-decode every image. Keyed by the media source dir;
-  // a new key evicts (unpersists) the old entry. Callers that mutate data
-  // under an already-seen key in one JVM must use a fresh key.
-  @volatile private var hashCache: Option[(String, DataFrame)] = None
-
+  /** Cached hash rows projected from the SHARED per-(session, dir)
+    * analysis table ([[Multimodal.imageAnalysisCached]]): x_media_features
+    * and both image-dedup queries consume one pixel-decode pass. Rows are
+    * exactly [[imageHashes]]'s (pixel_decode=true marks the payloads
+    * [[Multimodal.decodePixels]] accepts).
+    */
   def imageHashesCached(spark: SparkSession, media: DataFrame,
-      key: String): DataFrame = synchronized {
-    // scope the key to the session: a later SparkSession in the same JVM
-    // (old one stopped) must not receive a DataFrame bound to the dead
-    // session, and a regenerated dir under a fresh session re-decodes
-    val sessionKey = spark.sparkContext.applicationId + "|" + key
-    hashCache match {
-      case Some((k, df)) if k == sessionKey && (df.sparkSession eq spark) => df
-      case prev =>
-        // only safe to unpersist through a live session; a dead entry's
-        // blocks died with its context
-        prev.filter(_._2.sparkSession eq spark).foreach(_._2.unpersist())
-        val df = imageHashes(spark, media)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        hashCache = Some((sessionKey, df))
-        df
-    }
-  }
+      key: String): DataFrame =
+    Multimodal.imageAnalysisCached(spark, media, key)
+      .filter(col("pixel_decode"))
+      .select(col("media_ref"), col("ahash"), col("phash"),
+        col("width"), col("height"))
 
   /** Content-level near-dup image pairs within `maxHamming` bits
     * (pigeonhole-complete for maxHamming <= blocks-1). Output:

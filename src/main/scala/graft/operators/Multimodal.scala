@@ -60,11 +60,30 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  /** Decode + feature-extract over a media table (media_ref, bytes_b64).
-    * PNG/GIF/BMP: full pixel decode, real luma-histogram features.
-    * JPEG/WebP/MP4: real header/EXIF metadata, stubbed pixel step.
+  /** [[ImageFeature]] plus the perceptual hashes of [[ImageOps]]: ONE
+    * pixel decode serves every consumer (decode dominates the cost; the
+    * r6 design already shared one decode between the two dup queries —
+    * this extends the share to x_media_features).
     */
-  def imageFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[ImageFeature] = {
+  final case class ImageAnalysis(
+      media_ref: String,
+      content_type: String,
+      width: Int,
+      height: Int,
+      exif_software: String,
+      feature: Seq[Float],
+      pixel_decode: Boolean,
+      decode_ok: Boolean,
+      ahash: Long,
+      phash: Long)
+
+  /** Decode + feature/hash-extract over a media table (media_ref,
+    * bytes_b64) in a single pixel-decode pass. Feature semantics are
+    * exactly [[imageFeatures]]'s; ahash/phash are [[ImageOps.aHash64]] /
+    * [[ImageOps.pHash64]] and only meaningful when pixel_decode=true
+    * (the rows [[ImageOps.imageHashes]] emits).
+    */
+  def imageAnalysis(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[ImageAnalysis] = {
     import spark.implicits._
     media.select(col("media_ref"), col("bytes_b64"))
       .as[(String, String)]
@@ -87,6 +106,10 @@ object Multimodal {
             case _               => Map.empty
           }
           val pixels = decodePixels(bytes, kind)
+          val (ah, ph) = pixels match {
+            case Some(img) => (ImageOps.aHash64(img), ImageOps.pHash64(img))
+            case None      => (0L, 0L)
+          }
           if (meta.nonEmpty || pixels.nonEmpty) {
             def px(k: String): Int =
               meta.get(k).map(_.takeWhile(_.isDigit)).filter(_.nonEmpty)
@@ -97,15 +120,47 @@ object Multimodal {
               case Some(img) => lumaHistogram(img, dim).toSeq
               case None      => stubFeature(bytes, dim)
             }
-            ImageFeature(ref, Magic.contentTypeOf(kind, None), w, h,
+            ImageAnalysis(ref, Magic.contentTypeOf(kind, None), w, h,
               meta.getOrElse("Software", ""), feat,
-              pixel_decode = pixels.nonEmpty, decode_ok = true)
+              pixel_decode = pixels.nonEmpty, decode_ok = true, ah, ph)
           } else {
-            ImageFeature(ref, Magic.contentTypeOf(kind, None), -1, -1, "",
-              Seq.fill(dim)(0.0f), pixel_decode = false, decode_ok = false)
+            ImageAnalysis(ref, Magic.contentTypeOf(kind, None), -1, -1, "",
+              Seq.fill(dim)(0.0f), pixel_decode = false, decode_ok = false,
+              ah, ph)
           }
         }
       }
+  }
+
+  // One-slot cache for the combined analysis table: x_media_features,
+  // x_image_dups and x_image_dups_xcodec all consume it, so the corpus
+  // is pixel-decoded ONCE per (session, media dir). Same contract as the
+  // r5/r6 one-slot caches (Dedup.minhashLshCached).
+  @volatile private var analysisCache: Option[(String, DataFrame)] = None
+
+  def imageAnalysisCached(spark: SparkSession, media: DataFrame,
+      key: String, dim: Int = 8): DataFrame = synchronized {
+    val sessionKey = spark.sparkContext.applicationId + "|" + key + "|" + dim
+    analysisCache match {
+      case Some((k, df)) if k == sessionKey && (df.sparkSession eq spark) => df
+      case prev =>
+        prev.filter(_._2.sparkSession eq spark).foreach(_._2.unpersist())
+        val df = imageAnalysis(spark, media, dim).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        analysisCache = Some((sessionKey, df))
+        df
+    }
+  }
+
+  /** Decode + feature-extract over a media table (media_ref, bytes_b64).
+    * PNG/GIF/BMP: full pixel decode, real luma-histogram features.
+    * JPEG/WebP/MP4: real header/EXIF metadata, stubbed pixel step.
+    */
+  def imageFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[ImageFeature] = {
+    import spark.implicits._
+    imageAnalysis(spark, media, dim)
+      .map(a => ImageFeature(a.media_ref, a.content_type, a.width, a.height,
+        a.exif_software, a.feature, a.pixel_decode, a.decode_ok))
   }
 
   /** STUB decode: deterministic feature from payload bytes (stands in for

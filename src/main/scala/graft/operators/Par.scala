@@ -25,6 +25,31 @@ import org.apache.spark.sql.functions.col
   */
 object Par {
 
+  /** Session tuning applied once per SparkSession before operator
+    * queries run. AQE's partition coalescing floors post-shuffle
+    * partitions at spark.sql.adaptive.coalescePartitions.minPartitionSize
+    * (default 1m) — sized for byte-bound stages. This engine's stages
+    * are CPU-heavy per byte (kernel parse, md5 shingles, LSH dots), so a
+    * few MB of shuffle data still deserve every core: the r7 stage audit
+    * showed 12 MB exchanges coalesced to 6 tasks at 0.74 s wall with 30
+    * cores idle. A 64k floor restores parallelism-first coalescing for
+    * small-byte stages and is a NO-OP at scale (real partitions are far
+    * above 1m, and target sizes still come from advisoryPartitionSize).
+    * Override via SPARK_GRAFT_MIN_COALESCE.
+    */
+  @volatile private var tunedApp: String = ""
+
+  def tune(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    if (tunedApp != app) synchronized {
+      if (tunedApp != app) {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+          sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
+        tunedApp = app
+      }
+    }
+  }
+
   def spread(df: DataFrame, key: Column): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
     val p = conf.numShufflePartitions

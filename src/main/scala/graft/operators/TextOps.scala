@@ -17,11 +17,11 @@ object TextOps {
     */
   def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = split(lower(t), " ")
+    val toks = Dedup.tokens(t) // ICU-free lower (see functions.lower_u8)
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
     val stopHits = stop.map(s =>
       size(filter(toks, x => x === s))).reduce(_ + _)
-    Par.spread(docs, idCol).select(
+    docs.select(
       col(idCol).as("doc_id"),
       length(t).as("n_chars"),
       size(toks).as("n_tokens"),
@@ -44,10 +44,10 @@ object TextOps {
     * pre-tokenization shape.
     */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    Par.spread(docs, idCol).select(
+    docs.select(
       col(idCol).as("doc_id"),
       size(split(trim(col(textCol)), "\\s+")).as("ws_tokens"),
-      size(regexp_extract_all(lower(col(textCol)),
+      size(regexp_extract_all(graft.functions.lower_u8(col(textCol)),
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"))
       .orderBy("doc_id")
 

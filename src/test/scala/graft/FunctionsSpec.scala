@@ -82,10 +82,14 @@ class FunctionsSpec extends AnyFunSuite {
     for (n <- Seq(3, 4)) {
       val df = texts.toDF("t").select(
         hofShingles(col("t"), n).as("old"),
-        graft.functions.shingles(col("t"), n).as("neu"))
+        graft.functions.shingles(col("t"), n).as("neu"),
+        array_distinct(hofShingles(col("t"), n)).as("oldD"),
+        graft.functions.shingles_distinct(col("t"), n).as("neuD"))
       df.collect().zip(texts).foreach { case (r, t) =>
         assert(r.getSeq[String](0) == r.getSeq[String](1),
           s"n=$n text=${Option(t).map(x => "'" + x + "'").getOrElse("null")}")
+        assert(r.getSeq[String](2) == r.getSeq[String](3),
+          s"distinct n=$n text=${Option(t).map(x => "'" + x + "'").getOrElse("null")}")
       }
     }
     // and it participates in whole-stage codegen over a real plan
@@ -95,6 +99,51 @@ class FunctionsSpec extends AnyFunSuite {
     val plan = planDf.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), plan)
     assert(planDf.collect().length == 3)
+  }
+
+  test("lower_u8: identical to Catalyst lower() (incl. unicode case edges)") {
+    import spark.implicits._
+    val texts = Seq("", " ", "MiXeD CaSe", "ÜBER STRASSE ß", "İSTANBUL I ı İ i",
+      "ΑΣ ΣΟΦΟΣ", "ЯЗЫК ТЕКСТ", "ĲSSELMEER", "ǅungla", "FIX ﬁ ﬂ")
+    val df = texts.toDF("t").select(
+      lower(col("t")).as("old"), graft.functions.lower_u8(col("t")).as("neu"))
+    df.collect().zip(texts).foreach { case (r, t) =>
+      assert(r.getString(0) == r.getString(1), s"'$t'")
+    }
+  }
+
+  test("h64: bit-identical to conv(substring(md5(s),1,15),16,10) cast long") {
+    import spark.implicits._
+    val rng = new java.util.Random(11)
+    val texts: Seq[String] = Seq("", " ", "a", "the quick fox", "Über İ ß",
+      "", "0" * 100) ++
+      (0 until 500).map(_ => rng.nextInt().toString + " tok" + rng.nextLong())
+    val df = texts.toDF("t").select(
+      conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long").as("old"),
+      graft.functions.h64(col("t")).as("neu"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    // null propagates like the composed chain
+    val n = Seq[String](null).toDF("t")
+      .select(graft.functions.h64(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("lsh_sigs: bit-identical to the per-(table,bit) when(dot>=0) column form") {
+    import spark.implicits._
+    import graft.operators.Ann
+    val rng = new java.util.Random(13)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, (0 until 64).map(_ => (rng.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = rows.toDF("id", "v")
+    val oldSigs = Ann.signatureCols(col("v"), 8, 16, 64, 42L)
+    val oldDf = df.select(col("id") +: oldSigs.zipWithIndex.map {
+      case (s, t) => s.as(s"s$t") }: _*).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val newDf = df.select(col("id"),
+        graft.functions.lsh_sigs(col("v"), 8, 16, 64, 42L).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, _) => assert(oldDf(id) == newDf(id), s"id=$id") }
   }
 
   test("SQL registration: functions usable from spark.sql") {
