@@ -84,6 +84,32 @@ object BenchExtra {
         }
       })
 
+    // --extract: time the SAME pass the frozen Bench times (extract +
+    // count/sum agg over the cached corpus), with stage detail
+    if (queryNames == Seq("extract")) {
+      import graft.corpus.Gen
+      import graft.spark.Pipeline
+      val name = new java.io.File(sfDir).getName
+      val corpusDir = s"${SparkEntry.DataRoot}/corpus/$name"
+      Gen.writeCorpus(spark, corpusDir, nDocs = Bench.benchDocs(name))
+      val docs = Gen.readDocs(spark, corpusDir).cache()
+      val media = Gen.readMedia(spark, corpusDir)
+      docs.count()
+      (1 to passes).foreach { i =>
+        spark.sparkContext.setJobDescription(s"bench-extra: extract pass $i")
+        val t0 = System.nanoTime()
+        Pipeline.extract(spark, docs, media).toDF()
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("bytes_in")))
+          .collect()
+        System.err.println(f"[bench-extra] extract pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop()
+      return
+    }
+
     val out = new StringBuilder
     queryNames.foreach { q =>
       spark.sparkContext.setJobDescription(s"bench-extra: $q")

@@ -269,6 +269,33 @@ object Lang {
                                 // absent from every other Latin set here
   )
 
+  // Inverted lookup tables (one per JVM): token -> indices of languages
+  // whose stopword set contains it, char -> indices of languages whose
+  // diacritic set contains it. The per-language loops they replace
+  // scanned every token against ~38 sets and the whole text against
+  // ~25 char sets (r7 extract-stage audit: Lang.detect dominated the
+  // assembly stage's CPU); counts are identical by construction.
+  private val tokenLangs: java.util.HashMap[String, Array[Int]] = {
+    val tmp = scala.collection.mutable.LinkedHashMap.empty[String, List[Int]]
+    for (i <- langs.indices; t <- stop(langs(i)))
+      tmp(t) = i :: tmp.getOrElse(t, Nil)
+    val m = new java.util.HashMap[String, Array[Int]]()
+    tmp.foreach { case (t, is) => m.put(t, is.reverse.toArray) }
+    m
+  }
+
+  private val charLangs: java.util.HashMap[Character, Array[Int]] = {
+    val tmp = scala.collection.mutable.LinkedHashMap.empty[Char, List[Int]]
+    for (i <- langs.indices; cs <- diacritics.get(langs(i)); c <- cs)
+      tmp(c) = i :: tmp.getOrElse(c, Nil)
+    val m = new java.util.HashMap[Character, Array[Int]]()
+    tmp.foreach { case (c, is) => m.put(c, is.reverse.toArray) }
+    m
+  }
+
+  // compiled once: String.split(regex) recompiles the pattern per call
+  private val TokenSplit = java.util.regex.Pattern.compile("[^\\p{L}']+")
+
   /** Detect the language of `text`; `und` when undeterminable. */
   def detect(text: String): String = {
     if (text == null) return Undetermined
@@ -303,6 +330,7 @@ object Lang {
       if (Character.isLetter(c)) {
         letters += 1
         val cp = c.toInt
+        if (cp >= 0x0370) { // every script range / distinguisher below is >= U+0370
         val lc = Character.toLowerCase(c)
         if (lc == 'і' || lc == 'ї' || lc == 'є' || lc == 'ґ') ukChars += 1
         if (lc == 'ы' || lc == 'э' || lc == 'ё') ruChars += 1
@@ -333,6 +361,7 @@ object Lang {
         else if (cp >= 0x0e80 && cp <= 0x0eff) laoo += 1
         else if (cp >= 0x0d80 && cp <= 0x0dff) sinh += 1
         else if (cp >= 0x1000 && cp <= 0x109f) mymr += 1
+        }
       }
       i += 1
     }
@@ -393,31 +422,44 @@ object Lang {
     if (sinh.toDouble / letters > 0.3) return "si"
     if (mymr.toDouble / letters > 0.3) return "my"
 
-    val tokens = t.toLowerCase.split("[^\\p{L}']+").filter(_.nonEmpty)
+    val tokens = TokenSplit.split(t.toLowerCase).filter(_.nonEmpty)
     if (tokens.isEmpty) return Undetermined
 
-    val scores = langs.map { l =>
-      val s = stop(l)
-      var hits = 0
-      var j = 0
-      while (j < tokens.length) {
-        if (s.contains(tokens(j))) hits += 1
-        j += 1
-      }
-      var dia = 0
-      diacritics.get(l).foreach { dset =>
+    // single pass over tokens and text via the inverted tables — the
+    // exact same per-language (hits * 2 + dia) scores as the former
+    // per-language scans, argmax tie-break unchanged (lowest index wins)
+    val score = new Array[Int](langs.length)
+    var j = 0
+    while (j < tokens.length) {
+      val arr = tokenLangs.get(tokens(j))
+      if (arr != null) {
         var k = 0
-        while (k < t.length) {
-          if (dset.contains(Character.toLowerCase(t.charAt(k)))) dia += 1
-          k += 1
+        while (k < arr.length) { score(arr(k)) += 2; k += 1 }
+      }
+      j += 1
+    }
+    var k = 0
+    while (k < t.length) {
+      val c = t.charAt(k)
+      if (c >= 0x80) { // every diacritic-set char is non-ASCII
+        val arr = charLangs.get(Character.valueOf(Character.toLowerCase(c)))
+        if (arr != null) {
+          var m = 0
+          while (m < arr.length) { score(arr(m)) += 1; m += 1 }
         }
       }
-      l -> (hits * 2 + dia)
+      k += 1
     }
-    val (best, bestScore) = scores.maxBy { case (l, v) => (v, -langs.indexOf(l)) }
+    var bestIdx = 0
+    var bestScore = score(0)
+    var x = 1
+    while (x < score.length) {
+      if (score(x) > bestScore) { bestScore = score(x); bestIdx = x }
+      x += 1
+    }
     // Evidence floor: at least two function-word-equivalents of signal and
     // a minimal density, else undetermined.
     if (bestScore < 4 || bestScore.toDouble / tokens.length < 0.08) Undetermined
-    else best
+    else langs(bestIdx)
   }
 }

@@ -40,18 +40,27 @@ object Pipeline {
         * on the missing 1%'s media instead of re-extracting everything.
         * The referenced-keys side is broadcast (doc_id-sized keys; on a
         * resume it is the small todo set by construction) so payload
-        * bytes still never cross an exchange. Full runs over
-        * fully-referenced corpora pay one extra pruned keys-only scan.
+        * bytes still never cross an exchange.
+        *
+        * Default OFF (r7): on a full fresh run the gate prunes nothing —
+        * every media row is referenced — while its key set costs one
+        * extra docs scan plus a broadcast barrier before the media scan
+        * can start. Output rows are identical either way (the downstream
+        * LEFT join keyed by span-side refs drops unreferenced extracts).
+        * Runner.run turns the gate ON automatically whenever it resumes
+        * (committed snapshots exist), which is the case the gate is for.
         */
-      gateMediaByReference: Boolean = true,
-      /** Broadcast cap for the gate's referenced-key set. A full run
-        * over a 100 TB corpus has ~1e9 distinct media_refs — far past
-        * any broadcast threshold and a driver OOM if forced. When the
-        * key-set row-count estimate exceeds this cap the gate switches
-        * to a shuffle left_semi on media_ref (keys are uniform md5-like
-        * ids, so the exchange is balanced and still keys-only; payload
-        * bytes never move either way). Resume runs keep the broadcast:
-        * their todo set is small by construction.
+      gateMediaByReference: Boolean = false,
+      /** Broadcast cap for the gate's referenced-key set. A full
+        * gated run over a 100 TB corpus has ~1e9 distinct media_refs —
+        * far past any broadcast threshold and a driver OOM if forced.
+        * Above this row-count estimate the gate is DISABLED entirely
+        * (media extracts unpruned; the downstream left join keeps
+        * results identical) rather than switched to a shuffled
+        * left_semi, because a shuffled semi-join would move the MEDIA
+        * side — payload bytes — through an exchange, which this
+        * pipeline never does. Resume runs keep the broadcast: their
+        * todo set is small by construction.
         */
       gateBroadcastMaxKeys: Long = 4L * 1000 * 1000)
 
@@ -121,6 +130,13 @@ object Pipeline {
     // gated out by a broadcast semi-join on keys BEFORE payloads are
     // decoded — see Config.gateMediaByReference.
     val mediaSpans = spanRows(withText = false).filter(col("media_ref").isNotNull)
+    // the shuffle-join path repartitions mediaSpans on media_ref; deriving
+    // the gate's key set from the SAME repartitioned subtree makes the
+    // two identical exchanges reuse one docs scan+explode (plan-audited:
+    // the separate keys subtree re-scanned docs once per pass)
+    val mediaSpansParted =
+      if (cfg.broadcastMedia) mediaSpans
+      else mediaSpans.repartition(p, col("media_ref"))
     // The gate's key set is broadcast ONLY while its size estimate is
     // under gateBroadcastMaxKeys. Above the cap (a full run over a
     // ~1e9-media corpus) the gate is dropped entirely rather than
@@ -133,7 +149,7 @@ object Pipeline {
     // key set and always stay on the broadcast path.
     val gatedMedia =
       if (cfg.gateMediaByReference) {
-        val keys = mediaSpans.select(col("media_ref")).distinct()
+        val keys = mediaSpansParted.select(col("media_ref")).distinct()
         val stats = keys.queryExecution.optimizedPlan.stats
         val estKeys = stats.rowCount.map(_.longValue)
           .getOrElse(stats.sizeInBytes.longValue / 48L) // ~48 B per md5-ish id row
@@ -163,7 +179,7 @@ object Pipeline {
       if (cfg.broadcastMedia)
         mediaSpans.join(broadcast(exDF), Seq("media_ref"), "left")
       else
-        mediaSpans.repartition(p, col("media_ref"))
+        mediaSpansParted
           .hint("shuffle_hash")
           .join(exDF.repartition(p, col("media_ref")), Seq("media_ref"), "left")
 
@@ -184,28 +200,21 @@ object Pipeline {
     // fast-path split would recompute the scan+join subtrees — measured
     // slower than shuffling the small extracted text). Only extracted
     // text crosses this exchange; payload bytes are gone.
-    // typed Aggregator => ObjectHashAggregate: no sort, and partial
-    // aggregation completes single-span docs (the common case) on the map
-    // side before the exchange
-    extractTextRows(textMixed).union(mediaRows)
-      .groupByKey(_.doc_id)
-      .agg(AssembleAgg.toColumn.name("row"))
-      .select(col("row.*"))
-      .as[ExtractedRow]
-  }
-
-  /** Commutative span-collecting aggregator; finish() assembles the doc. */
-  object AssembleAgg extends org.apache.spark.sql.expressions.Aggregator[
-      SpanExtract, Seq[SpanExtract], ExtractedRow] {
-    override def zero: Seq[SpanExtract] = Vector.empty
-    override def reduce(b: Seq[SpanExtract], a: SpanExtract): Seq[SpanExtract] = b :+ a
-    override def merge(x: Seq[SpanExtract], y: Seq[SpanExtract]): Seq[SpanExtract] = x ++ y
-    override def finish(r: Seq[SpanExtract]): ExtractedRow =
-      assembleDoc(r.head.doc_id, r.toArray.sortBy(_.span_idx))
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[SpanExtract]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SpanExtract]]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[ExtractedRow] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ExtractedRow]()
+    // collect_list(struct) => ObjectHashAggregate whose update appends
+    // RAW rows: the previous typed Aggregator deserialized every span
+    // row through its ExpressionEncoder in groupByKey AND in the agg
+    // update path (r7 stage audit: ~15 CPU-s per pass, ~40% of pass
+    // CPU); assembly now decodes each doc's span list ONCE in a typed
+    // map after the (unchanged, partial-aggregated) doc_id exchange.
+    val spanCols = Seq("doc_id", "span_idx", "out_kind", "blocks",
+      "media_ref", "content_type", "metadata", "issue_type", "bytes_in")
+    extractTextRows(textMixed).union(mediaRows).toDF()
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(spanCols.map(col): _*)).as("parts"))
+      .as[(String, Seq[SpanExtract])]
+      .map { case (docId, parts) =>
+        assembleDoc(docId, parts.toArray.sortBy(_.span_idx))
+      }
   }
 
   private def toSpanExtract(docId: String, idx: Int, ref: String,

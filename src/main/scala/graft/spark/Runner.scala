@@ -33,7 +33,12 @@ object Runner {
       .map(_.select("doc_id").distinct())
     val todo = done.fold(docs)(d => docs.join(d, Seq("doc_id"), "left_anti"))
 
-    val extracted = Pipeline.extract(spark, todo, media, cfg)
+    // resume runs gate the media scan by the todo set's referenced keys
+    // (the gate's purpose); fresh runs skip the gate's extra docs scan —
+    // output rows are identical either way (see Config.gateMediaByReference)
+    val runCfg =
+      if (done.isDefined) cfg.copy(gateMediaByReference = true) else cfg
+    val extracted = Pipeline.extract(spark, todo, media, runCfg)
       .toDF()
       .withColumn("part_id", spark_partition_id())
       .withColumn("run_id", lit(runId))

@@ -72,14 +72,17 @@ class PipelineSpec extends AnyFunSuite {
   test("media gate: broadcast semi-join under the key cap, dropped above it") {
     val docs = Gen.readDocs(spark, corpusDir)
     val media = Gen.readMedia(spark, corpusDir)
-    val below = Pipeline.extract(spark, docs, media).toDF()
+    // r7: the gate defaults OFF for fresh runs (Runner re-enables it on
+    // resume); gate-shape assertions opt in explicitly
+    val below = Pipeline.extract(spark, docs, media,
+      Pipeline.Config(gateMediaByReference = true)).toDF()
     val planBelow = below.queryExecution.executedPlan.toString
     assert(planBelow.contains("LeftSemi"), "gate must semi-join under the cap")
     assert(planBelow.contains("Broadcast"), "the key set must be broadcast, never shuffled")
     // cap 0 simulates the ~1e9-key full-scale regime: the gate drops out
     // entirely (no payload-shuffling semi-join may appear in its place)
     val above = Pipeline.extract(spark, docs, media,
-      Pipeline.Config(gateBroadcastMaxKeys = 0)).toDF()
+      Pipeline.Config(gateMediaByReference = true, gateBroadcastMaxKeys = 0)).toDF()
     val planAbove = above.queryExecution.executedPlan.toString
     assert(!planAbove.contains("LeftSemi"),
       "above the cap the gate is dropped; a shuffled semi-join would move payloads")
