@@ -241,8 +241,14 @@ object ArchiveWriter {
     * folder behind a kEncodedHeader (0x17) stub — the layout 7-Zip
     * writes for any non-trivial archive.
     */
+  /** folderCrcs=true emits the real-7-Zip CRC layout the plain writer
+    * omits: UnpackInfo kCRC defines folder CRCs for EVEN-indexed folders
+    * (bitmask form), and SubStreamsInfo kCRC then carries digests ONLY
+    * for the remaining streams — the spec's exclusion rule whose count
+    * arithmetic ADVICE r6 flagged in the reader.
+    */
   def write7z(members: Seq[(String, Array[Byte])], codec: String = "copy",
-      encodedHeader: Boolean = false): Array[Byte] = {
+      encodedHeader: Boolean = false, folderCrcs: Boolean = false): Array[Byte] = {
     require(members.nonEmpty && members.size <= 0xffff)
     val Lzma2DictCode = 8 // (2|(8&1)) << (8/2+11) = 2 << 15 = 64 KiB
     def lzma2(data: Array[Byte]): Array[Byte] = {
@@ -256,6 +262,9 @@ object ArchiveWriter {
     }
     val packed = members.map { case (_, data) =>
       if (codec == "lzma2") lzma2(data) else data
+    }
+    val memberCrcs: Seq[Long] = members.map { case (_, data) =>
+      val c = new java.util.zip.CRC32(); c.update(data); c.getValue
     }
     def num(out: ByteArrayOutputStream, v0: Long): Unit = {
       var i = 0
@@ -296,9 +305,33 @@ object ArchiveWriter {
         }
       }
       out.write(0x0c); unpackSizes.foreach(num(out, _)) // CodersUnpackSize
+      if (folderCrcs) {
+        // UnpackInfo kCRC: even-indexed folders defined (bitmask,
+        // MSB-first per byte), CRC32 little-endian each
+        out.write(0x0a)
+        out.write(0x00) // not AllAreDefined
+        var acc = 0; var nbits = 0
+        unpackSizes.indices.foreach { i =>
+          acc = (acc << 1) | (if (i % 2 == 0) 1 else 0); nbits += 1
+          if (nbits == 8) { out.write(acc); acc = 0; nbits = 0 }
+        }
+        if (nbits > 0) out.write(acc << (8 - nbits))
+        memberCrcs.zipWithIndex.foreach { case (c, i) =>
+          if (i % 2 == 0) (0 until 4).foreach(j => out.write(((c >> (8 * j)) & 0xff).toInt))
+        }
+      }
       out.write(0x00) // end UnpackInfo
-      out.write(0x08) // SubStreamsInfo (empty: 1 stream per folder,
-      out.write(0x00) //   sizes = folder sizes — strict readers want it)
+      out.write(0x08) // SubStreamsInfo (1 stream per folder; sizes =
+                      //   folder sizes — strict readers want it)
+      if (folderCrcs && unpackSizes.indices.exists(_ % 2 == 1)) {
+        // digests ONLY for streams without a folder-level CRC
+        out.write(0x0a)
+        out.write(0x01) // AllAreDefined over the digest-lacking streams
+        memberCrcs.zipWithIndex.foreach { case (c, i) =>
+          if (i % 2 == 1) (0 until 4).foreach(j => out.write(((c >> (8 * j)) & 0xff).toInt))
+        }
+      }
+      out.write(0x00) // end SubStreamsInfo
       out.write(0x00) // end StreamsInfo
     }
     // end header

@@ -83,6 +83,15 @@ package object functions {
     * runs (same equivalence class as ShinglesExpr's tokenizer).
     */
   def lower_u8(c: Column): Column = SqlShim.column(LowerU8(SqlShim.expression(c)))
+
+  /** TextOps.quality's five raw counters in ONE tokenizing pass:
+    * struct(n_chars, n_tokens, punct, stops, len_sum). The column form
+    * ran 13 interpreted HOF scans per row (punct filter, 10 stopword
+    * filters, aggregate, size), each re-evaluating split(lower(text)).
+    * Ratios/rounding stay OUTSIDE in Catalyst expressions, so the
+    * final values are bit-identical (pinned by a property test).
+    */
+  def text_stats(c: Column): Column = SqlShim.column(TextStats(SqlShim.expression(c)))
 }
 
 package functions {
@@ -208,6 +217,37 @@ package functions {
         ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
     }
 
+    // same pattern + matcher.find() semantics as Catalyst RLike
+    private val PunctRe = java.util.regex.Pattern.compile("^[.,;:!?]+$")
+    private val StopWords: Array[UTF8String] =
+      Array("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+        .map(UTF8String.fromString)
+
+    /** (n_chars, n_tokens, punct_hits, stop_hits, token_len_sum) of a
+      * text in one pass; identical values to the HOF column chain
+      * (size/filter-rlike/filter-eq x10/aggregate over split(lower)).
+      */
+    def textStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val toks = text.toLowerCase.split(SpaceU, -1)
+      var punct = 0
+      var stops = 0
+      var lenSum = 0.0 // aggregate(toks, 0.0, acc + length(x)) fold order
+      var i = 0
+      while (i < toks.length) {
+        val tk = toks(i)
+        if (PunctRe.matcher(tk.toString).find()) punct += 1
+        var s = 0
+        while (s < StopWords.length) {
+          if (tk.equals(StopWords(s))) stops += 1
+          s += 1
+        }
+        lenSum += tk.numChars()
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](text.numChars(), toks.length, punct, stops, lenSum))
+    }
+
     def dotF64(a: org.apache.spark.sql.catalyst.util.ArrayData,
         b: org.apache.spark.sql.catalyst.util.ArrayData,
         aFloat: Boolean, bFloat: Boolean): Double = {
@@ -288,6 +328,23 @@ $arrayData ${ev.value} = $fn(${c.isNull} ? null : ${c.value}, $n, $distinct);"""
     }
     override protected def withNewChildInternal(c: Expression): ShinglesExpr =
       copy(child = c)
+  }
+
+  /** See [[functions.text_stats]]. */
+  case class TextStats(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_chars", IntegerType, nullable = false),
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("punct", IntegerType, nullable = false),
+      StructField("stops", IntegerType, nullable = false),
+      StructField("len_sum", DoubleType, nullable = false)))
+    override def nullSafeEval(v: Any): Any =
+      Kernels.textStats(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Kernels$$.MODULE$$.textStats($c)")
+    override protected def withNewChildInternal(c: Expression): TextStats = copy(c)
   }
 
   /** See [[functions.lower_u8]]. */

@@ -97,7 +97,11 @@ object MkvKernel {
       val (size, szLen) = vint(bytes, p + idLen, keepMarker = false).getOrElse(return)
       val body = p + idLen + szLen
       if (size < 0) { // unknown size: runs to the enclosing limit
-        f(id, body, limit - body)
+        // clamp: a header vint crossing the parent limit would hand the
+        // child a NEGATIVE length (limit - body < 0) and str() would
+        // throw StringIndexOutOfBoundsException past the AIOOBE-only
+        // catch in extract() (ADVICE r6)
+        f(id, body, math.max(0, limit - body))
         return
       }
       if (size > limit - body) return // truncated child

@@ -207,6 +207,11 @@ object SevenZKernel {
     var folders = Vector.empty[Folder]
     var numUnpack = Vector.empty[Int]
     var subSizes = Vector.empty[Vector[Long]]
+    // which folders carried a CRC in UnpackInfo kCRC: SubStreamsInfo's
+    // digest list EXCLUDES single-stream folders whose CRC is already
+    // defined there (ADVICE r6 — skipping blind misaligned the reader
+    // on real 7-Zip archives with folder-level CRCs)
+    var folderCrcDefined = Array.empty[Boolean]
     var done = false
     while (!done) rd.num() match {
       case 0x00 => done = true
@@ -235,7 +240,7 @@ object SevenZKernel {
         var d = false
         while (!d) rd.num() match {
           case 0x00 => d = true
-          case 0x0a => skipDigests(rd, folders.length)
+          case 0x0a => folderCrcDefined = skipDigests(rd, folders.length)
           case _    => throw new IllegalArgumentException("7z unpackinfo")
         }
       case 0x08 => // SubStreamsInfo
@@ -255,11 +260,15 @@ object SevenZKernel {
               }
             }
           case 0x0a =>
-            // digests for streams lacking a folder-level CRC: the count
-            // is data-dependent; a conservative skip (all streams) only
-            // works when no folder CRCs were stored — this parser never
-            // stores them, so every stream gets a digest here
-            skipDigests(rd, numUnpack.sum)
+            // digests only for streams lacking a folder-level CRC: a
+            // single-stream folder whose CRC was defined in UnpackInfo
+            // kCRC is excluded from this list (7z spec; ADVICE r6)
+            val nDigests = folders.indices.map { i =>
+              val cnt = numUnpack.lift(i).getOrElse(1)
+              if (cnt == 1 && folderCrcDefined.lift(i).getOrElse(false)) 0
+              else cnt
+            }.sum
+            skipDigests(rd, nDigests)
           case _ => throw new IllegalArgumentException("7z substreams")
         }
         if (subSizes.isEmpty)
@@ -303,10 +312,12 @@ object SevenZKernel {
   }
 
   /** Digest block: allDefined byte, optional bit vector, 4 bytes each. */
-  private def skipDigests(rd: Rd, n: Int): Unit = {
+  /** Skip a digest list; returns which of the n entries were defined. */
+  private def skipDigests(rd: Rd, n: Int): Array[Boolean] = {
     val all = rd.byte()
-    val defined = if (all != 0) n else readBits(rd, n).count(identity)
-    rd.skip(4L * defined)
+    val defined = if (all != 0) Array.fill(n)(true) else readBits(rd, n)
+    rd.skip(4L * defined.count(identity))
+    defined
   }
 
   private def readBits(rd: Rd, n: Int): Array[Boolean] = {

@@ -84,7 +84,9 @@ object Ann {
   def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.dot_f64
-    val base = Par.spread(emb, idCol).select(col(idCol).as("id"), col(vecCol).as("v"))
+    // no Par.spread: k dots per row cannot amortize an extra exchange
+    // (measured +0.1 s on the r7 bench when spread)
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", sqrt(dot_f64(col("v"), col("v"))))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qnorm", sqrt(dot_f64(col("qv"), col("qv"))))
@@ -116,7 +118,7 @@ object Ann {
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.dot_f64
-    val e = Par.spread(emb, idCol).select(col(idCol).as("id"), col(vecCol).as("v"))
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", sqrt(dot_f64(col("v"), col("v"))))
     // centroids: first nCentroids ids, collected (tiny by definition).
     // Norms are computed with the same left-fold float->double arithmetic

@@ -32,9 +32,12 @@ object Par {
     * are CPU-heavy per byte (kernel parse, md5 shingles, LSH dots), so a
     * few MB of shuffle data still deserve every core: the r7 stage audit
     * showed 12 MB exchanges coalesced to 6 tasks at 0.74 s wall with 30
-    * cores idle. A 64k floor restores parallelism-first coalescing for
-    * small-byte stages and is a NO-OP at scale (real partitions are far
-    * above 1m, and target sizes still come from advisoryPartitionSize).
+    * cores idle. A 256k floor restores parallelism for such stages
+    * while leaving genuinely tiny exchanges (cluster-propagation
+    * rounds, sub-100k outputs) on few tasks, and is a NO-OP at scale
+    * (real partitions are far above 1m, and target sizes still come
+    * from advisoryPartitionSize). 64k was measured too aggressive:
+    * ~0.05 s of task-launch overhead per stage on 0.1-0.3 s queries.
     * Override via SPARK_GRAFT_MIN_COALESCE.
     */
   @volatile private var tunedApp: String = ""
@@ -44,7 +47,7 @@ object Par {
     if (tunedApp != app) synchronized {
       if (tunedApp != app) {
         spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-          sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
+          sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "256k"))
         tunedApp = app
       }
     }

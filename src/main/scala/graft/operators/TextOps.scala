@@ -17,20 +17,22 @@ object TextOps {
     */
   def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = Dedup.tokens(t) // ICU-free lower (see functions.lower_u8)
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
-    val stopHits = stop.map(s =>
-      size(filter(toks, x => x === s))).reduce(_ + _)
+    // one tokenizing pass (functions.text_stats); the previous column
+    // form ran 13 interpreted HOF scans per row, each re-splitting the
+    // text. Ratio/round arithmetic is unchanged Catalyst code, so the
+    // emitted values are bit-identical (pinned in FunctionsSpec).
+    val st = graft.functions.text_stats(t)
+    val nToks = st.getField("n_tokens")
     docs.select(
       col(idCol).as("doc_id"),
-      length(t).as("n_chars"),
-      size(toks).as("n_tokens"),
-      round(size(filter(toks, x => x.rlike("^[.,;:!?]+$"))).cast("double") /
-        greatest(size(toks), lit(1)), 4).as("punct_ratio"),
-      round(stopHits.cast("double") / greatest(size(toks), lit(1)), 4).as("stopword_ratio"),
-      round(
-        aggregate(toks, lit(0.0), (acc, x) => acc + length(x)) /
-          greatest(size(toks), lit(1)), 4).as("mean_token_len"))
+      st.getField("n_chars").as("n_chars"),
+      nToks.as("n_tokens"),
+      round(st.getField("punct").cast("double") /
+        greatest(nToks, lit(1)), 4).as("punct_ratio"),
+      round(st.getField("stops").cast("double") /
+        greatest(nToks, lit(1)), 4).as("stopword_ratio"),
+      round(st.getField("len_sum") /
+        greatest(nToks, lit(1)), 4).as("mean_token_len"))
       .withColumn("quality_score",
         round(least(lit(1.0),
           col("n_tokens").cast("double") / 100.0) *
@@ -57,7 +59,7 @@ object TextOps {
     */
   def langId(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    Par.spread(docs, idCol).select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"),
       graft.functions.lang_of(col(textCol)).as("lang_pred"))
       .orderBy("doc_id")
 

@@ -146,6 +146,43 @@ class FunctionsSpec extends AnyFunSuite {
     rows.foreach { case (id, _) => assert(oldDf(id) == newDf(id), s"id=$id") }
   }
 
+  test("text_stats: quality features bit-identical to the HOF column form") {
+    import spark.implicits._
+    val rng = new java.util.Random(17)
+    val words = Seq("the", "fox", "!?", "...", ",", "for", "a", "", "Über",
+      "12", "it", "longword" * 3)
+    val texts: Seq[String] = Seq("", " ", "a b", "the ... for it", ". , ; :") ++
+      (0 until 300).map(_ => (0 until rng.nextInt(15))
+        .map(_ => words(rng.nextInt(words.size))).mkString(" "))
+    // the exact pre-r7 TextOps.quality feature expressions
+    def oldQ(t: org.apache.spark.sql.Column) = {
+      val toks = split(graft.functions.lower_u8(t), " ")
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+      val stopHits = stop.map(s => size(filter(toks, x => x === s))).reduce(_ + _)
+      struct(
+        length(t), size(toks),
+        round(size(filter(toks, x => x.rlike("^[.,;:!?]+$"))).cast("double") /
+          greatest(size(toks), lit(1)), 4),
+        round(stopHits.cast("double") / greatest(size(toks), lit(1)), 4),
+        round(aggregate(toks, lit(0.0), (acc, x) => acc + length(x)) /
+          greatest(size(toks), lit(1)), 4))
+    }
+    def newQ(t: org.apache.spark.sql.Column) = {
+      val st = graft.functions.text_stats(t)
+      val nToks = st.getField("n_tokens")
+      struct(
+        st.getField("n_chars"), nToks,
+        round(st.getField("punct").cast("double") / greatest(nToks, lit(1)), 4),
+        round(st.getField("stops").cast("double") / greatest(nToks, lit(1)), 4),
+        round(st.getField("len_sum") / greatest(nToks, lit(1)), 4))
+    }
+    val rows = texts.toDF("t")
+      .select(oldQ(col("t")).as("o"), newQ(col("t")).as("n")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getStruct(0) == r.getStruct(1), s"'$t'")
+    }
+  }
+
   test("SQL registration: functions usable from spark.sql") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -1210,6 +1210,29 @@ class KernelSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 0.005, s"got $got expect $expect")
   }
 
+  test("E34: MKV unknown-size child crossing the parent limit degrades, never throws (ADVICE r6)") {
+    // EBML header (DocType "webm") + Segment(size 8) containing
+    // Info(size 2) whose body is just a Title element id (0x7BA9); the
+    // title's size vint is read PAST Info's limit and is 0xFF (unknown
+    // size), so body > limit and the child length is limit-body = -1 —
+    // the unclamped str() threw StringIndexOutOfBoundsException past
+    // the AIOOBE-only catch
+    val bytes = Array[Int](
+      0x1A, 0x45, 0xDF, 0xA3, 0x87,             // EBML header, size 7
+      0x42, 0x82, 0x84, 'w', 'e', 'b', 'm',     // DocType "webm"
+      0x18, 0x53, 0x80, 0x67, 0x88,             // Segment, size 8
+      0x15, 0x49, 0xA9, 0x66, 0x82,             // Info, size 2
+      0x7B, 0xA9,                               // Title id (body ends here)
+      0xFF                                      // read as the title's UNKNOWN size vint
+    ).map(_.toByte)
+    val (ct, meta) = graft.kernel.MkvKernel.extract(bytes, matroska = false)
+    assert(ct.nonEmpty) // typed row, not an escaped exception
+    // full dispatch also stays a typed media row
+    val out = Extract.extractBytes("clip.webm", bytes, Extract.Options())
+    assert(out.contentType.contains("webm") || out.contentType.contains("matroska"),
+      out.contentType)
+  }
+
   test("E34: Matroska/WebM — EBML DocType routing, Info + track metadata") {
     import graft.corpus.MkvWriter
     // webm, video+audio, default timestamp scale

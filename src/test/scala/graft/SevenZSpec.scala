@@ -76,6 +76,39 @@ class SevenZSpec extends AnyFunSuite {
     }
   }
 
+  test("E32: folder-level CRCs — SubStreams digest exclusion keeps the reader aligned (ADVICE r6)") {
+    for (codec <- Seq("copy", "lzma2")) {
+      val bytes = ArchiveWriter.write7z(members, codec = codec, folderCrcs = true)
+      // commons-compress accepts the layout AND verifies the CRCs on
+      // read — proves the emitted header (folder kCRC bitmask + reduced
+      // SubStreams digest list) is spec-valid
+      val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel(bytes)
+      val sz = org.apache.commons.compress.archivers.sevenz.SevenZFile.builder()
+        .setSeekableByteChannel(ch).get()
+      try {
+        var names = Vector.empty[String]
+        var e = sz.getNextEntry
+        while (e != null) {
+          val buf = new Array[Byte](e.getSize.toInt)
+          var off = 0
+          while (off < buf.length) {
+            val r = sz.read(buf, off, buf.length - off); assert(r > 0); off += r
+          }
+          names :+= e.getName.replace('\\', '/')
+          e = sz.getNextEntry
+        }
+        assert(names == members.map(_._1).toVector, s"$codec commons names")
+      } finally sz.close()
+      // and our kernel stays aligned past both digest lists (the old
+      // blind skip assumed every substream carried a digest and walked
+      // off the header, losing names/codecs)
+      val out = Extract.extractBytes("x.7z", bytes, Extract.Options())
+      assert(out.content == expectedText, s"$codec: ${out.content}")
+      assert(out.metadata("archive:entry-count") == "3", codec)
+      assert(out.metadata("archive:entry-names") == "docs/a.txt,docs/b.txt,notes.txt", codec)
+    }
+  }
+
   test("E32: 7z conformance — commons-compress-written archives extract here") {
     import org.apache.commons.compress.archivers.sevenz._
     for (method <- Seq(SevenZMethod.COPY, SevenZMethod.LZMA2)) {
