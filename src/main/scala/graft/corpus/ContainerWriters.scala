@@ -150,7 +150,13 @@ object ArchiveWriter {
     val out = new ByteArrayOutputStream()
     val zos = new ZipOutputStream(out)
     members.foreach { case (name, bytes) =>
-      zos.putNextEntry(new ZipEntry(name))
+      val e = new ZipEntry(name)
+      // fixed mod-time => byte-deterministic archives (the un-set entry
+      // time is wall-clock: it made ~0.5% of media payloads differ
+      // between corpus regenerations, breaking the Gen.build purity
+      // contract and regen-stability of byte-checksum queries)
+      e.setTime(1595526399000L)
+      zos.putNextEntry(e)
       zos.write(bytes)
       zos.closeEntry()
     }
