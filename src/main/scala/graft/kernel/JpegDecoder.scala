@@ -44,49 +44,114 @@ object JpegDecoder {
       }
     }
     def symbol(idx: Int): Int = if (idx < symbols.length) symbols(idx) else -1
+
+    /** 8-bit-peek fast table: lut(p) = (codeLen << 8) | symbol for every
+      * 8-bit prefix p whose leading bits form a complete code of length
+      * <= 8; 0 = no such code (fall back to the exact bit-by-bit walk).
+      * Pure lookup acceleration of the same canonical decode — the
+      * decoded (symbol, consumed-bits) pair is identical by construction.
+      */
+    val lut = new Array[Int](256)
+    locally {
+      var l = 1
+      while (l <= 8) {
+        if (maxCode(l) >= 0) {
+          var code = minCode(l)
+          while (code <= maxCode(l)) {
+            val sym = symbol(valPtr(l) + code - minCode(l))
+            if (sym >= 0) {
+              val base = code << (8 - l)
+              val n = 1 << (8 - l)
+              var i = 0
+              while (i < n) { lut(base + i) = (l << 8) | sym; i += 1 }
+            }
+            code += 1
+          }
+        }
+        l += 1
+      }
+    }
   }
 
+  /** Entropy bit reader. Bits are served from a 64-bit accumulator that
+    * bulk-loads runs of PLAIN (non-0xFF) bytes; 0xFF bytes (stuffing or a
+    * real marker) are always handled one at a time by the exact slow path,
+    * so marker detection, stuffing and end-of-data behave bit-for-bit like
+    * the original per-byte reader — and because the accumulator never
+    * holds a stuffed byte, the logical byte position is recoverable as
+    * pos - nAcc/8 (used by restart()). `pos` may run ahead of the
+    * consumed bits by buffered PLAIN bytes only, so forward marker scans
+    * from `pos` find the same next marker.
+    */
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
-    var bitBuf = 0
-    var bitCnt = 0
+    var acc = 0L
+    var nAcc = 0
     var sawEoi = false
-    /** next entropy-coded bit; -1 on exhaustion. Handles 0xFF00 stuffing;
-      * an unexpected marker ends the scan.
-      */
-    def bit(): Int = {
-      if (bitCnt == 0) {
-        if (pos >= bytes.length) return -1
-        var b = bytes(pos) & 0xff
+
+    /** bulk-load plain bytes; stops before any 0xFF or at EOF. */
+    private def fill(): Unit = {
+      while (nAcc <= 56 && pos < bytes.length) {
+        val b = bytes(pos) & 0xff
+        if (b == 0xff) return
+        acc = (acc << 8) | b
+        nAcc += 8
         pos += 1
-        if (b == 0xff) {
-          if (pos >= bytes.length) return -1
-          val m = bytes(pos) & 0xff
-          if (m == 0x00) pos += 1 // stuffed
-          else { sawEoi = true; return -1 } // real marker: scan over
-          b = 0xff
-        }
-        bitBuf = b
-        bitCnt = 8
       }
-      bitCnt -= 1
-      (bitBuf >> bitCnt) & 1
     }
+
+    /** append one byte via the exact original 0xFF handling; false when
+      * no byte is available (EOF, or a real marker => sawEoi).
+      */
+    private def slowByte(): Boolean = {
+      if (pos >= bytes.length) return false
+      val b = bytes(pos) & 0xff
+      pos += 1
+      if (b != 0xff) { acc = (acc << 8) | b; nAcc += 8; return true }
+      if (pos >= bytes.length) return false
+      val m = bytes(pos) & 0xff
+      if (m == 0x00) { pos += 1; acc = (acc << 8) | 0xff; nAcc += 8; true }
+      else { sawEoi = true; false } // real marker: scan over (pos at marker)
+    }
+
+    /** next entropy-coded bit; -1 on exhaustion. */
+    def bit(): Int = {
+      if (nAcc == 0) {
+        fill()
+        if (nAcc == 0 && !slowByte()) return -1
+      }
+      nAcc -= 1
+      ((acc >>> nAcc) & 1L).toInt
+    }
+
     def receive(n: Int): Int = {
-      var v = 0
-      var i = 0
-      while (i < n) {
-        val b = bit()
-        if (b < 0) return Int.MinValue
-        v = (v << 1) | b
-        i += 1
+      if (nAcc < n) {
+        fill()
+        while (nAcc < n && slowByte()) ()
+        if (nAcc < n) { nAcc = 0; return Int.MinValue }
       }
-      v
+      nAcc -= n
+      ((acc >>> nAcc) & ((1L << n) - 1L)).toInt
     }
+
+    /** peek `n` bits without consuming; -1 when fewer than `n` PLAIN bits
+      * are buffered (the caller falls back to the exact bit-by-bit path).
+      */
+    def peek(n: Int): Int = {
+      if (nAcc < n) fill()
+      if (nAcc < n) -1
+      else ((acc >>> (nAcc - n)) & ((1L << n) - 1L)).toInt
+    }
+
+    def drop(n: Int): Unit = nAcc -= n
+
     /** byte-align and consume an RSTn marker; false if absent. T.81
       * permits any number of 0xFF fill bytes before the marker byte.
+      * Buffered whole bytes are all plain, so rewinding pos by nAcc/8
+      * re-aligns exactly; the sub-byte remainder is the discarded padding.
       */
     def restart(): Boolean = {
-      bitCnt = 0
+      pos -= nAcc >>> 3
+      nAcc = 0
       while (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
           (bytes(pos + 1) & 0xff) == 0xff) pos += 1 // fill bytes
       if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
@@ -101,6 +166,15 @@ object JpegDecoder {
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
   private def decodeHuff(br: BitReader, h: Huff): Int = {
+    // fast path: one 8-bit peek resolves every code of length <= 8 via
+    // the canonical-prefix lookup table (identical symbol + bit count);
+    // codes longer than 8 bits or reads near 0xFF/EOF fall back to the
+    // exact per-bit walk from the same unconsumed position.
+    val p = br.peek(8)
+    if (p >= 0) {
+      val e = h.lut(p)
+      if (e != 0) { br.drop(e >>> 8); return e & 0xff }
+    }
     var code = 0
     var l = 1
     while (l <= 16) {
@@ -120,24 +194,59 @@ object JpegDecoder {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
-  // cosTable(u)(x) = cos((2x+1) u pi / 16) * C(u) where C(0)=1/sqrt(2)
-  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
-    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
-    c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
-  }
-
-  /** Separable 2-D IDCT of one dequantized block into samples (+128). */
-  private def idctBlock(coef: Array[Int], out: Array[Int]): Unit = {
-    val tmp = new Array[Double](64)
-    var y = 0
-    while (y < 8) { // rows: 1-D IDCT over u for each y-row of coefficients
+  // cosTable, flat: CosF(u*8+x) = cos((2x+1) u pi / 16) * C(u), C(0)=1/sqrt(2)
+  private val CosF: Array[Double] = {
+    val a = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
       var x = 0
       while (x < 8) {
-        var s = 0.0
-        var u = 0
-        while (u < 8) { s += Cos(u)(x) * coef(y * 8 + u); u += 1 }
-        tmp(y * 8 + x) = s * 0.5
+        a(u * 8 + x) = c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
         x += 1
+      }
+      u += 1
+    }
+    a
+  }
+
+  /** Separable 2-D IDCT of one dequantized block into samples (+128).
+    * `tmp` is caller-owned 64-double scratch (one per scan, not per block).
+    *
+    * Sparse-aware: terms whose coefficient is zero are skipped. This is
+    * bit-identical to the dense sum — a skipped term contributes exactly
+    * plus-or-minus 0.0 (no CosF entry is a true zero, so products of the
+    * NONZERO terms are unaffected), the accumulator starts at +0.0 and
+    * finite cancellation yields +0.0 in round-to-nearest, so it is never
+    * -0.0 when a zero term would be added, and x + (plus/minus 0.0) == x
+    * exactly. Pinned against the dense form in JpegCodecSpec. Quantized
+    * blocks are mostly zeros (EOB after a few symbols), so this cuts the
+    * 1024-multiply dense 2-D pass to ~the nonzero support.
+    */
+  private[graft] def idctBlock(coef: Array[Int], out: Array[Int], tmp: Array[Double]): Unit = {
+    var rowMask = 0 // bit y set = coefficient row y has any nonzero entry
+    var y = 0
+    while (y < 8) { // rows: 1-D IDCT over u for each y-row of coefficients
+      val base = y * 8
+      var hi = 7
+      while (hi >= 0 && coef(base + hi) == 0) hi -= 1
+      if (hi < 0) {
+        var x = 0
+        while (x < 8) { tmp(base + x) = 0.0; x += 1 }
+      } else {
+        rowMask |= 1 << y
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u <= hi) {
+            val c = coef(base + u)
+            if (c != 0) s += CosF(u * 8 + x) * c
+            u += 1
+          }
+          tmp(base + x) = s * 0.5
+          x += 1
+        }
       }
       y += 1
     }
@@ -147,7 +256,10 @@ object JpegDecoder {
       while (yy < 8) {
         var s = 0.0
         var v = 0
-        while (v < 8) { s += Cos(v)(yy) * tmp(v * 8 + x); v += 1 }
+        while (v < 8) {
+          if ((rowMask & (1 << v)) != 0) s += CosF(v * 8 + yy) * tmp(v * 8 + x)
+          v += 1
+        }
         val px = math.round(s * 0.5).toInt + 128
         out(yy * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
         yy += 1
@@ -333,6 +445,7 @@ object JpegDecoder {
     val br = new BitReader(bytes, scanStart)
     val coef = new Array[Int](64)
     val px = new Array[Int](64)
+    val idctTmp = new Array[Double](64)
     var mcu = 0
     val totalMcus = mcusX * mcusY
     while (mcu < totalMcus) {
@@ -377,7 +490,7 @@ object JpegDecoder {
                 k += 1
               }
             }
-            idctBlock(coef, px)
+            idctBlock(coef, px, idctTmp)
             val ox = (mx * c.h + bx) * 8
             val oy = (my * c.v + by) * 8
             var yy = 0
@@ -414,21 +527,38 @@ object JpegDecoder {
     } else {
       val cy = comps(0); val cb = comps(1); val cr = comps(2)
       val out = new Array[Byte](w * h * 3)
+      // hoist the nearest-neighbor upsampling index math out of the pixel
+      // loop: the same x*ch/hMax (etc.) integer divisions, computed once
+      // per column / once per row instead of six divisions per pixel
+      val xiY = new Array[Int](w)
+      val xiB = new Array[Int](w)
+      val xiR = new Array[Int](w)
+      var xx = 0
+      while (xx < w) {
+        xiY(xx) = xx * cy.h / hMax
+        xiB(xx) = xx * cb.h / hMax
+        xiR(xx) = xx * cr.h / hMax
+        xx += 1
+      }
       var y = 0
       while (y < h) {
+        val rowY = (y * cy.v / vMax) * cy.planeW
+        val rowB = (y * cb.v / vMax) * cb.planeW
+        val rowR = (y * cr.v / vMax) * cr.planeW
+        var o = y * w * 3
         var x = 0
         while (x < w) {
-          val lum = cy.plane((y * cy.v / vMax) * cy.planeW + (x * cy.h / hMax))
-          val b0 = cb.plane((y * cb.v / vMax) * cb.planeW + (x * cb.h / hMax)) - 128
-          val r0 = cr.plane((y * cr.v / vMax) * cr.planeW + (x * cr.h / hMax)) - 128
+          val lum = cy.plane(rowY + xiY(x))
+          val b0 = cb.plane(rowB + xiB(x)) - 128
+          val r0 = cr.plane(rowR + xiR(x)) - 128
           var r = math.round(lum + 1.402 * r0).toInt
           var g = math.round(lum - 0.344136 * b0 - 0.714136 * r0).toInt
           var b = math.round(lum + 1.772 * b0).toInt
           if (r < 0) r = 0 else if (r > 255) r = 255
           if (g < 0) g = 0 else if (g > 255) g = 255
           if (b < 0) b = 0 else if (b > 255) b = 255
-          val o = (y * w + x) * 3
           out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = b.toByte
+          o += 3
           x += 1
         }
         y += 1
@@ -678,6 +808,7 @@ object JpegDecoder {
     val vMax = comps.map(_.v).max
     val nat = new Array[Int](64)
     val px = new Array[Int](64)
+    val idctTmp = new Array[Double](64)
     comps.foreach { c =>
       c.planeW = c.blocksW * 8
       c.planeH = c.blocksH * 8
@@ -690,7 +821,7 @@ object JpegDecoder {
           val off = (by * c.blocksW + bx) * 64
           var k = 0
           while (k < 64) { nat(Zigzag(k)) = c.coefs(off + k) * qt(k); k += 1 }
-          idctBlock(nat, px)
+          idctBlock(nat, px, idctTmp)
           val ox = bx * 8
           val oy = by * 8
           var yy = 0

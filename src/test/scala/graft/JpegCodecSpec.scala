@@ -190,4 +190,38 @@ class JpegCodecSpec extends AnyFunSuite {
     }
     succeed
   }
+
+  test("sparse-aware IDCT is bit-identical to the dense reference sum") {
+    // dense reference: the pre-r7 1024-term separable sum, verbatim
+    val CosRef = Array.tabulate(8, 8) { (u, x) =>
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    def dense(coef: Array[Int], out: Array[Int]): Unit = {
+      val tmp = new Array[Double](64)
+      for (y <- 0 until 8; x <- 0 until 8)
+        tmp(y * 8 + x) = (0 until 8).map(u => CosRef(u)(x) * coef(y * 8 + u)).sum * 0.5
+      for (x <- 0 until 8; yy <- 0 until 8) {
+        val s = (0 until 8).map(v => CosRef(v)(yy) * tmp(v * 8 + x)).sum
+        val px = math.round(s * 0.5).toInt + 128
+        out(yy * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+      }
+    }
+    val rng = new java.util.SplittableRandom(42L)
+    val coef = new Array[Int](64)
+    val a = new Array[Int](64)
+    val b = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    for (trial <- 0 until 2000) {
+      java.util.Arrays.fill(coef, 0)
+      // density sweep: all-zero, DC-only, sparse, dense, extreme values
+      val n = trial % 65
+      for (_ <- 0 until n)
+        coef(rng.nextInt(64)) = rng.nextInt(4001) - 2000
+      if (trial % 7 == 0) coef(0) = rng.nextInt(32001) - 16000
+      dense(coef, a)
+      JpegDecoder.idctBlock(coef, b, tmp)
+      assert(java.util.Arrays.equals(a, b), s"trial $trial: ${coef.toSeq}")
+    }
+  }
 }
