@@ -1088,14 +1088,17 @@ object Gen {
     ids.map { i => val b = build(seed, i)
         (b.doc_id, b.spans, b.size_class, b.kind_major) }
       .toDF("doc_id", "spans", "size_class", "kind_major")
-      // 4 files per kind partition, scale-stepped with corpus size: the
-      // previous 16-way split produced 583 files (551 under 100 KB) whose
+      // 4 files per kind partition, stepped up only when per-file size
+      // warrants (~nDocs/1e6: docs average ~300 B on disk, so 4/kind
+      // stays MB-scale through millions of docs). The previous 16-way
+      // split produced 583 files (551 under 100 KB) whose
       // openCostInBytes padding alone planned every docs scan as 146
       // tasks on a 15 MB table (r7 §6 audit) — pure dispatch overhead in
-      // each extraction pass. 4/kind keeps multiple kind-pure files per
-      // kind for scan balance (FilePartition packing mixes kinds within
-      // a split) while cutting the file count 4x.
-      .repartition(math.max(4, (nDocs / 12500L).toInt), col("doc_id"))
+      // each extraction pass; an nDocs/12500 step made it WORSE at the
+      // scaling corpus's 800k docs (2,368 files). 4/kind keeps multiple
+      // kind-pure files per kind for scan balance (FilePartition packing
+      // mixes kinds within a split) while bounding the file count.
+      .repartition(math.max(4, (nDocs / 1000000L).toInt), col("doc_id"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("kind_major")
       .parquet(s"$dir/docs.parquet")
